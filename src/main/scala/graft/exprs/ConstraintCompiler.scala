@@ -1,0 +1,368 @@
+package graft.exprs
+
+import org.apache.spark.sql.{Column, DataFrame, Dataset, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+import org.json4s._
+import graft.model._
+import graft.compile.TableSchema
+
+/** Compiles a [[graft.compile.TableSchema]] into Catalyst `Column` trees.
+  *
+  * This is the engine's data plane: every draft-4 keyword the reference
+  * *parses* (`/root/reference/src/main/scala/json/schema/parser/JsonSchemaDecoder.scala:124-197`)
+  * becomes an executable predicate over table columns (SURVEY.md §2b),
+  * fused into ONE per-partition scan:
+  * a single `select` builds an array of violation structs (one
+  * `when(violated, struct(...))` per constraint), then a codegen'd
+  * lambda `filter` + `explode` emits typed violation rows. No shuffle,
+  * no UDFs — everything stays inside whole-stage codegen, so the same
+  * plan that validates 60k rows locally validates 10^12 rows on a
+  * cluster, bounded by scan throughput.
+  *
+  * Null semantics: value constraints (enum/pattern/bounds/...) pass on
+  * NULL; nullness is reported by the `required` constraint only. This
+  * matches JSON-Schema, where `required` is the only keyword that sees
+  * absent values.
+  */
+object ConstraintCompiler {
+
+  private def isIntegral(dt: DataType): Boolean = dt match {
+    case ByteType | ShortType | IntegerType | LongType => true
+    case _ => false
+  }
+  private def isFractional(dt: DataType): Boolean = dt match {
+    case FloatType | DoubleType | _: DecimalType => true
+    case _ => false
+  }
+
+  /** One compiled constraint: `ok` is a never-null boolean Column;
+    * `actual` renders the offending value for the violation row.
+    */
+  final case class Check(column: String, constraint: String, ok: Column, actual: Column)
+
+  /** JSON-pointer path to a field of a keyed row, with RFC 6901 escapes
+    * applied to the (dynamic) key value via codegen'd regexp_replace —
+    * `~` -> `~0`, `/` -> `~1` (semantics of the reference's
+    * `JsonPointer.scala:36-42`, lifted from parse-time to emit-time).
+    */
+  def pointerEscape(c: Column): Column =
+    regexp_replace(regexp_replace(c, "~", "~0"), "/", "~1")
+
+  def pointerCol(keyCols: Seq[String], column: String): Column = {
+    val keyParts = keyCols.flatMap { k =>
+      Seq(lit("/"), coalesce(pointerEscape(col(k).cast("string")), lit("null")))
+    }
+    concat(keyParts :+ lit("/") :+ lit(column): _*)
+  }
+
+  /** All checks for one column under its Property. */
+  def columnChecks(name: String, prop: Property, dt: DataType): Either[String, Seq[Check]] = {
+    val c = col(name)
+    val base: Seq[Check] =
+      if (prop.required) Seq(Check(name, "required", c.isNotNull, lit("null"))) else Nil
+    valueChecks(name, prop.schema, dt).map(base ++ _)
+  }
+
+  /** Value-level checks of one schema doc applied to column `name`. */
+  private def valueChecks(name: String, doc: SchemaDoc, dt: DataType): Either[String, Seq[Check]] = {
+    if (dt == NullType) return Right(Nil) // all-null column: every value check passes
+    val c = col(name)
+    def ok(pred: Column): Column = c.isNull || pred
+    val actualStr = coalesce(c.cast("string"), lit("null"))
+
+    for {
+      typeCheck <- typeCheck(name, doc, dt)
+      enumCheck <- enumCheck(name, doc, dt)
+      numeric <- Right(doc.number.toSeq.flatMap { nc =>
+        // keep bound literals in the column's arithmetic family so
+        // Catalyst doesn't widen an integral column to double (better
+        // codegen + parquet pushdown when the filter form is used)
+        def boundLit(v: BigDecimal): Column =
+          if (v.isWhole && isIntegral(dt)) lit(v.toLong) else lit(v.toDouble)
+        val boundChecks = Seq(
+          nc.range.min.map { b =>
+            val pred = if (b.exclusive) c > boundLit(b.value) else c >= boundLit(b.value)
+            Check(name, if (b.exclusive) "exclusiveMinimum" else "minimum", ok(pred), actualStr)
+          },
+          nc.range.max.map { b =>
+            val pred = if (b.exclusive) c < boundLit(b.value) else c <= boundLit(b.value)
+            Check(name, if (b.exclusive) "exclusiveMaximum" else "maximum", ok(pred), actualStr)
+          },
+          nc.multipleOf.map { k =>
+            // exactness via decimal remainder (SURVEY §7 hard parts):
+            // integral columns stay in integer arithmetic, fractional
+            // columns go through DecimalType to avoid float remainder
+            val pred = dt match {
+              case t if isIntegral(t) && k.isWhole =>
+                c % lit(k.toLong) === lit(0L)
+              case _ =>
+                c.cast(DecimalType(38, 12)) % lit(k.underlying()) === lit(BigDecimal(0).underlying())
+            }
+            Check(name, "multipleOf", ok(pred), actualStr)
+          }
+        ).flatten
+        boundChecks
+      })
+      strings <- Right(doc.string.toSeq.flatMap { sc =>
+        val lenChecks = Seq(
+          if (sc.minLength > 0)
+            Some(Check(name, "minLength", ok(length(c) >= lit(sc.minLength)), actualStr))
+          else None,
+          sc.maxLength.map(m => Check(name, "maxLength", ok(length(c) <= lit(m)), actualStr)),
+          sc.pattern.map(p => Check(name, "pattern", ok(c.rlike(p)), actualStr))
+        ).flatten
+        lenChecks
+      })
+      format <- formatCheck(name, doc, dt)
+      combinators <- combinatorChecks(name, doc, dt)
+    } yield typeCheck ++ enumCheck ++ numeric ++ strings ++ format ++ combinators
+  }
+
+  /** Declared `type` vs the physical Spark type. Most mismatches are
+    * compile errors (schema enforcement at bind time); the one runtime
+    * check is `integer` over a floating/decimal physical column.
+    */
+  private def typeCheck(name: String, doc: SchemaDoc, dt: DataType): Either[String, Seq[Check]] = {
+    val c = col(name)
+    if (doc.types.isEmpty) Right(Nil)
+    else {
+      val compatible = doc.types.exists { t =>
+        t match {
+          case SimpleType.string =>
+            dt == StringType ||
+              (dt == TimestampType && doc.format.contains("date-time")) // ts column
+          case SimpleType.integer => isIntegral(dt) || isFractional(dt)
+          case SimpleType.number  => dt.isInstanceOf[NumericType]
+          case SimpleType.boolean => dt == BooleanType
+          case SimpleType.array   => dt.isInstanceOf[ArrayType]
+          case SimpleType.jsonObject => dt.isInstanceOf[StructType] || dt.isInstanceOf[MapType]
+          case SimpleType.jsonNull => true
+        }
+      }
+      if (!compatible)
+        Left(s"column $name: declared types ${doc.types.mkString(",")} incompatible with physical type ${dt.simpleString}")
+      else if (doc.types.contains(SimpleType.integer) && !isIntegral(dt) &&
+               dt.isInstanceOf[NumericType])
+        // integer declared over a fractional physical column -> runtime integrality check
+        Right(Seq(Check(name, "type:integer", c.isNull || c === floor(c),
+          coalesce(c.cast("string"), lit("null")))))
+      else Right(Nil)
+    }
+  }
+
+  private def enumCheck(name: String, doc: SchemaDoc, dt: DataType): Either[String, Seq[Check]] = {
+    val c = col(name)
+    if (doc.enums.isEmpty) Right(Nil)
+    else
+      enumLiterals(doc.enums, dt).map { vals =>
+        // isin -> Catalyst In/InSet (hash set at runtime for large enums)
+        Seq(Check(name, "enum", c.isNull || c.isin(vals: _*),
+          coalesce(c.cast("string"), lit("null"))))
+      }.left.map(e => s"column $name: $e")
+  }
+
+  /** Heterogeneous `enums: Set[JValue]` restricted to the column's
+    * physical type (SURVEY §7 hard parts): mismatch = compile error.
+    */
+  private def enumLiterals(enums: Set[JValue], dt: DataType): Either[String, Seq[Any]] = {
+    val converted = enums.toSeq.map { j =>
+      (j, dt) match {
+        case (JString(s), StringType) => Right(s)
+        case (JBool(b), BooleanType)  => Right(b)
+        case (jn, _: NumericType) =>
+          graft.compile.Js.asNumber(jn).map { bd =>
+            dt match {
+              case t if isIntegral(t) => bd.toLong
+              case FloatType       => bd.toFloat
+              case DoubleType      => bd.toDouble
+              case _: DecimalType  => bd
+              case _               => bd.toDouble
+            }
+          }.toRight(s"enum value ${graft.compile.Js.compact(jn)} is not numeric (column type ${dt.simpleString})")
+        case (jv, _) =>
+          Left(s"enum value ${graft.compile.Js.compact(jv)} incompatible with column type ${dt.simpleString}")
+      }
+    }
+    converted.collectFirst { case Left(e) => e }.toLeft(converted.collect { case Right(v) => v })
+  }
+
+  /** Per-format predicate library (reference stores format as a free
+    * string, `JsonSchemaDecoder.scala:136`; enum of known formats
+    * `model.scala:19-23`). Unknown formats are ignored per draft-4.
+    */
+  private def formatCheck(name: String, doc: SchemaDoc, dt: DataType): Either[String, Seq[Check]] = {
+    val c = col(name)
+    def ok(pred: Column): Column = c.isNull || pred
+    val actualStr = coalesce(c.cast("string"), lit("null"))
+    doc.format match {
+      case None => Right(Nil)
+      case Some(f) =>
+        val pred: Option[Column] = f match {
+          case "date-time" =>
+            if (dt == TimestampType || dt == DateType) None // physically guaranteed
+            else Some(to_timestamp(c).isNotNull)
+          case "email"    => Some(c.rlike("^[^@\\s]+@[^@\\s]+\\.[^@\\s]+$"))
+          case "hostname" => Some(c.rlike("^(?=.{1,253}$)[A-Za-z0-9]([A-Za-z0-9-]{0,61}[A-Za-z0-9])?(\\.[A-Za-z0-9]([A-Za-z0-9-]{0,61}[A-Za-z0-9])?)*$"))
+          case "ipv4"     => Some(c.rlike("^((25[0-5]|2[0-4][0-9]|[01]?[0-9][0-9]?)\\.){3}(25[0-5]|2[0-4][0-9]|[01]?[0-9][0-9]?)$"))
+          case "ipv6"     => Some(c.rlike("^[0-9A-Fa-f:.]+$") && c.contains(":"))
+          case "uri"      => Some(c.rlike("^[A-Za-z][A-Za-z0-9+.-]*:")) // absolute URI: scheme
+          case "regex"    => None // compile-time property of the value, not checkable vectorized
+          case _          => None // unknown formats ignored (draft-4 semantics)
+        }
+        Right(pred.map(p => Check(name, s"format:$f", ok(p), actualStr)).toSeq)
+    }
+  }
+
+  /** allOf / anyOf / oneOf / not over a column: sub-schema predicates
+    * combined per SURVEY §2b (conjunction, disjunction, exactly-one,
+    * negation). Sub-schemas contribute their value checks as a single
+    * conjunction each.
+    */
+  private def combinatorChecks(name: String, doc: SchemaDoc, dt: DataType): Either[String, Seq[Check]] = {
+    val c = col(name)
+    val actualStr = coalesce(c.cast("string"), lit("null"))
+
+    def subPred(sub: SchemaDoc): Either[String, Column] =
+      valueChecks(name, sub, dt).map { checks =>
+        if (checks.isEmpty) lit(true) else checks.map(_.ok).reduce(_ && _)
+      }
+
+    def seqPreds(subs: List[SchemaDoc]): Either[String, List[Column]] =
+      subs.foldRight(Right(Nil): Either[String, List[Column]]) { (s, acc) =>
+        for (t <- acc; p <- subPred(s)) yield p :: t
+      }
+
+    for {
+      allOf <- seqPreds(doc.allOf).map(_.reduceOption(_ && _)
+        .map(p => Check(name, "allOf", c.isNull || p, actualStr)).toSeq)
+      anyOf <- seqPreds(doc.anyOf).map(_.reduceOption(_ || _)
+        .map(p => Check(name, "anyOf", c.isNull || p, actualStr)).toSeq)
+      oneOf <- seqPreds(doc.oneOf).map { ps =>
+        if (ps.isEmpty) Nil
+        else {
+          val count = ps.map(p => when(p, 1).otherwise(0)).reduce(_ + _)
+          Seq(Check(name, "oneOf", c.isNull || (count === 1), actualStr))
+        }
+      }
+      not <- doc.not match {
+        case Some(sub) => subPred(sub).map(p => Seq(Check(name, "not", c.isNull || !p, actualStr)))
+        case None      => Right(Nil)
+      }
+    } yield allOf ++ anyOf ++ oneOf ++ not
+  }
+
+  /** Table-level dependency checks (reference `model.scala:87-88`):
+    * property-form: colA non-null => each listed column non-null;
+    * schema-form: colA non-null => that schema's required/properties
+    * hold for the row.
+    */
+  def dependencyChecks(schema: TableSchema, dfSchema: StructType): Either[String, Seq[Check]] = {
+    val deps = schema.root.dependencies.toSeq.sortBy(_._1)
+    val results = deps.map {
+      case (colA, Right(required)) =>
+        val pred = required.toSeq.sorted.map(col(_).isNotNull).reduceOption(_ && _).getOrElse(lit(true))
+        Right(Check(colA, "dependencies",
+          when(col(colA).isNotNull, pred).otherwise(lit(true)),
+          coalesce(col(colA).cast("string"), lit("null"))))
+      case (colA, Left(depSchema)) =>
+        rowPredicate(depSchema, dfSchema).map { pred =>
+          Check(colA, "dependencies",
+            when(col(colA).isNotNull, pred).otherwise(lit(true)),
+            coalesce(col(colA).cast("string"), lit("null")))
+        }
+    }
+    results.collectFirst { case Left(e) => Left(e) }
+      .getOrElse(Right(results.collect { case Right(v) => v }))
+  }
+
+  /** Whole-row predicate of an object schema (required + per-property
+    * value checks), used by schema-form dependencies.
+    */
+  private def rowPredicate(doc: SchemaDoc, dfSchema: StructType): Either[String, Column] =
+    doc.obj match {
+      case None => Right(lit(true))
+      case Some(o) =>
+        val perCol = o.properties.toSeq.map { case (n, p) =>
+          dfSchema.fields.find(_.name == n) match {
+            case None => Left(s"dependency schema references unknown column $n")
+            case Some(f) =>
+              columnChecks(n, p, f.dataType).map { checks =>
+                checks.map(_.ok).reduceOption(_ && _).getOrElse(lit(true))
+              }
+          }
+        }
+        perCol.collectFirst { case Left(e) => Left(e) }
+          .getOrElse(Right(perCol.collect { case Right(c) => c }
+            .reduceOption(_ && _).getOrElse(lit(true))))
+    }
+
+  /** All compiled checks for a table. */
+  def compile(schema: TableSchema, dfSchema: StructType): Either[String, Seq[Check]] = {
+    val perColumn = schema.columns.toSeq.map { case (name, prop) =>
+      dfSchema.fields.find(_.name == name) match {
+        case None =>
+          if (prop.required) Left(s"required column $name missing from table schema ${dfSchema.simpleString}")
+          else Right(Nil) // optional column absent: nothing to check
+        case Some(f) => columnChecks(name, prop, f.dataType)
+      }
+    }
+    val colChecks = perColumn.collectFirst { case Left(e) => Left(e) }
+      .getOrElse(Right(perColumn.collect { case Right(cs) => cs }.flatten))
+    for {
+      cc <- colChecks
+      deps <- dependencyChecks(schema, dfSchema)
+    } yield cc ++ deps
+  }
+}
+
+/** The fused single-scan validator (SURVEY.md §4: "all per-row
+  * constraints in ONE scan").
+  */
+object Validator {
+
+  import ConstraintCompiler._
+
+  /** Violation rows for any keyed table: one `select` building
+    * `array<struct>` of per-constraint violations, lambda-`filter`ed and
+    * `explode`d in the same whole-stage-codegen pass. Rows with no
+    * violations never leave the scan (explode drops empty arrays).
+    */
+  def violations(df: DataFrame, schema: TableSchema, keyCols: Seq[String]): DataFrame = {
+    val checks = ConstraintCompiler.compile(schema, df.schema)
+      .fold(e => throw new IllegalArgumentException(e), identity)
+    violationsForChecks(df, checks, keyCols)
+  }
+
+  def violationsForChecks(df: DataFrame, checks: Seq[Check], keyCols: Seq[String]): DataFrame = {
+    require(checks.nonEmpty, "no checks compiled")
+    val vioStructs = checks.map { ch =>
+      when(!ch.ok, struct(
+        pointerCol(keyCols, ch.column).as("pointer"),
+        lit(ch.constraint).as("constraint"),
+        ch.actual.as("actual")))
+    }
+    df.select(keyCols.map(col) :+ array(vioStructs: _*).as("__vios"): _*)
+      .select(keyCols.map(col) :+ explode(filter(col("__vios"), _.isNotNull)).as("__v"): _*)
+      .select(keyCols.map(col) :+ col("__v.pointer") :+ col("__v.constraint") :+ col("__v.actual"): _*)
+  }
+
+  /** Typed transcript validation (the flagship path). */
+  def validateTranscripts(df: DataFrame, schema: TableSchema): Dataset[Violation] = {
+    val spark = df.sparkSession
+    import spark.implicits._
+    violations(df, schema, Seq("conv_id", "turn_idx"))
+      .select(col("conv_id"), col("turn_idx").cast("int").as("turn_idx"),
+        col("pointer"), col("constraint"), col("actual"))
+      .as[Violation]
+  }
+
+  /** Per-row pass/fail flag in one pass (no explode) — used for
+    * per-partition pass/fail accounting.
+    */
+  def validFlag(df: DataFrame, schema: TableSchema): Column = {
+    val checks = ConstraintCompiler.compile(schema, df.schema)
+      .fold(e => throw new IllegalArgumentException(e), identity)
+    checks.map(_.ok).reduce(_ && _)
+  }
+}
