@@ -1,0 +1,89 @@
+package graft.integrity
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Table-level integrity checks (north_rule): uniqueness of
+  * `(conv_id, turn_idx)` and referential integrity of `conv_id` across
+  * turn groups. These are the engine's only shuffling operators —
+  * everything else is a single scan — so skew handling is explicit here
+  * (SURVEY.md §2b rows "uniqueness lifted to table level" /
+  * "referential integrity").
+  *
+  * The parse-time analogue in the reference is the strict-set decoder
+  * (`Decoders.scala:71-82`, duplicates rejected) and `$ref`-target
+  * existence (`ReferenceResolver.scala:44`); here both lift to
+  * dataset-level operators.
+  */
+object Integrity {
+
+  /** Duplicate composite keys.
+    *
+    * Plan shape: partial hash-aggregate (map-side combine) -> exchange on
+    * the key -> final aggregate -> filter count>1. Map-side combine means
+    * a hot key's counts collapse to one row per input partition BEFORE
+    * the shuffle, so key skew degrades into at most
+    * #input-partitions rows per key — the classic two-phase/salted
+    * aggregation, supplied by Spark's HashAggregate automatically.
+    * AQE (enabled in session conf) re-coalesces post-shuffle partitions.
+    */
+  def duplicateKeys(df: DataFrame, keyCols: Seq[String]): DataFrame =
+    df.groupBy(keyCols.map(col): _*)
+      .agg(count(lit(1)).as("dup_count"))
+      .filter(col("dup_count") > 1)
+
+  /** Uniqueness violations as violation rows (pointer to the key). */
+  def uniquenessViolations(df: DataFrame, keyCols: Seq[String]): DataFrame = {
+    val pointer = graft.exprs.ConstraintCompiler.pointerCol(keyCols.dropRight(1), keyCols.last)
+    duplicateKeys(df, keyCols).select(
+      keyCols.map(col) :+
+        pointer.as("pointer") :+
+        lit("uniqueItems").as("constraint") :+
+        concat(lit("count="), col("dup_count").cast("string")).as("actual"): _*)
+  }
+
+  /** Orphan rows: left anti join of `df.keyCol` against the registry of
+    * valid keys. Spark picks sort-merge or broadcast by stats; for a
+    * small registry, broadcast eliminates the shuffle entirely.
+    */
+  def orphans(df: DataFrame, registry: DataFrame, keyCol: String,
+              broadcastRegistry: Boolean = false): DataFrame = {
+    val reg = registry.select(col(keyCol)).distinct()
+    df.join(if (broadcastRegistry) broadcast(reg) else reg, Seq(keyCol), "left_anti")
+  }
+
+  /** Explicitly salted left-anti join for skewed left keys (north_rule
+    * demands explicit skew handling, beyond AQE's skewJoin):
+    * the right side is replicated `salt` times, the left side picks a
+    * deterministic salt from a high-cardinality discriminator column, so
+    * one hot key spreads over `salt` shuffle partitions. Equivalent to
+    * the plain anti join for any salt (tested on a Zipf fixture).
+    */
+  def saltedOrphans(df: DataFrame, registry: DataFrame, keyCol: String,
+                    discriminator: Column, salt: Int = 16): DataFrame = {
+    require(salt > 0)
+    val reg = registry.select(col(keyCol)).distinct()
+      .withColumn("__salt", explode(array((0 until salt).map(lit): _*)))
+    df.withColumn("__salt", pmod(hash(discriminator), lit(salt)))
+      .join(reg, Seq(keyCol, "__salt"), "left_anti")
+      .drop("__salt")
+  }
+
+  /** Conversation registry: conversations that have a `turn_idx = 0`
+    * root (FIXTURES.md §2 table-level rule). The filter is pushed into
+    * the scan; distinct's partial aggregation handles skew as above.
+    */
+  def conversationRegistry(transcripts: DataFrame): DataFrame =
+    transcripts.filter(col("turn_idx") === 0).select("conv_id").distinct()
+
+  /** Referential violations for transcripts, as violation rows. */
+  def referentialViolations(transcripts: DataFrame): DataFrame = {
+    val reg = conversationRegistry(transcripts)
+    orphans(transcripts, reg, "conv_id")
+      .select(
+        col("conv_id"), col("turn_idx"),
+        graft.exprs.ConstraintCompiler.pointerCol(Seq("conv_id", "turn_idx"), "conv_id").as("pointer"),
+        lit("ref").as("constraint"),
+        col("conv_id").as("actual"))
+  }
+}

@@ -92,7 +92,7 @@ object TranscriptGen {
     if (defects.orphans) {
       // ghost conversations: ids beyond numConvs, turns starting at 1
       val ghosts = spark.range(0, math.max(1L, numConvs / 50) * 3, 1)
-        .withColumn("gconv", col("id") / 3 + numConvs)
+        .withColumn("gconv", expr("id div 3") + numConvs)
         .withColumn("gturn", (col("id") % 3).cast("int") + 1)
         .select(
           concat(lit("c"), col("gconv").cast("string")).as("conv_id"),

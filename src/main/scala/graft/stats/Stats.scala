@@ -1,0 +1,124 @@
+package graft.stats
+
+import org.apache.spark.sql.{Column, DataFrame, Encoder, Encoders}
+import org.apache.spark.sql.expressions.Aggregator
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+import org.apache.datasketches.tdigest.TDigestDouble
+import org.apache.datasketches.memory.Memory
+
+/** Column statistics (north_rule): count / null-rate / min / max /
+  * distinct (HyperLogLog++ via Spark's built-in `approx_count_distinct`)
+  * / approximate quantiles via a t-digest typed [[Aggregator]] wrapping
+  * `datasketches-java`'s `TDigestDouble`.
+  *
+  * Everything runs in ONE wide `agg(...)` over the scan — the stats pass
+  * shares the single-pass physical property of the validator (SURVEY.md
+  * §4.4). The t-digest buffer is a live sketch object held by Spark's
+  * ObjectHashAggregate; it serializes (kryo) only on spill/shuffle, and
+  * partial sketches merge associatively across partitions — the same
+  * merge tree a 1000-executor cluster would run.
+  */
+object Stats {
+
+  /** t-digest quantile aggregator: IN = boxed column value (null =
+    * missing), BUF = mutable sketch, OUT = quantiles at `probs`.
+    */
+  final class TDigestQuantiles(probs: Seq[Double], k: Short = TDigestDouble.DEFAULT_K)
+      extends Aggregator[java.lang.Double, TDigestDouble, Array[Double]] {
+    override def zero: TDigestDouble = new TDigestDouble(k)
+    override def reduce(b: TDigestDouble, a: java.lang.Double): TDigestDouble = {
+      if (a != null) b.update(a)
+      b
+    }
+    override def merge(b1: TDigestDouble, b2: TDigestDouble): TDigestDouble = {
+      b1.merge(b2); b1
+    }
+    override def finish(r: TDigestDouble): Array[Double] =
+      if (r.isEmpty) Array.empty else probs.map(r.getQuantile).toArray
+    override def bufferEncoder: Encoder[TDigestDouble] = Encoders.kryo[TDigestDouble]
+    override def outputEncoder: Encoder[Array[Double]] =
+      org.apache.spark.sql.catalyst.encoders.ExpressionEncoder[Array[Double]]()
+  }
+
+  /** t-digest aggregator returning the serialized sketch, for mergeable
+    * per-partition manifests.
+    */
+  final class TDigestSketch(k: Short = TDigestDouble.DEFAULT_K)
+      extends Aggregator[java.lang.Double, TDigestDouble, Array[Byte]] {
+    override def zero: TDigestDouble = new TDigestDouble(k)
+    override def reduce(b: TDigestDouble, a: java.lang.Double): TDigestDouble = {
+      if (a != null) b.update(a); b
+    }
+    override def merge(b1: TDigestDouble, b2: TDigestDouble): TDigestDouble = {
+      b1.merge(b2); b1
+    }
+    override def finish(r: TDigestDouble): Array[Byte] = r.toByteArray
+    override def bufferEncoder: Encoder[TDigestDouble] = Encoders.kryo[TDigestDouble]
+    override def outputEncoder: Encoder[Array[Byte]] = Encoders.BINARY
+  }
+
+  /** Quantile column built from the typed aggregator. */
+  def quantileAgg(c: Column, probs: Seq[Double]): Column = {
+    val agg = udaf(new TDigestQuantiles(probs), Encoders.DOUBLE)
+    agg(c.cast("double"))
+  }
+
+  /** Serialized-sketch column (for mergeable per-partition manifests). */
+  def sketchAgg(c: Column): Column = {
+    val agg = udaf(new TDigestSketch(), Encoders.DOUBLE)
+    agg(c.cast("double"))
+  }
+
+  def deserializeTDigest(bytes: Array[Byte]): TDigestDouble =
+    TDigestDouble.heapify(Memory.wrap(bytes))
+
+  val defaultProbs: Seq[Double] = Seq(0.5, 0.9, 0.99)
+
+  /** One-pass profile: a single wide `agg` producing, per column,
+    * count / nullCount / min / max / approxDistinct (+ quantiles for
+    * numeric columns). Output is one row; [[profileLong]] reshapes it to
+    * one row per column for reporting and oracle checks.
+    */
+  def profileAggs(df: DataFrame, columns: Seq[String], withQuantiles: Boolean = true): Seq[Column] = {
+    val total = count(lit(1)).as("__total")
+    val perCol = columns.flatMap { name =>
+      val f = df.schema(name)
+      val c = col(name)
+      val base = Seq(
+        sum(c.isNull.cast("long")).as(s"${name}__nulls"),
+        min(c).cast("string").as(s"${name}__min"),
+        max(c).cast("string").as(s"${name}__max"),
+        approx_count_distinct(c).as(s"${name}__distinct"))
+      val q = f.dataType match {
+        case _: NumericType if withQuantiles =>
+          Seq(quantileAgg(c, defaultProbs).as(s"${name}__quantiles"))
+        case _ => Nil
+      }
+      base ++ q
+    }
+    total +: perCol
+  }
+
+  def profile(df: DataFrame, columns: Seq[String], withQuantiles: Boolean = true): DataFrame = {
+    val aggs = profileAggs(df, columns, withQuantiles)
+    df.agg(aggs.head, aggs.tail: _*)
+  }
+
+  /** Long-format profile: (column, count, null_count, min, max,
+    * approx_distinct) — one row per column, all from the single agg row.
+    */
+  def profileLong(df: DataFrame, columns: Seq[String]): DataFrame = {
+    val wide = profile(df, columns, withQuantiles = false)
+    val structs = columns.map { name =>
+      struct(
+        lit(name).as("column"),
+        col("__total").as("cnt"),
+        col(s"${name}__nulls").as("null_count"),
+        col(s"${name}__min").as("min_value"),
+        col(s"${name}__max").as("max_value"),
+        col(s"${name}__distinct").as("approx_distinct"))
+    }
+    wide.select(explode(array(structs: _*)).as("s")).select(col("s.*"))
+  }
+}

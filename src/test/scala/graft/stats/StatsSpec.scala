@@ -1,0 +1,82 @@
+package graft.stats
+
+import org.scalatest.flatspec.AnyFlatSpec
+import org.scalatest.matchers.should.Matchers
+import org.apache.spark.sql.functions._
+import graft.SparkTestBase
+import graft.sources.TranscriptGen
+
+/** Stats + drift golden tests (FIXTURES.md §4 clean-100 exact stats,
+  * drift-pair hand-computed KL/PSI to 1e-9).
+  */
+class StatsSpec extends AnyFlatSpec with Matchers {
+
+  private lazy val spark = SparkTestBase.spark
+
+  "Stats" should "compute exact count/null/min/max and HLL distinct on clean-100" in {
+    val df = TranscriptGen.generate(spark, 10, 10)
+    val rows = Stats.profileLong(df, Seq("conv_id", "turn_idx", "role", "tool"))
+      .collect().map(r => r.getAs[String]("column") -> r).toMap
+
+    rows("conv_id").getAs[Long]("cnt") shouldBe 100L
+    rows("conv_id").getAs[Long]("null_count") shouldBe 0L
+    rows("turn_idx").getAs[String]("min_value") shouldBe "0"
+    rows("turn_idx").getAs[String]("max_value") shouldBe "9"
+    rows("turn_idx").getAs[Long]("approx_distinct") shouldBe 10L // HLL exact at tiny n
+    rows("role").getAs[Long]("approx_distinct") shouldBe 4L
+    // tool is null except on tool turns
+    rows("tool").getAs[Long]("null_count") should be > 50L
+  }
+
+  it should "compute t-digest quantiles within tolerance in one agg" in {
+    import spark.implicits._
+    val df = spark.range(1, 10001).select(col("id").cast("double").as("v"))
+    val q = df.agg(Stats.quantileAgg(col("v"), Seq(0.5, 0.9, 0.99)).as("q"))
+      .collect()(0).getAs[scala.collection.Seq[Double]]("q")
+    q(0) shouldBe 5000.0 +- 100.0
+    q(1) shouldBe 9000.0 +- 100.0
+    q(2) shouldBe 9900.0 +- 50.0
+  }
+
+  it should "merge serialized t-digest sketches associatively" in {
+    import spark.implicits._
+    val df = spark.range(0, 10000).select((col("id") % 100).cast("double").as("v"),
+      (col("id") % 4).as("part"))
+    val sketches = df.groupBy("part").agg(Stats.sketchAgg(col("v")).as("sk"))
+      .collect().map(_.getAs[Array[Byte]]("sk"))
+    sketches.length shouldBe 4
+    val merged = sketches.map(Stats.deserializeTDigest).reduce { (a, b) => a.merge(b); a }
+    merged.getTotalWeight shouldBe 10000L
+    merged.getQuantile(0.5) shouldBe 50.0 +- 3.0
+  }
+
+  "Drift" should "match hand-computed KL and PSI to 1e-9" in {
+    val p = Map("a" -> 50L, "b" -> 50L)
+    val q = Map("a" -> 25L, "b" -> 75L)
+    val (kl, psi) = Drift.klPsi(p, q)
+    val expectedKl = 0.5 * math.log(0.5 / 0.25) + 0.5 * math.log(0.5 / 0.75)
+    val expectedPsi = (0.5 - 0.25) * math.log(0.5 / 0.25) + (0.5 - 0.75) * math.log(0.5 / 0.75)
+    kl shouldBe expectedKl +- 1e-9
+    psi shouldBe expectedPsi +- 1e-9
+  }
+
+  it should "be ~zero for identical snapshots and positive for shifted ones" in {
+    val a = TranscriptGen.generate(spark, 50, 10)
+    val b = TranscriptGen.generate(spark, 50, 10, TranscriptGen.Defects(badEnumRole = true, nullRole = true))
+    val (klSame, psiSame) = Drift.categoricalDrift(a, a, "role")
+    klSame shouldBe 0.0 +- 1e-12
+    psiSame shouldBe 0.0 +- 1e-12
+    val (klShift, psiShift) = Drift.categoricalDrift(b, a, "role")
+    klShift should be > 0.0
+    psiShift should be > 0.0
+  }
+
+  it should "measure text-length drift through banded histograms" in {
+    val a = TranscriptGen.generate(spark, 50, 10)
+    val b = TranscriptGen.generate(spark, 50, 10, TranscriptGen.Defects(emptyText = true))
+    val (kl, _) = Drift.textLengthDrift(b, a)
+    kl should be > 0.0
+    val (klSame, _) = Drift.textLengthDrift(a, a)
+    klSame shouldBe 0.0 +- 1e-12
+  }
+}
