@@ -1,13 +1,321 @@
 package graft
-import org.apache.spark.sql.{SparkSession, DataFrame}
-/** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt. */
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import graft.compile.TableSchemaCompiler
+import graft.exprs.Validator
+import graft.integrity.Integrity
+import graft.pipeline.{Ann, Dedup, TextOps, Multimodal}
+import graft.sources.TranscriptDerive
+
+/** Driver contract: one entry per implemented operator (SURVEY.md §2),
+  * each with an equivalent DuckDB oracle (the transcripts table is
+  * derived from `lineitem` by identical rules on both sides — see
+  * [[graft.sources.TranscriptDerive]]).
+  */
 object SparkEntry {
-  /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */
+
+  /** Flagship schema for query-time validation (FIXTURES.md §2). */
+  val querySchema: String = graft.compile.Fixtures.flagshipSchema
+
+  private def schema = TableSchemaCompiler.compileString(querySchema)
+    .fold(e => throw new IllegalArgumentException(e), identity)
+
+  private def docs(s: SparkSession, dir: String): DataFrame =
+    s.read.parquet(s"$dir/documents.parquet")
+
+  private def embeddings(s: SparkSession, dir: String): DataFrame =
+    s.read.parquet(s"$dir/embeddings.parquet")
+
+  /** Dedup pool: documents + planted exact dups (+1,000,000) and
+    * near-dups (+2,000,000, text suffixed). Same rules in [[poolCte]].
+    */
+  def dedupPool(s: SparkSession, dir: String): DataFrame = {
+    val d = docs(s, dir).select("doc_id", "text")
+    d.unionByName(d.filter(col("doc_id") % 7 === 3)
+        .select((col("doc_id") + 1000000).as("doc_id"), col("text")))
+      .unionByName(d.filter(col("doc_id") % 11 === 5)
+        .select((col("doc_id") + 2000000).as("doc_id"),
+          concat(col("text"), lit(" qq zz")).as("text")))
+  }
+
+  private val poolCte: String =
+    """pool AS (
+      |  SELECT doc_id, text FROM documents
+      |  UNION ALL SELECT doc_id + 1000000, text FROM documents WHERE doc_id % 7 = 3
+      |  UNION ALL SELECT doc_id + 2000000, text || ' qq zz' FROM documents WHERE doc_id % 11 = 5
+      |)""".stripMargin
+
+  private val tCte: String = TranscriptDerive.duckdbCteTable
+
+  /** Flagship query on sf=0.001; driver smoke-checks rows>0. */
   def entry(spark: SparkSession): DataFrame =
-    spark.read.parquet("/root/testdata/sf0.001/lineitem.parquet").limit(1)
-  /** One entry per implemented operator from SURVEY.md §2. */
-  def queries: Map[String, (SparkSession, String) => DataFrame] = Map()
-  /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
-    * the same parquet tables. Omit for non-SQL-expressible ops. */
-  def oracleSql: Map[String, String] = Map()
+    Validator.validateTranscripts(
+      TranscriptDerive.fromLineitem(spark, "/root/testdata/sf0.001"), schema).toDF()
+
+  // ---- pointer SQL helper (must mirror ConstraintCompiler.pointerCol) ----
+  private def ptrSql(column: String): String =
+    s"'/' || replace(replace(conv_id,'~','~0'),'/','~1') || '/' || CAST(turn_idx AS VARCHAR) || '/$column'"
+
+  def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    // ---------- constraint validation over derived transcripts ----------
+    "v_violations" -> ((s, dir) =>
+      Validator.validateTranscripts(TranscriptDerive.fromLineitem(s, dir), schema).toDF()),
+
+    "uniq_duplicates" -> ((s, dir) =>
+      Integrity.duplicateKeys(TranscriptDerive.fromLineitem(s, dir), Seq("conv_id", "turn_idx"))),
+
+    "ref_orphans" -> ((s, dir) =>
+      Integrity.referentialViolations(TranscriptDerive.fromLineitem(s, dir))),
+
+    "stats_profile" -> ((s, dir) => {
+      val t = TranscriptDerive.fromLineitem(s, dir)
+      val cols = Seq("conv_id", "turn_idx", "role", "text", "tool", "ts")
+      val aggs = count(lit(1)).as("__total") +: cols.flatMap { n =>
+        Seq(
+          sum(col(n).isNull.cast("long")).as(s"${n}__nulls"),
+          min(col(n)).cast("string").as(s"${n}__min"),
+          max(col(n)).cast("string").as(s"${n}__max"),
+          countDistinct(col(n)).as(s"${n}__distinct"))
+      }
+      val wide = t.agg(aggs.head, aggs.tail: _*)
+      val structs = cols.map { n =>
+        struct(lit(n).as("col_name"), col("__total").as("cnt"),
+          col(s"${n}__nulls").as("null_count"),
+          col(s"${n}__min").as("min_value"), col(s"${n}__max").as("max_value"),
+          col(s"${n}__distinct").as("n_distinct"))
+      }
+      wide.select(explode(array(structs: _*)).as("s")).select(col("s.*"))
+    }),
+
+    "drift_role_klpsi" -> ((s, dir) => {
+      val t = TranscriptDerive.fromLineitem(s, dir)
+        .withColumn("okey", substring(col("conv_id"), 2, 30).cast("long"))
+      val bucket = coalesce(col("role"), lit("<null>")).as("bucket")
+      val p = t.filter(col("okey") % 2 === 0).groupBy(bucket).agg(count(lit(1)).as("pc"))
+      val q = t.filter(col("okey") % 2 === 1).groupBy(bucket).agg(count(lit(1)).as("qc"))
+      val joined = p.join(q, Seq("bucket"), "full_outer")
+        .select(coalesce(col("pc"), lit(0L)).as("pc"), coalesce(col("qc"), lit(0L)).as("qc"))
+        .crossJoin(p.agg(sum("pc").as("pt")))
+        .crossJoin(q.agg(sum("qc").as("qt")))
+      val pi = greatest(col("pc").cast("double") / col("pt"), lit(1e-9))
+      val qi = greatest(col("qc").cast("double") / col("qt"), lit(1e-9))
+      joined.agg(
+        round(sum(pi * log(pi / qi)), 6).as("kl"),
+        round(sum((pi - qi) * log(pi / qi)), 6).as("psi"))
+    }),
+
+    "orders_ref_integrity" -> ((s, dir) => {
+      val li = s.read.parquet(s"$dir/lineitem.parquet")
+      val o = s.read.parquet(s"$dir/orders.parquet")
+      li.join(o, li("l_orderkey") === o("o_orderkey"), "left_anti")
+        .agg(count(lit(1)).as("orphan_count"))
+    }),
+
+    // ---------- training-data pipeline: documents ----------
+    "dedup_exact" -> ((s, dir) =>
+      Dedup.exactGroups(dedupPool(s, dir)).select(
+        col("content_hash"), col("dup_count"), col("keep_id"))),
+
+    "dedup_survivors" -> ((s, dir) =>
+      Dedup.exactSurvivors(dedupPool(s, dir))),
+
+    "text_tokens" -> ((s, dir) =>
+      docs(s, dir).select(
+        col("doc_id"),
+        TextOps.tokenCount(col("text")).cast("long").as("n_tokens"),
+        length(col("text")).cast("long").as("n_chars"))),
+
+    "text_quality" -> ((s, dir) => {
+      val cols = col("doc_id") +: TextOps.qualityFeatures(col("text")).map { case (n, c) => c.as(n) }
+      docs(s, dir).select(cols: _*)
+    }),
+
+    "lang_id" -> ((s, dir) => {
+      val scoreCols = TextOps.langScores(col("text")).map { case (n, c) => c.cast("long").as(n) }
+      docs(s, dir).select(
+        (col("doc_id") +: scoreCols) :+
+          TextOps.langPredict(col("text")).as("predicted") :+
+          col("lang").as("label"): _*)
+    }),
+
+    "doc_fingerprint" -> ((s, dir) =>
+      docs(s, dir).select(col("doc_id"), TextOps.fingerprint(col("text")).as("fp"))),
+
+    "multimodal_features" -> ((s, dir) =>
+      Multimodal.extractFeatures(Multimodal.asMediaTable(docs(s, dir)))
+        .toDF().select(col("doc_id"), col("mime"),
+          col("n_bytes").cast("long").as("n_bytes"),
+          col("head_byte").cast("long").as("head_byte"))),
+
+    // ---------- similarity / ANN over embeddings ----------
+    "ann_cosine_topk" -> ((s, dir) => {
+      val e = embeddings(s, dir)
+      Ann.bruteForceTopK(e.filter(col("vec_id") < 8), e.filter(col("vec_id") >= 8), 10)
+        .select(col("query_id"), col("cand_id"), col("sim"), col("rank").cast("long").as("rank"))
+    }),
+
+    "embed_norms" -> ((s, dir) =>
+      embeddings(s, dir).select(
+        col("vec_id"),
+        col("label").cast("long").as("label"),
+        round(Ann.l2Norm(col("embedding")), 6).as("l2"))),
+
+    // ---------- no SQL oracle (rows-only checks) ----------
+    "minhash_pairs" -> ((s, dir) =>
+      Dedup.minhashPairs(dedupPool(s, dir), threshold = 0.5)),
+
+    "simhash_pairs" -> ((s, dir) =>
+      Dedup.simhashPairs(dedupPool(s, dir), maxHamming = 3)),
+
+    "ivf_topk" -> ((s, dir) => {
+      val e = embeddings(s, dir)
+      Ann.ivfTopK(
+        e.filter(col("vec_id") < 8), e.filter(col("vec_id") >= 8),
+        e.filter(col("vec_id") % 97 === 0), k = 10, nprobe = 2)
+        .select(col("query_id"), col("cand_id"), col("sim"), col("rank").cast("long").as("rank"))
+    })
+  )
+
+  def oracleSql: Map[String, String] = Map(
+    "v_violations" ->
+      s"""WITH $tCte
+         |SELECT conv_id, turn_idx, ${ptrSql("role")} AS pointer, 'required' AS "constraint", 'null' AS actual
+         |FROM transcripts WHERE role IS NULL
+         |UNION ALL
+         |SELECT conv_id, turn_idx, ${ptrSql("role")}, 'enum', role
+         |FROM transcripts WHERE role IS NOT NULL AND role NOT IN ('system','user','assistant','tool')
+         |UNION ALL
+         |SELECT conv_id, turn_idx, ${ptrSql("conv_id")}, 'pattern', conv_id
+         |FROM transcripts WHERE NOT regexp_matches(conv_id, '^c[0-9]+$$')
+         |UNION ALL
+         |SELECT conv_id, turn_idx, ${ptrSql("turn_idx")}, 'minimum', CAST(turn_idx AS VARCHAR)
+         |FROM transcripts WHERE turn_idx < 0
+         |UNION ALL
+         |SELECT conv_id, turn_idx, ${ptrSql("tool")}, 'pattern', tool
+         |FROM transcripts WHERE tool IS NOT NULL AND NOT regexp_matches(tool, '^[a-z][a-z0-9_]*$$')
+         |UNION ALL
+         |SELECT conv_id, turn_idx, ${ptrSql("tool")}, 'dependencies', tool
+         |FROM transcripts WHERE tool IS NOT NULL AND role IS NULL""".stripMargin,
+
+    "uniq_duplicates" ->
+      s"""WITH $tCte
+         |SELECT conv_id, turn_idx, CAST(COUNT(*) AS BIGINT) AS dup_count
+         |FROM transcripts GROUP BY conv_id, turn_idx HAVING COUNT(*) > 1""".stripMargin,
+
+    "ref_orphans" ->
+      s"""WITH $tCte
+         |SELECT conv_id, turn_idx, ${ptrSql("conv_id")} AS pointer, 'ref' AS "constraint", conv_id AS actual
+         |FROM transcripts
+         |WHERE conv_id NOT IN (SELECT conv_id FROM transcripts WHERE turn_idx = 0)""".stripMargin,
+
+    "stats_profile" -> {
+      def one(n: String) =
+        s"""SELECT '$n' AS col_name, CAST(COUNT(*) AS BIGINT) AS cnt,
+           |CAST(SUM(CASE WHEN $n IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS null_count,
+           |CAST(MIN($n) AS VARCHAR) AS min_value, CAST(MAX($n) AS VARCHAR) AS max_value,
+           |CAST(COUNT(DISTINCT $n) AS BIGINT) AS n_distinct FROM transcripts""".stripMargin
+      s"""WITH $tCte
+         |${Seq("conv_id", "turn_idx", "role", "text", "tool", "ts").map(one).mkString("\nUNION ALL\n")}""".stripMargin
+    },
+
+    "drift_role_klpsi" ->
+      s"""WITH $tCte,
+         |t2 AS (SELECT COALESCE(role,'<null>') AS bucket,
+         |              CAST(substr(conv_id,2) AS BIGINT) % 2 AS half FROM transcripts),
+         |p AS (SELECT bucket, COUNT(*) AS pc FROM t2 WHERE half = 0 GROUP BY bucket),
+         |q AS (SELECT bucket, COUNT(*) AS qc FROM t2 WHERE half = 1 GROUP BY bucket),
+         |j AS (SELECT COALESCE(pc,0) AS pc, COALESCE(qc,0) AS qc
+         |      FROM p FULL OUTER JOIN q USING (bucket)),
+         |tot AS (SELECT (SELECT SUM(pc) FROM p) AS pt, (SELECT SUM(qc) FROM q) AS qt),
+         |r AS (SELECT GREATEST(CAST(pc AS DOUBLE)/pt, 1e-9) AS pi,
+         |             GREATEST(CAST(qc AS DOUBLE)/qt, 1e-9) AS qi FROM j, tot)
+         |SELECT ROUND(SUM(pi*LN(pi/qi)), 6) AS kl,
+         |       ROUND(SUM((pi-qi)*LN(pi/qi)), 6) AS psi FROM r""".stripMargin,
+
+    "orders_ref_integrity" ->
+      """SELECT CAST(COUNT(*) AS BIGINT) AS orphan_count FROM lineitem
+        |WHERE l_orderkey NOT IN (SELECT o_orderkey FROM orders)""".stripMargin,
+
+    "dedup_exact" ->
+      s"""WITH $poolCte
+         |SELECT md5(text) AS content_hash, CAST(COUNT(*) AS BIGINT) AS dup_count,
+         |       CAST(MIN(doc_id) AS BIGINT) AS keep_id
+         |FROM pool GROUP BY md5(text) HAVING COUNT(*) > 1""".stripMargin,
+
+    "dedup_survivors" ->
+      s"""WITH $poolCte
+         |SELECT md5(text) AS content_hash, CAST(MIN(doc_id) AS BIGINT) AS keep_id
+         |FROM pool GROUP BY md5(text)""".stripMargin,
+
+    "text_tokens" ->
+      """SELECT doc_id,
+        |CAST(CASE WHEN trim(text) = '' THEN 0
+        |     ELSE length(regexp_split_to_array(trim(text), '\s+')) END AS BIGINT) AS n_tokens,
+        |CAST(length(text) AS BIGINT) AS n_chars
+        |FROM documents""".stripMargin,
+
+    "text_quality" -> {
+      val len = "GREATEST(length(text),1)"
+      val alpha = s"CAST(length(regexp_replace(text,'[^A-Za-z]','','g')) AS DOUBLE)/$len"
+      val digit = s"CAST(length(regexp_replace(text,'[^0-9]','','g')) AS DOUBLE)/$len"
+      val space = s"CAST(length(regexp_replace(text,'[^ \\t\\n]','','g')) AS DOUBLE)/$len"
+      val padded = "' ' || lower(text) || ' '"
+      def occ(m: String) = s"CAST((length($padded) - length(replace($padded,'$m','')))/${m.length} AS INT)"
+      val hits = s"(${occ(" the ")} + ${occ(" a ")} + ${occ(" and ")} + ${occ(" of ")})"
+      val toks = "GREATEST(CASE WHEN trim(text)='' THEN 0 ELSE length(regexp_split_to_array(trim(text),'\\s+')) END, 1)"
+      val stop = s"LEAST(CAST($hits AS DOUBLE)/$toks*5.0, 1.0)"
+      s"""SELECT doc_id,
+         |ROUND($alpha, 6) AS alpha_ratio,
+         |ROUND($digit, 6) AS digit_ratio,
+         |ROUND($space, 6) AS space_ratio,
+         |ROUND($stop, 6) AS stop_density,
+         |ROUND(($alpha)*0.5 + (1.0-($digit))*0.2 + ($stop)*0.3, 6) AS quality_score
+         |FROM documents""".stripMargin
+    },
+
+    "lang_id" -> {
+      val padded = "' ' || lower(text) || ' '"
+      def occ(m: String) = s"CAST((length($padded) - length(replace($padded,'$m','')))/${m.length} AS INT)"
+      def fam(ms: Seq[String]) = ms.map(occ).mkString("(", " + ", ")")
+      val families = TextOps.langMarkers.map { case (l, ms) => l -> fam(ms) }
+      val scores = families.map { case (l, e) => s"CAST($e AS BIGINT) AS score_$l" }.mkString(", ")
+      val best = families.map(_._2).mkString("GREATEST(", ", ", ")")
+      val cases = families.map { case (l, e) => s"WHEN $e = $best AND $best > 0 THEN '$l'" }.mkString(" ")
+      s"""SELECT doc_id, $scores,
+         |CASE $cases ELSE 'unknown' END AS predicted,
+         |lang AS label
+         |FROM documents""".stripMargin
+    },
+
+    "doc_fingerprint" ->
+      """SELECT doc_id, md5(regexp_replace(lower(text), '\s+', ' ', 'g')) AS fp FROM documents""",
+
+    "multimodal_features" ->
+      """SELECT doc_id, 'text/plain' AS mime,
+        |CAST(octet_length(encode(text)) AS BIGINT) AS n_bytes,
+        |CAST(CASE WHEN length(text) = 0 THEN -1 ELSE ascii(text) END AS BIGINT) AS head_byte
+        |FROM documents""".stripMargin,
+
+    "ann_cosine_topk" ->
+      """WITH q AS (SELECT vec_id AS query_id, embedding AS qe,
+        |    sqrt(list_sum(list_transform(embedding, x -> CAST(x AS DOUBLE)*CAST(x AS DOUBLE)))) AS qn
+        |  FROM embeddings WHERE vec_id < 8),
+        |c AS (SELECT vec_id AS cand_id, embedding AS ce,
+        |    sqrt(list_sum(list_transform(embedding, x -> CAST(x AS DOUBLE)*CAST(x AS DOUBLE)))) AS cn
+        |  FROM embeddings WHERE vec_id >= 8),
+        |scored AS (
+        |  SELECT query_id, cand_id,
+        |    ROUND(list_sum(list_transform(list_zip(qe, ce), p -> CAST(p[1] AS DOUBLE)*CAST(p[2] AS DOUBLE)))/(qn*cn), 6) AS sim
+        |  FROM q CROSS JOIN c),
+        |ranked AS (SELECT query_id, cand_id, sim,
+        |    row_number() OVER (PARTITION BY query_id ORDER BY sim DESC, cand_id ASC) AS rank
+        |  FROM scored)
+        |SELECT query_id, cand_id, sim, CAST(rank AS BIGINT) AS rank FROM ranked WHERE rank <= 10""".stripMargin,
+
+    "embed_norms" ->
+      """SELECT vec_id, CAST(label AS BIGINT) AS label,
+        |ROUND(sqrt(list_sum(list_transform(embedding, x -> CAST(x AS DOUBLE)*CAST(x AS DOUBLE)))), 6) AS l2
+        |FROM embeddings""".stripMargin
+  )
 }

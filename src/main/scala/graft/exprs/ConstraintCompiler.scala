@@ -131,7 +131,8 @@ object ConstraintCompiler {
         t match {
           case SimpleType.string =>
             dt == StringType ||
-              (dt == TimestampType && doc.format.contains("date-time")) // ts column
+              ((dt == TimestampType || dt == TimestampNTZType) &&
+                doc.format.contains("date-time")) // ts column
           case SimpleType.integer => isIntegral(dt) || isFractional(dt)
           case SimpleType.number  => dt.isInstanceOf[NumericType]
           case SimpleType.boolean => dt == BooleanType
@@ -200,7 +201,8 @@ object ConstraintCompiler {
       case Some(f) =>
         val pred: Option[Column] = f match {
           case "date-time" =>
-            if (dt == TimestampType || dt == DateType) None // physically guaranteed
+            if (dt == TimestampType || dt == TimestampNTZType || dt == DateType)
+              None // physically guaranteed
             else Some(to_timestamp(c).isNotNull)
           case "email"    => Some(c.rlike("^[^@\\s]+@[^@\\s]+\\.[^@\\s]+$"))
           case "hostname" => Some(c.rlike("^(?=.{1,253}$)[A-Za-z0-9]([A-Za-z0-9-]{0,61}[A-Za-z0-9])?(\\.[A-Za-z0-9]([A-Za-z0-9-]{0,61}[A-Za-z0-9])?)*$"))

@@ -1,0 +1,66 @@
+package graft.pipeline
+
+import org.apache.spark.sql.{DataFrame, Dataset, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Multimodal-column plumbing: image/audio/video as opaque `binary`
+  * columns with typed metadata, processed batch-wise per partition.
+  *
+  * The Spark-side plumbing (schema, partition-wise batched iteration,
+  * output shape) is real and tested; the actual byte decode is a
+  * clearly-marked STUB (`stubDecode`) — codec libraries are not in this
+  * container. In production the stub body is replaced by the real
+  * decoder; nothing else changes: `mapPartitions` already gives the
+  * batch-per-executor-core shape a vectorized (Arrow/pandas-style)
+  * decode needs, and partitioning/metadata flow are identical.
+  */
+object Multimodal {
+
+  final case class MediaRow(doc_id: Long, mime: String, media: Array[Byte])
+  final case class MediaFeatures(
+      doc_id: Long, mime: String, n_bytes: Int,
+      head_byte: Int, checksum: Long, feature: Array[Float])
+
+  /** Wrap a text table as a media table: bytes + typed metadata.
+    * (In production the binary column comes straight from the lake.)
+    */
+  def asMediaTable(docs: DataFrame): DataFrame =
+    docs.select(
+      col("doc_id"),
+      lit("text/plain").as("mime"),
+      col("text").cast("binary").as("media"))
+
+  /** STUB decode: deterministic fake "feature extraction" from raw
+    * bytes. Replace with a real codec (image resize / audio frames /
+    * video frame-sample) in production — signature and batching stay.
+    */
+  private def stubDecode(bytes: Array[Byte]): Array[Float] = {
+    // ??? <- real decoder goes here; deterministic fake for tests:
+    val dims = 4
+    val acc = new Array[Long](dims)
+    var i = 0
+    while (i < bytes.length) { acc(i % dims) += (bytes(i) & 0xff); i += 1 }
+    acc.map(v => if (bytes.length == 0) 0f else (v.toDouble / bytes.length).toFloat)
+  }
+
+  /** Partition-wise batched feature extraction over the binary column.
+    * One pass, no shuffle; executor-side only.
+    */
+  def extractFeatures(media: DataFrame): Dataset[MediaFeatures] = {
+    val spark = media.sparkSession
+    import spark.implicits._
+    media.select(col("doc_id"), col("mime"), col("media")).as[MediaRow]
+      .mapPartitions { rows =>
+        rows.map { r =>
+          val bytes = Option(r.media).getOrElse(Array.emptyByteArray)
+          val crc = new java.util.zip.CRC32
+          crc.update(bytes)
+          MediaFeatures(
+            r.doc_id, r.mime, bytes.length,
+            if (bytes.isEmpty) -1 else bytes(0) & 0xff,
+            crc.getValue,
+            stubDecode(bytes))
+        }
+      }
+  }
+}

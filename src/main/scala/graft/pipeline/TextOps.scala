@@ -1,0 +1,85 @@
+package graft.pipeline
+
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.functions._
+
+/** Text-analysis operators for a training-data pipeline: token counting,
+  * quality scoring, language-ID scoring, and document fingerprinting.
+  * All pure `functions._` Column expressions (whole-stage codegen; no
+  * UDFs, no shuffles) — per-row cost only, so the same expressions run
+  * at 100 TB bounded by scan throughput.
+  */
+object TextOps {
+
+  /** Whitespace token count; empty/blank text counts 0. */
+  def tokenCount(c: Column): Column =
+    when(trim(c) === "" || c.isNull, lit(0))
+      .otherwise(size(split(trim(c), "\\s+")))
+
+  /** Rolling document fingerprint: md5 of case- and whitespace-normalized
+    * text (deterministic, engine-portable).
+    */
+  def fingerprint(c: Column): Column =
+    md5(regexp_replace(lower(coalesce(c, lit(""))), "\\s+", " "))
+
+  /** Non-overlapping occurrence count of `needle` in `hay` via
+    * length-delta (exact, portable to any SQL engine).
+    */
+  def occurrences(hay: Column, needle: String): Column =
+    ((length(hay) - length(regexp_replace(hay, java.util.regex.Pattern.quote(needle), ""))) /
+      needle.length).cast("int")
+
+  /** Quality features + a composite score in [0,1]:
+    * alpha ratio, digit ratio, whitespace ratio, stopword density.
+    * Deterministic per-row arithmetic (safe for cross-engine oracles).
+    */
+  def qualityFeatures(c: Column): Seq[(String, Column)] = {
+    val t = coalesce(c, lit(""))
+    val len = greatest(length(t), lit(1)).cast("double")
+    val alpha = length(regexp_replace(t, "[^A-Za-z]", "")).cast("double") / len
+    val digit = length(regexp_replace(t, "[^0-9]", "")).cast("double") / len
+    val space = length(regexp_replace(t, "[^ \\t\\n]", "")).cast("double") / len
+    val padded = concat(lit(" "), lower(t), lit(" "))
+    val stopHits = (occurrences(padded, " the ") + occurrences(padded, " a ") +
+      occurrences(padded, " and ") + occurrences(padded, " of ")).cast("double")
+    val toks = greatest(tokenCount(t), lit(1)).cast("double")
+    val stopDensity = least(stopHits / toks * 5.0, lit(1.0))
+    Seq(
+      "alpha_ratio" -> round(alpha, 6),
+      "digit_ratio" -> round(digit, 6),
+      "space_ratio" -> round(space, 6),
+      "stop_density" -> round(stopDensity, 6),
+      "quality_score" -> round(
+        alpha * 0.5 + (lit(1.0) - digit) * 0.2 + stopDensity * 0.3, 6))
+  }
+
+  /** Language-ID marker families (stopword heuristic). The synthetic
+    * corpus is English-salad for every label, so this scores marker hits
+    * per family and predicts argmax with a deterministic tie order —
+    * the operator mechanics (not label accuracy) are what's validated.
+    */
+  val langMarkers: Seq[(String, Seq[String])] = Seq(
+    "en" -> Seq(" the ", " a ", " of "),
+    "de" -> Seq(" der ", " und ", " ist "),
+    "fr" -> Seq(" le ", " la ", " est "),
+    "es" -> Seq(" el ", " los ", " es "))
+
+  def langScores(c: Column): Seq[(String, Column)] = {
+    val padded = concat(lit(" "), lower(coalesce(c, lit(""))), lit(" "))
+    langMarkers.map { case (lang, markers) =>
+      s"score_$lang" -> markers.map(m => occurrences(padded, m)).reduce(_ + _)
+    }
+  }
+
+  /** argmax over [[langScores]] with ties broken by marker-family order;
+    * all-zero scores predict "unknown".
+    */
+  def langPredict(c: Column): Column = {
+    val scores = langScores(c)
+    val best = scores.map(_._2).reduce(greatest(_, _))
+    // foldRight: earlier marker families take precedence on ties
+    scores.foldRight(lit("unknown")) { case ((name, s), acc) =>
+      when(s === best && best > 0, lit(name.stripPrefix("score_"))).otherwise(acc)
+    }
+  }
+}

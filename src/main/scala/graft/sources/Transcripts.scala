@@ -147,11 +147,18 @@ object TranscriptDerive {
           col("l_shipdate").as("ts")))
   }
 
+  /** CTE referencing the driver's `lineitem` view (the driver registers
+    * each parquet table under its bare name before running oracle SQL).
+    */
+  val duckdbCteTable: String = duckdbCteFrom("lineitem")
+
   /** The identical derivation as a DuckDB CTE body (oracle side).
     * Column-for-column, rule-for-rule the same as [[fromLineitem]].
     */
-  def duckdbCte(sfDir: String): String = {
-    val li = s"read_parquet('$sfDir/lineitem.parquet')"
+  def duckdbCte(sfDir: String): String =
+    duckdbCteFrom(s"read_parquet('$sfDir/lineitem.parquet')")
+
+  private def duckdbCteFrom(li: String): String = {
     s"""transcripts AS (
        |  SELECT
        |    CASE WHEN l_orderkey % 97 = 13 THEN 'z' || CAST(l_orderkey AS VARCHAR)
