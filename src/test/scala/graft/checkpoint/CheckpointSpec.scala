@@ -1,0 +1,76 @@
+package graft.checkpoint
+
+import java.nio.file.{Files, Paths}
+import scala.jdk.CollectionConverters._
+import org.scalatest.flatspec.AnyFlatSpec
+import org.scalatest.matchers.should.Matchers
+import graft.SparkTestBase
+import graft.compile.TableSchemaCompiler
+import graft.sources.TranscriptGen
+
+/** FIXTURES.md §4 "resume": run with manifest, drop completed entries,
+  * re-run -> identical outputs; manifest records lineage + metrics.
+  */
+class CheckpointSpec extends AnyFlatSpec with Matchers {
+
+  private lazy val spark = SparkTestBase.spark
+  private val schema = TableSchemaCompiler
+    .compileString(graft.compile.Fixtures.flagshipSchema).toOption.get
+
+  private def tmp(): String = Files.createTempDirectory("graft_ckpt").toString
+
+  private def writeInput(dir: String): Unit =
+    TranscriptGen.generate(spark, 40, 10,
+      TranscriptGen.Defects(badEnumRole = true, negativeTurnIdx = true))
+      .repartition(4).write.mode("overwrite").parquet(dir)
+
+  private def readAllViolations(outDir: String): Seq[String] =
+    spark.read.parquet(s"$outDir/*")
+      .collect().map(_.toString).sorted.toSeq
+
+  "Checkpoint" should "record one manifest entry per unit with metrics" in {
+    val in = tmp() + "/in"; val out = tmp()
+    writeInput(in)
+    val results = Checkpoint.runValidation(spark, in, schema, s"$out/v", s"$out/manifest.jsonl")
+    results.size shouldBe 4
+    results.map(_.rows).sum shouldBe 400L
+    results.map(_.violations).sum should be > 0L
+    results.count(_.passed == false) should be >= 1
+    Checkpoint.completedUnits(s"$out/manifest.jsonl").size shouldBe 4
+    // wall-clock and lineage present
+    all(results.map(_.wallMs)) should be >= 0L
+    all(results.map(_.snapshotId)) shouldBe None
+  }
+
+  it should "skip completed units on re-run (resume is incremental)" in {
+    val in = tmp() + "/in"; val out = tmp()
+    writeInput(in)
+    val first = Checkpoint.runValidation(spark, in, schema, s"$out/v", s"$out/manifest.jsonl")
+    first.size shouldBe 4
+    val second = Checkpoint.runValidation(spark, in, schema, s"$out/v", s"$out/manifest.jsonl")
+    second shouldBe empty
+  }
+
+  it should "produce byte-identical violations after a simulated partial failure" in {
+    val in = tmp() + "/in"
+    writeInput(in)
+
+    // full uninterrupted run
+    val outFull = tmp()
+    Checkpoint.runValidation(spark, in, schema, s"$outFull/v", s"$outFull/manifest.jsonl")
+    val expected = readAllViolations(s"$outFull/v")
+
+    // interrupted run: keep only the first 2 manifest entries (simulating
+    // a kill after unit 2), then resume
+    val outPart = tmp()
+    Checkpoint.runValidation(spark, in, schema, s"$outPart/v", s"$outPart/manifest.jsonl")
+    val manifest = Paths.get(s"$outPart/manifest.jsonl")
+    val lines = Files.readAllLines(manifest).asScala.toList
+    Files.write(manifest, lines.take(2).asJava)
+    val resumed = Checkpoint.runValidation(spark, in, schema, s"$outPart/v", s"$outPart/manifest.jsonl")
+    resumed.size shouldBe 2 // only the 2 un-checkpointed units re-ran
+
+    readAllViolations(s"$outPart/v") shouldBe expected
+    Checkpoint.completedUnits(manifest.toString).size shouldBe 4
+  }
+}

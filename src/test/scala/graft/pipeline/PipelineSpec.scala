@@ -1,0 +1,114 @@
+package graft.pipeline
+
+import org.scalatest.flatspec.AnyFlatSpec
+import org.scalatest.matchers.should.Matchers
+import org.apache.spark.sql.functions._
+import graft.SparkTestBase
+
+/** Training-data pipeline operators: LSH candidate generation must find
+  * the planted near-duplicates, SimHash must respect hamming bounds,
+  * IVF ANN must reach high recall vs the brute-force ground truth, and
+  * the multimodal plumbing must round-trip bytes deterministically.
+  */
+class PipelineSpec extends AnyFlatSpec with Matchers {
+
+  private lazy val spark = SparkTestBase.spark
+  private val sfDir = "/root/testdata/sf0.001"
+
+  private def docs = spark.read.parquet(s"$sfDir/documents.parquet")
+  private def embeddings = spark.read.parquet(s"$sfDir/embeddings.parquet")
+
+  "Dedup.minhashPairs" should "find every planted exact and near duplicate" in {
+    val pool = graft.SparkEntry.dedupPool(spark, sfDir).cache()
+    try {
+      val pairs = Dedup.minhashPairs(pool, threshold = 0.5).collect()
+        .map(r => (r.getLong(0), r.getLong(1))).toSet
+      // planted exact dups: doc_id % 7 == 3 -> (id, id+1000000)
+      val exactPlanted = docs.filter(col("doc_id") % 7 === 3)
+        .select("doc_id").collect().map(_.getLong(0))
+        .map(id => (id, id + 1000000L)).toSet
+      // exact dups have jaccard 1.0 -> every one must be found
+      exactPlanted.diff(pairs) shouldBe empty
+      // planted near dups: doc_id % 11 == 5 -> (id, id+2000000), high jaccard
+      val nearPlanted = docs.filter(col("doc_id") % 11 === 5)
+        .select("doc_id").collect().map(_.getLong(0))
+        .map(id => (id, id + 2000000L)).toSet
+      val foundNear = nearPlanted.intersect(pairs)
+      foundNear.size.toDouble / nearPlanted.size should be >= 0.8 // LSH recall
+    } finally pool.unpersist()
+  }
+
+  it should "report jaccard 1.0 for exact duplicates" in {
+    val pool = graft.SparkEntry.dedupPool(spark, sfDir)
+    val exact = Dedup.minhashPairs(pool, threshold = 0.5)
+      .filter(col("id_a") < 1000000L && col("id_b") - col("id_a") === 1000000L)
+    exact.collect().map(_.getDouble(2)).foreach(_ shouldBe 1.0)
+  }
+
+  "Dedup.simhashPairs" should "find exact duplicates at hamming 0 and respect the bound" in {
+    val pool = graft.SparkEntry.dedupPool(spark, sfDir)
+    val pairs = Dedup.simhashPairs(pool, maxHamming = 3).collect()
+    val byPair = pairs.map(r => (r.getLong(0), r.getLong(1)) -> r.getAs[Int]("hamming")).toMap
+    val exactPlanted = docs.filter(col("doc_id") % 7 === 3)
+      .select("doc_id").collect().map(_.getLong(0))
+      .map(id => (id, id + 1000000L))
+    exactPlanted.foreach { p => byPair.get(p) shouldBe Some(0) }
+    all(pairs.map(_.getAs[Int]("hamming"))) should be <= 3
+  }
+
+  "Dedup.simhash64" should "be deterministic and order-sensitive only to content" in {
+    val a = docs.select(Dedup.simhash64(col("text")).as("s")).collect().map(_.getLong(0))
+    val b = docs.orderBy(rand(7)).select(Dedup.simhash64(col("text")).as("s"))
+      .collect().map(_.getLong(0))
+    a.sorted shouldBe b.sorted
+  }
+
+  "Ann.ivfTopK" should "trade recall for probes monotonically vs brute force" in {
+    val q = embeddings.filter(col("vec_id") < 8)
+    val c = embeddings.filter(col("vec_id") >= 8)
+    val cents = embeddings.filter(col("vec_id") % 97 === 0)
+    val brute = Ann.bruteForceTopK(q, c, 10).collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    def recall(nprobe: Int): Double = {
+      val ivf = Ann.ivfTopK(q, c, cents, 10, nprobe = nprobe).collect()
+        .map(r => (r.getLong(0), r.getLong(1))).toSet
+      ivf.intersect(brute).size.toDouble / brute.size
+    }
+    val r2 = recall(2); val r4 = recall(4); val r6 = recall(6)
+    r4 should be >= r2  // more probes -> more recall
+    r4 should be >= 0.6 // random-ish vectors: 4 of 6 buckets covers most
+    r6 shouldBe 1.0     // probing all buckets == brute force
+  }
+
+  "Ann.bruteForceTopK" should "return k deterministic rows per query" in {
+    val q = embeddings.filter(col("vec_id") < 8)
+    val c = embeddings.filter(col("vec_id") >= 8)
+    val r1 = Ann.bruteForceTopK(q, c, 10).collect().map(_.toString).sorted
+    val r2 = Ann.bruteForceTopK(q, c, 10).collect().map(_.toString).sorted
+    r1 shouldBe r2
+    r1.length shouldBe 80 // 8 queries x 10
+  }
+
+  "Multimodal" should "extract deterministic features preserving byte counts" in {
+    val feats = Multimodal.extractFeatures(Multimodal.asMediaTable(docs)).cache()
+    try {
+      val joined = feats.toDF().join(docs, "doc_id")
+        .select(col("n_bytes"), org.apache.spark.sql.functions.length(col("text")).as("n_chars"),
+          col("head_byte"), substring(col("text"), 1, 1).as("c1"), col("feature"))
+        .collect()
+      joined.foreach { r =>
+        // ascii corpus: bytes == chars, head byte == first char
+        r.getAs[Int]("n_bytes") shouldBe r.getAs[Int]("n_chars")
+        r.getAs[Int]("head_byte") shouldBe r.getAs[String]("c1").head.toInt
+        r.getAs[scala.collection.Seq[Float]]("feature").length shouldBe 4
+      }
+    } finally feats.unpersist()
+  }
+
+  "TextOps" should "count tokens robustly at the edges" in {
+    import spark.implicits._
+    val df = Seq("", "  ", "one", " a  b\tc ", null.asInstanceOf[String]).toDF("text")
+    df.select(TextOps.tokenCount(col("text")).as("n")).collect().map(_.getInt(0)).toSeq shouldBe
+      Seq(0, 0, 1, 3, 0)
+  }
+}
