@@ -89,18 +89,22 @@ object SparkEntry {
     }),
 
     "drift_role_klpsi" -> ((s, dir) => {
+      // ONE scan: both halves' histograms in a single conditional agg;
+      // totals via window over the tiny histogram (<= 6 rows)
       val t = TranscriptDerive.fromLineitem(s, dir)
         .withColumn("okey", substring(col("conv_id"), 2, 30).cast("long"))
-      val bucket = coalesce(col("role"), lit("<null>")).as("bucket")
-      val p = t.filter(col("okey") % 2 === 0).groupBy(bucket).agg(count(lit(1)).as("pc"))
-      val q = t.filter(col("okey") % 2 === 1).groupBy(bucket).agg(count(lit(1)).as("qc"))
-      val joined = p.join(q, Seq("bucket"), "full_outer")
-        .select(coalesce(col("pc"), lit(0L)).as("pc"), coalesce(col("qc"), lit(0L)).as("qc"))
-        .crossJoin(p.agg(sum("pc").as("pt")))
-        .crossJoin(q.agg(sum("qc").as("qt")))
+      val hist = t.groupBy(coalesce(col("role"), lit("<null>")).as("bucket"))
+        .agg(
+          sum(when(col("okey") % 2 === 0, 1L).otherwise(0L)).as("pc"),
+          sum(when(col("okey") % 2 === 1, 1L).otherwise(0L)).as("qc"))
+      val wAll = org.apache.spark.sql.expressions.Window
+        .partitionBy().rowsBetween(Long.MinValue, Long.MaxValue)
+      val withTot = hist
+        .withColumn("pt", sum("pc").over(wAll))
+        .withColumn("qt", sum("qc").over(wAll))
       val pi = greatest(col("pc").cast("double") / col("pt"), lit(1e-9))
       val qi = greatest(col("qc").cast("double") / col("qt"), lit(1e-9))
-      joined.agg(
+      withTot.agg(
         round(sum(pi * log(pi / qi)), 6).as("kl"),
         round(sum((pi - qi) * log(pi / qi)), 6).as("psi"))
     }),

@@ -38,29 +38,39 @@ object Ann {
     */
   def bruteForceTopK(queries: DataFrame, candidates: DataFrame, k: Int,
                      idCol: String = "vec_id", embCol: String = "embedding"): DataFrame = {
-    val q = queries.select(col(idCol).as("query_id"), col(embCol).as("q_emb"))
-    val c = candidates.select(col(idCol).as("cand_id"), col(embCol).as("c_emb"))
+    // norms precomputed per side — NOT per pair (the crossJoin would
+    // otherwise recompute each norm |candidates| or |queries| times)
+    val q = queries.select(col(idCol).as("query_id"), col(embCol).as("q_emb"),
+      l2Norm(col(embCol)).as("q_norm"))
+    val c = candidates.select(col(idCol).as("cand_id"), col(embCol).as("c_emb"),
+      l2Norm(col(embCol)).as("c_norm"))
     val scored = c.crossJoin(broadcast(q))
       .select(col("query_id"), col("cand_id"),
-        round(cosine(col("q_emb"), col("c_emb")), 6).as("sim"))
+        round(dot(col("q_emb"), col("c_emb")) / (col("q_norm") * col("c_norm")), 6).as("sim"))
     val w = Window.partitionBy("query_id").orderBy(col("sim").desc, col("cand_id").asc)
     scored.withColumn("rank", row_number().over(w))
       .filter(col("rank") <= k)
       .select("query_id", "cand_id", "sim", "rank")
   }
 
-  /** Assign each vector to its nearest centroid (broadcast centroids;
-    * one narrow pass). Returns df + `centroid_id`.
+  /** Assign each vector to its nearest centroid (broadcast centroids,
+    * then a partial-aggregable `min(struct(dist, id))` — NOT a window
+    * sort: the argmin combines map-side, so the shuffle carries one row
+    * per vector, not |vectors| x |centroids| rows).
     */
   def assignToCentroids(df: DataFrame, centroids: DataFrame,
                         idCol: String = "vec_id", embCol: String = "embedding"): DataFrame = {
-    val cents = centroids.select(col(idCol).as("centroid_id"), col(embCol).as("cent_emb"))
-    val w = Window.partitionBy(col(idCol)).orderBy(col("d").asc, col("centroid_id").asc)
-    df.crossJoin(broadcast(cents))
-      .withColumn("d", -round(cosine(col(embCol), col("cent_emb")), 9))
-      .withColumn("r", row_number().over(w))
-      .filter(col("r") === 1)
-      .drop("cent_emb", "d", "r")
+    val cents = centroids.select(col(idCol).as("centroid_id"), col(embCol).as("cent_emb"),
+      l2Norm(col(embCol)).as("cent_norm"))
+    df.withColumn("__norm", l2Norm(col(embCol)))
+      .crossJoin(broadcast(cents))
+      .groupBy(col(idCol))
+      .agg(
+        first(col(embCol)).as(embCol),
+        min(struct(
+          (-round(dot(col(embCol), col("cent_emb")) / (col("__norm") * col("cent_norm")), 9)).as("d"),
+          col("centroid_id"))).as("best"))
+      .select(col(idCol), col(embCol), col("best.centroid_id").as("centroid_id"))
   }
 
   /** IVF search: probe the query's nearest `nprobe` centroid buckets
@@ -70,23 +80,26 @@ object Ann {
   def ivfTopK(queries: DataFrame, candidates: DataFrame, centroids: DataFrame,
               k: Int, nprobe: Int = 2,
               idCol: String = "vec_id", embCol: String = "embedding"): DataFrame = {
-    val cents = centroids.select(col(idCol).as("centroid_id"), col(embCol).as("cent_emb"))
+    val cents = centroids.select(col(idCol).as("centroid_id"), col(embCol).as("cent_emb"),
+      l2Norm(col(embCol)).as("cent_norm"))
     val bucketed = assignToCentroids(candidates, centroids, idCol, embCol)
-      .select(col(idCol).as("cand_id"), col(embCol).as("c_emb"), col("centroid_id"))
+      .select(col(idCol).as("cand_id"), col(embCol).as("c_emb"),
+        l2Norm(col(embCol)).as("c_norm"), col("centroid_id"))
 
-    // nprobe nearest centroids per query
+    // nprobe nearest centroids per query (query set is small: window ok)
     val wq = Window.partitionBy("query_id").orderBy(col("d").asc, col("centroid_id").asc)
-    val probes = queries.select(col(idCol).as("query_id"), col(embCol).as("q_emb"))
+    val probes = queries.select(col(idCol).as("query_id"), col(embCol).as("q_emb"),
+        l2Norm(col(embCol)).as("q_norm"))
       .crossJoin(broadcast(cents))
-      .withColumn("d", -round(cosine(col("q_emb"), col("cent_emb")), 9))
+      .withColumn("d", -round(dot(col("q_emb"), col("cent_emb")) / (col("q_norm") * col("cent_norm")), 9))
       .withColumn("r", row_number().over(wq))
       .filter(col("r") <= nprobe)
-      .select("query_id", "q_emb", "centroid_id")
+      .select("query_id", "q_emb", "q_norm", "centroid_id")
 
     val w = Window.partitionBy("query_id").orderBy(col("sim").desc, col("cand_id").asc)
     bucketed.join(broadcast(probes), Seq("centroid_id"))
       .select(col("query_id"), col("cand_id"),
-        round(cosine(col("q_emb"), col("c_emb")), 6).as("sim"))
+        round(dot(col("q_emb"), col("c_emb")) / (col("q_norm") * col("c_norm")), 6).as("sim"))
       .withColumn("rank", row_number().over(w))
       .filter(col("rank") <= k)
       .select("query_id", "cand_id", "sim", "rank")

