@@ -51,9 +51,82 @@ object Bench {
   }
 }
 
+/** Cluster-mode scaling evidence: the same validation job on the same
+  * parquet input under `local-cluster[N,cores,mem]` — Spark forks REAL
+  * executor JVMs (own heap, own GC, own codegen cache), so N=1 vs N=4
+  * executors is the closest in-sandbox analogue of the north_rule's
+  * "N and 4N executors" criterion. Prints one JSON line.
+  */
+object ClusterScalingBench {
+  def main(args: Array[String]): Unit = {
+    val rows = sys.env.getOrElse("SPARK_GRAFT_SCALE_ROWS", "32000000").toLong
+    val input = sys.env.getOrElse("SPARK_GRAFT_SCALE_DIR", "/tmp/graft_scaling_input")
+    val coresPerExec = sys.env.getOrElse("SPARK_GRAFT_EXEC_CORES", "4").toInt
+    val execMemMb = sys.env.getOrElse("SPARK_GRAFT_EXEC_MEM_MB", "8192").toInt
+    val classesDir = new java.io.File("target/scala-2.13/classes").getAbsolutePath
+
+    def session(executors: Int): SparkSession = {
+      val s = SparkSession.builder()
+        .master(s"local-cluster[$executors,$coresPerExec,$execMemMb]")
+        .config("spark.executor.extraClassPath", classesDir)
+        .config("spark.sql.shuffle.partitions", (executors * coresPerExec).toString)
+        .config("spark.sql.adaptive.enabled", "true")
+        .config("spark.sql.session.timeZone", "UTC")
+        .config("spark.ui.enabled", "false")
+        .getOrCreate()
+      s.sparkContext.setLogLevel("WARN")
+      s
+    }
+
+    // ensure input exists (generate with a plain local session)
+    if (!new java.io.File(s"$input/_SUCCESS").exists()) {
+      val gen = SparkSession.builder().master("local[32]")
+        .config("spark.ui.enabled", "false").getOrCreate()
+      gen.sparkContext.setLogLevel("WARN")
+      graft.sources.TranscriptGen
+        .generate(gen, rows / 8, 8, graft.sources.TranscriptGen.all)
+        .repartition(128).write.mode("overwrite").parquet(input)
+      gen.stop()
+      SparkSession.clearActiveSession(); SparkSession.clearDefaultSession()
+    }
+    val schema = graft.compile.TableSchemaCompiler
+      .compileString(SparkEntry.querySchema).toOption.get
+
+    def run(executors: Int): (Long, Double) = {
+      val s = session(executors)
+      try {
+        val df = s.read.parquet(input)
+        graft.exprs.Validator.validateTranscripts(df, schema).count() // warm-up
+        val times = (1 to 2).map { _ =>
+          val t0 = System.nanoTime()
+          graft.exprs.Validator.validateTranscripts(df, schema).count()
+          (System.nanoTime() - t0) / 1e9
+        }
+        (df.count(), times.min)
+      } finally {
+        s.stop()
+        SparkSession.clearActiveSession(); SparkSession.clearDefaultSession()
+      }
+    }
+
+    val trials = (1 to 3).map(_ => (run(1), run(4)))
+    val (nr1, t1) = trials.map(_._1).minBy(_._2)
+    val (nr4, t4) = trials.map(_._2).minBy(_._2)
+    require(nr1 == nr4)
+    val thr1 = nr1 / t1
+    val thr4 = nr4 / t4
+    val efficiency = thr4 / (4.0 * thr1)
+    println(
+      s"""{"metric":"cluster_scaling","executors_n":1,"cores_per_executor":$coresPerExec,""" +
+        s""""input_rows":$nr1,"n1_sec":$t1,"n4_sec":$t4,""" +
+        s""""n1_turns_per_sec":${thr1.round},"n4_turns_per_sec":${thr4.round},""" +
+        s""""speedup":${(thr4 / thr1 * 1000).round / 1000.0},"efficiency":${(efficiency * 1000).round / 1000.0}}""")
+  }
+}
+
 /** Scaling evidence (BASELINE.md): the same validation job on the same
-  * parquet input at local[8] vs local[32] — the sandbox proxy for N vs
-  * 4N executors (north_rule: efficiency >= 0.8). Prints one JSON line
+  * parquet input at local[N] vs local[4N] — the thread-level sandbox
+  * proxy (north_rule: efficiency >= 0.8). Prints one JSON line
   * with both throughputs and the efficiency.
   */
 object ScalingBench {

@@ -1,0 +1,97 @@
+package graft.streaming
+
+import java.sql.Timestamp
+import org.apache.spark.sql.{DataFrame, Dataset}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
+import graft.compile.TableSchema
+import graft.exprs.Validator
+import graft.model.Violation
+
+/** Structured-Streaming validation: the SAME compiled constraint plan
+  * the batch engine runs (pure select/filter/explode — no
+  * batch-only operators), applied to `readStream` sources, plus the two
+  * genuinely streaming concerns:
+  *
+  *  - watermarked windowed violation-rate metrics (event-time windows
+  *    on `ts`, late data bounded by the watermark);
+  *  - stateful per-conversation uniqueness/ordering via
+  *    `flatMapGroupsWithState` — the streaming analogue of the batch
+  *    `(conv_id, turn_idx)` uniqueness operator: state is the set-free
+  *    high-watermark of turn indexes seen per conversation, with event
+  *    -time timeout so state size is bounded by *active* conversations,
+  *    not history (the knob that keeps this viable at 10^12 turns).
+  */
+object StreamingValidator {
+
+  final case class Turn(conv_id: String, turn_idx: Int, role: String,
+                        text: String, tool: String, ts: Timestamp)
+
+  /** Per-row violations on a streaming DataFrame — identical plan to the
+    * batch path (append-mode friendly: stateless projection).
+    */
+  def violations(stream: DataFrame, schema: TableSchema): Dataset[Violation] =
+    Validator.validateTranscripts(stream, schema)
+
+  /** Windowed violation counts by constraint: event-time tumbling
+    * windows over the violation stream, joined back to the row's `ts`.
+    */
+  def violationRates(stream: DataFrame, schema: TableSchema,
+                     windowLength: String = "1 minute",
+                     watermark: String = "5 minutes"): DataFrame = {
+    val checks = graft.exprs.ConstraintCompiler
+      .compile(schema, stream.schema)
+      .fold(e => throw new IllegalArgumentException(e), identity)
+    val anyViolation = !checks.map(_.ok).reduce(_ && _)
+    stream
+      .withWatermark("ts", watermark)
+      .groupBy(window(col("ts"), windowLength))
+      .agg(
+        count(lit(1)).as("rows"),
+        sum(when(anyViolation, 1L).otherwise(0L)).as("violating_rows"))
+  }
+
+  final case class ConvState(maxTurnIdx: Int, seenCount: Long)
+  final case class OrderViolation(conv_id: String, turn_idx: Int, kind: String)
+
+  /** Stateful uniqueness/ordering: within each conversation, turn
+    * indexes must be strictly increasing in arrival order (append-only
+    * transcript streams). Emits a violation for every duplicate or
+    * regressing turn index. State: one (maxTurnIdx, count) pair per
+    * active conversation, dropped after `stateTimeout` of event-time
+    * inactivity past the watermark.
+    */
+  def orderingViolations(turns: Dataset[Turn],
+                         watermark: String = "10 minutes",
+                         stateTimeoutMs: Long = 30L * 60 * 1000): Dataset[OrderViolation] = {
+    val spark = turns.sparkSession
+    import spark.implicits._
+    turns
+      .withWatermark("ts", watermark)
+      .groupByKey(_.conv_id)
+      .flatMapGroupsWithState(OutputMode.Append(), GroupStateTimeout.EventTimeTimeout())(
+        (convId: String, rows: Iterator[Turn], state: GroupState[ConvState]) => {
+          if (state.hasTimedOut) {
+            state.remove()
+            Iterator.empty
+          } else {
+            var st = state.getOption.getOrElse(ConvState(Int.MinValue, 0L))
+            val out = scala.collection.mutable.ArrayBuffer.empty[OrderViolation]
+            val sorted = rows.toSeq.sortBy(t => (t.ts.getTime, t.turn_idx))
+            sorted.foreach { t =>
+              if (t.turn_idx == st.maxTurnIdx)
+                out += OrderViolation(convId, t.turn_idx, "duplicate")
+              else if (t.turn_idx < st.maxTurnIdx)
+                out += OrderViolation(convId, t.turn_idx, "out_of_order")
+              st = ConvState(math.max(st.maxTurnIdx, t.turn_idx), st.seenCount + 1)
+            }
+            state.update(st)
+            // timeout anchored to the conversation's own event time — the
+            // first batches run with watermark 0 (epoch), which would
+            // otherwise expire every state immediately
+            state.setTimeoutTimestamp(sorted.last.ts.getTime + stateTimeoutMs)
+            out.iterator
+          }
+        })
+  }
+}

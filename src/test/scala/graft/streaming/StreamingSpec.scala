@@ -1,0 +1,89 @@
+package graft.streaming
+
+import java.sql.Timestamp
+import org.scalatest.flatspec.AnyFlatSpec
+import org.scalatest.matchers.should.Matchers
+import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+import graft.SparkTestBase
+import graft.compile.TableSchemaCompiler
+import graft.streaming.StreamingValidator.{OrderViolation, Turn}
+
+/** Structured-Streaming validation: the compiled batch plan must run
+  * unchanged on a stream, and the stateful per-conversation ordering
+  * check must flag duplicates/regressions across micro-batches.
+  */
+class StreamingSpec extends AnyFlatSpec with Matchers {
+
+  private lazy val spark = SparkTestBase.spark
+  private val schema = TableSchemaCompiler
+    .compileString(graft.compile.Fixtures.flagshipSchema).toOption.get
+
+  private def ts(min: Int) = Timestamp.valueOf(f"2024-01-01 00:$min%02d:00")
+
+  "StreamingValidator" should "emit the same violations as the batch plan, per micro-batch" in {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val input = MemoryStream[Turn]
+    val q = StreamingValidator.violations(input.toDF(), schema)
+      .writeStream.format("memory").queryName("svio").outputMode("append").start()
+    try {
+      input.addData(
+        Turn("c1", 0, "system", "hello", null, ts(0)),
+        Turn("c1", 1, "operator", "bad role", null, ts(1)), // enum violation
+        Turn("c1", -1, "user", "bad idx", null, ts(2)))     // minimum violation
+      q.processAllAvailable()
+      val got = spark.sql("SELECT constraint, pointer FROM svio").collect()
+        .map(r => (r.getString(0), r.getString(1))).toSet
+      got shouldBe Set(
+        ("enum", "/c1/1/role"),
+        ("minimum", "/c1/-1/turn_idx"))
+
+      input.addData(Turn("c1", 2, "tool", "t", "Bad-Tool", ts(3))) // pattern violation
+      q.processAllAvailable()
+      spark.sql("SELECT count(*) FROM svio").first().getLong(0) shouldBe 3L
+    } finally q.stop()
+  }
+
+  it should "count windowed violation rates with a watermark" in {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val input = MemoryStream[Turn]
+    val q = StreamingValidator.violationRates(input.toDF(), schema, "1 minute", "5 minutes")
+      .writeStream.format("memory").queryName("srates").outputMode("update").start()
+    try {
+      input.addData(
+        Turn("c1", 0, "system", "ok", null, ts(0)),
+        Turn("c1", 1, "operator", "bad", null, ts(0)),
+        Turn("c2", 0, "user", "ok", null, ts(1)))
+      q.processAllAvailable()
+      val rows = spark.sql("SELECT window.start, rows, violating_rows FROM srates").collect()
+        .map(r => (r.getTimestamp(0).toString, r.getLong(1), r.getLong(2))).toSet
+      rows shouldBe Set(
+        ("2024-01-01 00:00:00.0", 2L, 1L),
+        ("2024-01-01 00:01:00.0", 1L, 0L))
+    } finally q.stop()
+  }
+
+  it should "flag duplicate and out-of-order turns across micro-batches via state" in {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val input = MemoryStream[Turn]
+    val q = StreamingValidator.orderingViolations(input.toDS())
+      .writeStream.format("memory").queryName("sorder").outputMode("append").start()
+    try {
+      input.addData(
+        Turn("c1", 0, "system", "a", null, ts(0)),
+        Turn("c1", 1, "user", "b", null, ts(1)))
+      q.processAllAvailable()
+      input.addData(
+        Turn("c1", 1, "user", "dup", null, ts(2)),   // duplicate of turn 1
+        Turn("c1", 0, "user", "late", null, ts(3)),  // regression
+        Turn("c2", 0, "system", "fresh", null, ts(3)))
+      q.processAllAvailable()
+      val got = spark.table("sorder").as[OrderViolation].collect().toSet
+      got shouldBe Set(
+        OrderViolation("c1", 1, "duplicate"),
+        OrderViolation("c1", 0, "out_of_order"))
+    } finally q.stop()
+  }
+}
