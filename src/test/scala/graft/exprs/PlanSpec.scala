@@ -1,0 +1,91 @@
+package graft.exprs
+
+import org.scalatest.flatspec.AnyFlatSpec
+import org.scalatest.matchers.should.Matchers
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.execution.ExplainMode
+import graft.SparkTestBase
+import graft.compile.TableSchemaCompiler
+import graft.integrity.Integrity
+
+/** Physical-plan shape assertions: the properties that make the engine
+  * viable at 100 TB must hold in the optimized plan, not just in prose —
+  * column pruning and filter pushdown reach the parquet scan, the fused
+  * validator stays shuffle-free, aggregations partially aggregate before
+  * their exchange, and the registry side of the referential join can
+  * broadcast.
+  */
+class PlanSpec extends AnyFlatSpec with Matchers {
+
+  private lazy val spark = SparkTestBase.spark
+  private val sfDir = "/root/testdata/sf0.001"
+  private val schema = TableSchemaCompiler
+    .compileString(graft.compile.Fixtures.flagshipSchema).toOption.get
+
+  private def formatted(df: org.apache.spark.sql.DataFrame): String =
+    df.queryExecution.explainString(ExplainMode.fromString("formatted"))
+
+  private def shuffleCount(df: org.apache.spark.sql.DataFrame): Int =
+    // executedPlan (post EnsureRequirements); AQE wraps the plan, so
+    // count exchange nodes in the rendered tree
+    "Exchange (hashpartitioning|rangepartitioning|SinglePartition)".r
+      .findAllIn(df.queryExecution.executedPlan.toString).size
+
+  "the fused validator plan" should "contain no exchange and one scan" in {
+    val df = spark.read.parquet(s"$sfDir/lineitem.parquet")
+    val t = graft.sources.TranscriptDerive.fromLineitem(spark, sfDir)
+    val plan = formatted(Validator.validateTranscripts(t, schema).toDF())
+    plan should not include "Exchange"
+    // derivation unions two scans of lineitem; both are scans, no joins
+    plan should not include "Join"
+  }
+
+  "column pruning" should "reach the parquet scan (ReadSchema minimal)" in {
+    val docs = spark.read.parquet(s"$sfDir/documents.parquet")
+    val plan = formatted(docs.select(graft.pipeline.TextOps.tokenCount(col("text")).as("n")))
+    // only text read, not lang/source/n_chars
+    val readSchema = plan.linesIterator.filter(_.contains("ReadSchema")).mkString
+    readSchema should include("text")
+    readSchema should not include "n_chars"
+    readSchema should not include "source"
+  }
+
+  "filter pushdown" should "reach the parquet scan (PushedFilters)" in {
+    val e = spark.read.parquet(s"$sfDir/embeddings.parquet").filter(col("vec_id") < 8)
+    val plan = formatted(e)
+    plan should include("PushedFilters")
+    plan.linesIterator.filter(_.contains("PushedFilters")).mkString should include("LessThan(vec_id,8)")
+  }
+
+  "duplicate-key detection" should "partially aggregate before its exchange" in {
+    val t = graft.sources.TranscriptDerive.fromLineitem(spark, sfDir)
+    val df = Integrity.duplicateKeys(t, Seq("conv_id", "turn_idx"))
+    val plan = formatted(df)
+    // partial -> exchange -> final: the map-side combine that bounds skew
+    plan should include("HashAggregate")
+    shuffleCount(df) shouldBe 1 // exactly one shuffle
+  }
+
+  "the referential check" should "broadcast a small registry when asked" in {
+    val t = graft.sources.TranscriptDerive.fromLineitem(spark, sfDir)
+    val reg = Integrity.conversationRegistry(t)
+    val plan = formatted(Integrity.orphans(t, reg, "conv_id", broadcastRegistry = true))
+    plan should include("BroadcastHashJoin")
+    plan should include("LeftAnti")
+  }
+
+  "the stats profile" should "be a single aggregation over one scan" in {
+    val t = graft.sources.TranscriptDerive.fromLineitem(spark, sfDir)
+    val df = graft.stats.Stats.profileLong(t, Seq("conv_id", "turn_idx", "role"))
+    // one partial + one final aggregate, single exchange
+    shuffleCount(df) shouldBe 1
+  }
+
+  "whole-stage codegen" should "cover the validator projection" in {
+    val t = graft.sources.TranscriptDerive.fromLineitem(spark, sfDir)
+    val exec = Validator.validateTranscripts(t, schema).toDF().queryExecution.executedPlan
+    exec.toString should include("*(") // WholeStageCodegen spans present
+    // no interpreted higher-order functions in the hot path
+    exec.toString.toLowerCase should not include "arrayfilter"
+  }
+}
