@@ -109,18 +109,27 @@ object ClusterScalingBench {
       }
     }
 
-    val trials = (1 to 3).map(_ => (run(1), run(4)))
-    val (nr1, t1) = trials.map(_._1).minBy(_._2)
-    val (nr4, t4) = trials.map(_._2).minBy(_._2)
-    require(nr1 == nr4)
-    val thr1 = nr1 / t1
-    val thr4 = nr4 / t4
-    val efficiency = thr4 / (4.0 * thr1)
-    println(
-      s"""{"metric":"cluster_scaling","executors_n":1,"cores_per_executor":$coresPerExec,""" +
-        s""""input_rows":$nr1,"n1_sec":$t1,"n4_sec":$t4,""" +
-        s""""n1_turns_per_sec":${thr1.round},"n4_turns_per_sec":${thr4.round},""" +
-        s""""speedup":${(thr4 / thr1 * 1000).round / 1000.0},"efficiency":${(efficiency * 1000).round / 1000.0}}""")
+    args.headOption match {
+      case Some(e) =>
+        // one measurement per JVM — a stopped local-cluster leaves master
+        // state that starves follow-up clusters in the same process
+        val executors = e.toInt
+        val (n, sec) = run(executors)
+        println(s"""{"metric":"cluster_scaling_single","executors":$executors,"cores_per_executor":$coresPerExec,"input_rows":$n,"sec":$sec,"turns_per_sec":${(n / sec).round}}""")
+      case None =>
+        val trials = (1 to 3).map(_ => (run(1), run(4)))
+        val (nr1, t1) = trials.map(_._1).minBy(_._2)
+        val (nr4, t4) = trials.map(_._2).minBy(_._2)
+        require(nr1 == nr4)
+        val thr1 = nr1 / t1
+        val thr4 = nr4 / t4
+        val efficiency = thr4 / (4.0 * thr1)
+        println(
+          s"""{"metric":"cluster_scaling","executors_n":1,"cores_per_executor":$coresPerExec,""" +
+            s""""input_rows":$nr1,"n1_sec":$t1,"n4_sec":$t4,""" +
+            s""""n1_turns_per_sec":${thr1.round},"n4_turns_per_sec":${thr4.round},""" +
+            s""""speedup":${(thr4 / thr1 * 1000).round / 1000.0},"efficiency":${(efficiency * 1000).round / 1000.0}}""")
+    }
   }
 }
 

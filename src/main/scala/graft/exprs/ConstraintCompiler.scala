@@ -61,19 +61,27 @@ object ConstraintCompiler {
     val c = col(name)
     val base: Seq[Check] =
       if (prop.required) Seq(Check(name, "required", c.isNotNull, lit("null"))) else Nil
-    valueChecks(name, prop.schema, dt).map(base ++ _)
+    valueChecks(name, c, prop.schema, dt).map(base ++ _)
   }
 
-  /** Value-level checks of one schema doc applied to column `name`. */
-  private def valueChecks(name: String, doc: SchemaDoc, dt: DataType): Either[String, Seq[Check]] = {
+  /** Conjunction of all value checks of `doc` applied to an arbitrary
+    * expression (array elements, map values, ...). Null values pass.
+    */
+  private def predicateFor(doc: SchemaDoc, dt: DataType, x: Column): Either[String, Column] =
+    valueChecks("_element", x, doc, dt)
+      .map(cs => cs.map(_.ok).reduceOption(_ && _).getOrElse(lit(true)))
+
+  /** Value-level checks of one schema doc applied to expression `c`
+    * (labelled `name` in emitted violations).
+    */
+  private def valueChecks(name: String, c: Column, doc: SchemaDoc, dt: DataType): Either[String, Seq[Check]] = {
     if (dt == NullType) return Right(Nil) // all-null column: every value check passes
-    val c = col(name)
     def ok(pred: Column): Column = c.isNull || pred
     val actualStr = coalesce(c.cast("string"), lit("null"))
 
     for {
-      typeCheck <- typeCheck(name, doc, dt)
-      enumCheck <- enumCheck(name, doc, dt)
+      typeCheck <- typeCheck(name, c, doc, dt)
+      enumCheck <- enumCheck(name, c, doc, dt)
       numeric <- Right(doc.number.toSeq.flatMap { nc =>
         // keep bound literals in the column's arithmetic family so
         // Catalyst doesn't widen an integral column to double (better
@@ -114,17 +122,126 @@ object ConstraintCompiler {
         ).flatten
         lenChecks
       })
-      format <- formatCheck(name, doc, dt)
-      combinators <- combinatorChecks(name, doc, dt)
-    } yield typeCheck ++ enumCheck ++ numeric ++ strings ++ format ++ combinators
+      format <- formatCheck(name, c, doc, dt)
+      arrays <- arrayChecks(name, c, doc, dt)
+      maps <- mapChecks(name, c, doc, dt)
+      combinators <- combinatorChecks(name, c, doc, dt)
+    } yield typeCheck ++ enumCheck ++ numeric ++ strings ++ format ++ arrays ++ maps ++ combinators
   }
+
+  /** Array-column constraints (SURVEY §2b items/additionalItems/
+    * uniqueItems/size rows): size bounds, element-level `items` schema
+    * via forall, tuple-form positional items, additionalItems over the
+    * tail slice, uniqueItems via array_distinct. Note: these use Spark
+    * higher-order functions (CodegenFallback) — fine for nested-column
+    * validation, which is per-element work regardless of engine.
+    */
+  private def arrayChecks(name: String, c: Column, doc: SchemaDoc, dt: DataType): Either[String, Seq[Check]] =
+    (doc.array, dt) match {
+      case (Some(ac), at: ArrayType) =>
+        def ok(pred: Column): Column = c.isNull || pred
+        val actualStr = coalesce(to_json(c), lit("null"))
+        val sizeChecks = Seq(
+          if (ac.minItems > 0) Some(Check(name, "minItems", ok(size(c) >= lit(ac.minItems)), actualStr)) else None,
+          ac.maxItems.map(m => Check(name, "maxItems", ok(size(c) <= lit(m)), actualStr)),
+          if (ac.uniqueItems)
+            Some(Check(name, "uniqueItems", ok(size(array_distinct(c)) === size(c)), actualStr))
+          else None).flatten
+        val itemChecks: Either[String, Seq[Check]] = ac.items match {
+          case Nil => Right(Nil)
+          case single :: Nil =>
+            // compile the element predicate once (surfacing errors), then
+            // instantiate it inside the forall lambda
+            predicateFor(single, at.elementType, lit(null).cast(at.elementType)).map { _ =>
+              Seq(Check(name, "items",
+                ok(forall(c, x => predicateFor(single, at.elementType, x)
+                  .fold(e => throw new IllegalArgumentException(e), identity))),
+                actualStr))
+            }
+          case tuple =>
+            val positional = tuple.zipWithIndex.map { case (sub, i) =>
+              predicateFor(sub, at.elementType, element_at(c, i + 1)).map { p =>
+                Check(name, s"items[$i]", ok(size(c) <= i || p), actualStr)
+              }
+            }
+            val additional: Seq[Either[String, Check]] = ac.additionalItems match {
+              case Some(Left(false)) =>
+                Seq(Right(Check(name, "additionalItems", ok(size(c) <= tuple.size), actualStr)))
+              case Some(Right(sub)) =>
+                Seq(predicateFor(sub, at.elementType, lit(null)).flatMap { _ =>
+                  Right(Check(name, "additionalItems",
+                    ok(forall(slice(c, lit(tuple.size + 1), greatest(size(c) - tuple.size, lit(0))),
+                      x => predicateFor(sub, at.elementType, x)
+                        .fold(e => throw new IllegalArgumentException(e), identity))),
+                    actualStr))
+                })
+              case _ => Nil
+            }
+            val all = positional ++ additional
+            all.collectFirst { case Left(e) => Left(e) }
+              .getOrElse(Right(all.collect { case Right(v) => v }))
+        }
+        itemChecks.map(sizeChecks ++ _)
+      case _ => Right(Nil)
+    }
+
+  /** Map-column constraints (SURVEY §2b properties/patternProperties/
+    * additionalProperties/size rows): key-count bounds, per-declared-key
+    * requiredness + value checks, pattern-keyed value checks, and
+    * additionalProperties over undeclared keys (the reference's
+    * false≡absent quirk applies: only the schema form checks anything).
+    */
+  private def mapChecks(name: String, c: Column, doc: SchemaDoc, dt: DataType): Either[String, Seq[Check]] =
+    (doc.obj, dt) match {
+      case (Some(oc), mt: MapType) =>
+        def ok(pred: Column): Column = c.isNull || pred
+        val actualStr = coalesce(to_json(c), lit("null"))
+        val sizeChecks = Seq(
+          if (oc.minProperties > 0)
+            Some(Check(name, "minProperties", ok(size(map_keys(c)) >= lit(oc.minProperties)), actualStr))
+          else None,
+          oc.maxProperties.map(m => Check(name, "maxProperties", ok(size(map_keys(c)) <= lit(m)), actualStr))
+        ).flatten
+        val propChecks = oc.properties.toSeq.map { case (k, prop) =>
+          predicateFor(prop.schema, mt.valueType, try_element_at(c, lit(k))).map { p =>
+            val reqPred = if (prop.required) map_contains_key(c, lit(k)) else lit(true)
+            Check(name, s"properties/$k", ok(reqPred && p), actualStr)
+          }
+        }
+        val patternChecks = oc.patternProperties.map { case (pat, sub) =>
+          predicateFor(sub, mt.valueType, lit(null)).flatMap { _ =>
+            Right(Check(name, "patternProperties",
+              ok(forall(map_keys(c), k =>
+                !k.cast("string").rlike(pat) ||
+                  predicateFor(sub, mt.valueType, try_element_at(c, k))
+                    .fold(e => throw new IllegalArgumentException(e), identity))),
+              actualStr))
+          }
+        }
+        val additionalChecks: Seq[Either[String, Check]] = oc.additionalProperties match {
+          case Some(sub) if sub.types.nonEmpty || sub.enums.nonEmpty || sub.string.nonEmpty || sub.number.nonEmpty =>
+            val declared = oc.properties.keys.toSeq
+            Seq(predicateFor(sub, mt.valueType, lit(null)).flatMap { _ =>
+              Right(Check(name, "additionalProperties",
+                ok(forall(map_keys(c), k =>
+                  (if (declared.nonEmpty) k.cast("string").isin(declared: _*) else lit(false)) ||
+                    predicateFor(sub, mt.valueType, try_element_at(c, k))
+                      .fold(e => throw new IllegalArgumentException(e), identity))),
+                actualStr))
+            })
+          case _ => Nil // absent, false (quirk), or permissive true
+        }
+        val all = propChecks ++ patternChecks ++ additionalChecks
+        all.collectFirst { case Left(e) => Left(e) }
+          .getOrElse(Right(sizeChecks ++ all.collect { case Right(v) => v }))
+      case _ => Right(Nil)
+    }
 
   /** Declared `type` vs the physical Spark type. Most mismatches are
     * compile errors (schema enforcement at bind time); the one runtime
     * check is `integer` over a floating/decimal physical column.
     */
-  private def typeCheck(name: String, doc: SchemaDoc, dt: DataType): Either[String, Seq[Check]] = {
-    val c = col(name)
+  private def typeCheck(name: String, c: Column, doc: SchemaDoc, dt: DataType): Either[String, Seq[Check]] = {
     if (doc.types.isEmpty) Right(Nil)
     else {
       val compatible = doc.types.exists { t =>
@@ -152,8 +269,7 @@ object ConstraintCompiler {
     }
   }
 
-  private def enumCheck(name: String, doc: SchemaDoc, dt: DataType): Either[String, Seq[Check]] = {
-    val c = col(name)
+  private def enumCheck(name: String, c: Column, doc: SchemaDoc, dt: DataType): Either[String, Seq[Check]] = {
     if (doc.enums.isEmpty) Right(Nil)
     else
       enumLiterals(doc.enums, dt).map { vals =>
@@ -192,8 +308,7 @@ object ConstraintCompiler {
     * string, `JsonSchemaDecoder.scala:136`; enum of known formats
     * `model.scala:19-23`). Unknown formats are ignored per draft-4.
     */
-  private def formatCheck(name: String, doc: SchemaDoc, dt: DataType): Either[String, Seq[Check]] = {
-    val c = col(name)
+  private def formatCheck(name: String, c: Column, doc: SchemaDoc, dt: DataType): Either[String, Seq[Check]] = {
     def ok(pred: Column): Column = c.isNull || pred
     val actualStr = coalesce(c.cast("string"), lit("null"))
     doc.format match {
@@ -221,12 +336,11 @@ object ConstraintCompiler {
     * negation). Sub-schemas contribute their value checks as a single
     * conjunction each.
     */
-  private def combinatorChecks(name: String, doc: SchemaDoc, dt: DataType): Either[String, Seq[Check]] = {
-    val c = col(name)
+  private def combinatorChecks(name: String, c: Column, doc: SchemaDoc, dt: DataType): Either[String, Seq[Check]] = {
     val actualStr = coalesce(c.cast("string"), lit("null"))
 
     def subPred(sub: SchemaDoc): Either[String, Column] =
-      valueChecks(name, sub, dt).map { checks =>
+      valueChecks(name, c, sub, dt).map { checks =>
         if (checks.isEmpty) lit(true) else checks.map(_.ok).reduce(_ && _)
       }
 
