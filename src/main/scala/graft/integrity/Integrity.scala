@@ -32,6 +32,26 @@ object Integrity {
       .agg(count(lit(1)).as("dup_count"))
       .filter(col("dup_count") > 1)
 
+  /** Explicitly salted two-phase duplicate count: phase 1 aggregates on
+    * (key, salt) — a deterministic salt derived from a per-row
+    * discriminator spreads one hot key over `salt` reducers — phase 2
+    * re-aggregates on the key alone. Equivalent to [[duplicateKeys]] for
+    * any salt (tested on the Zipf fixture); use when a single composite
+    * key carries so many rows that even one post-combine row per input
+    * partition overloads its reducer (the north_rule's explicit-salting
+    * requirement for 10^12-turn conv_id skew).
+    */
+  def saltedDuplicateKeys(df: DataFrame, keyCols: Seq[String],
+                          discriminator: Column, salt: Int = 16): DataFrame = {
+    require(salt > 0)
+    df.withColumn("__salt", pmod(hash(discriminator), lit(salt)))
+      .groupBy((keyCols :+ "__salt").map(col): _*)
+      .agg(count(lit(1)).as("__partial"))
+      .groupBy(keyCols.map(col): _*)
+      .agg(sum("__partial").as("dup_count"))
+      .filter(col("dup_count") > 1)
+  }
+
   /** Uniqueness violations as violation rows (pointer to the key). */
   def uniquenessViolations(df: DataFrame, keyCols: Seq[String]): DataFrame = {
     val pointer = graft.exprs.ConstraintCompiler.pointerCol(keyCols.dropRight(1), keyCols.last)

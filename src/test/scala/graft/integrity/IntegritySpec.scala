@@ -60,6 +60,19 @@ class IntegritySpec extends AnyFlatSpec with Matchers {
     } finally df.unpersist()
   }
 
+  it should "produce identical duplicate counts salted vs unsalted under skew" in {
+    val df = TranscriptGen.generate(spark, 500, 20,
+      TranscriptGen.Defects(duplicates = true), skewTopConvFraction = 0.2).cache()
+    try {
+      val plain = Integrity.duplicateKeys(df, Seq("conv_id", "turn_idx"))
+        .collect().map(_.toString).sorted
+      val salted = Integrity.saltedDuplicateKeys(df, Seq("conv_id", "turn_idx"),
+        col("text"), salt = 16).collect().map(_.toString).sorted
+      salted shouldBe plain
+      plain.length should be > 0
+    } finally df.unpersist()
+  }
+
   it should "verify the skew fixture actually is skewed (top conv ~20%)" in {
     val df = TranscriptGen.generate(spark, 1000, 50, skewTopConvFraction = 0.2)
     val top = df.groupBy("conv_id").count().orderBy(desc("count")).first()
