@@ -20,14 +20,21 @@ import org.apache.spark.sql.functions._
   */
 object Ann {
 
-  /** Sequential double-precision dot product of two float arrays. */
+  /** Sequential double-precision dot product of two float arrays —
+    * the custom codegen'd kernel ([[graft.functions.FloatVecDot]]);
+    * Spark's HOF form is CodegenFallback and pays interpreted lambda
+    * dispatch per element per pair. [[dotHof]] keeps the HOF form for
+    * equivalence tests.
+    */
   def dot(a: Column, b: Column): Column =
+    graft.functions.VectorFunctions.floatVecDot(a, b)
+
+  /** HOF reference implementation (same sequential double accumulation). */
+  def dotHof(a: Column, b: Column): Column =
     aggregate(zip_with(a, b, (x, y) => x.cast("double") * y.cast("double")),
       lit(0.0), (acc, v) => acc + v)
 
-  def l2Norm(a: Column): Column =
-    sqrt(aggregate(transform(a, x => x.cast("double") * x.cast("double")),
-      lit(0.0), (acc, v) => acc + v))
+  def l2Norm(a: Column): Column = sqrt(dot(a, a))
 
   def cosine(a: Column, b: Column): Column =
     dot(a, b) / (l2Norm(a) * l2Norm(b))
