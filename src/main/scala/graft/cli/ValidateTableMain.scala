@@ -40,10 +40,12 @@ object ValidateTableMain {
         val results = Checkpoint.runValidation(
           spark, inputDir, schema, s"$outDir/violations", s"$outDir/manifest.jsonl")
         val df = spark.read.parquet(inputDir)
-        val dups = Integrity.uniquenessViolations(df, Seq("conv_id", "turn_idx"))
-        val orphans = Integrity.referentialViolations(df)
-        dups.write.mode("overwrite").parquet(s"$outDir/uniqueness_violations")
-        orphans.write.mode("overwrite").parquet(s"$outDir/referential_violations")
+        // both integrity checks from ONE full-data shuffle; row-level
+        // orphan emission via broadcast join-back of the offending set
+        val report = Integrity.integrityReport(df)
+        report.duplicateKeys.write.mode("overwrite").parquet(s"$outDir/uniqueness_violations")
+        Integrity.orphanRows(df, report.orphanConvs)
+          .write.mode("overwrite").parquet(s"$outDir/referential_violations")
         Stats.profileLong(df, df.columns.toSeq)
           .write.mode("overwrite").parquet(s"$outDir/stats")
 

@@ -89,6 +89,30 @@ object Integrity {
       .drop("__salt")
   }
 
+  /** Both integrity checks from ONE full-data shuffle (the 100-TB
+    * shape): a single partial-aggregated `groupBy(conv_id, turn_idx)`
+    * reduces the table to its keyspace; duplicate keys, the turn-0
+    * registry, and orphan conversations all derive from that reduced
+    * set (whose shuffles are bounded by #distinct keys, not #rows).
+    * Row-level orphan emission joins the (small) offending-conversation
+    * set back via broadcast.
+    */
+  final case class IntegrityReport(duplicateKeys: DataFrame, orphanConvs: DataFrame)
+
+  def integrityReport(df: DataFrame): IntegrityReport = {
+    val keyCounts = df.groupBy(col("conv_id"), col("turn_idx"))
+      .agg(count(lit(1)).as("dup_count"))
+    val dups = keyCounts.filter(col("dup_count") > 1)
+    val convs = keyCounts.groupBy("conv_id")
+      .agg(max(when(col("turn_idx") === 0, 1).otherwise(0)).as("has_root"))
+    val orphanConvs = convs.filter(col("has_root") === 0).select("conv_id")
+    IntegrityReport(dups, orphanConvs)
+  }
+
+  /** Row-level orphan emission from a precomputed (small) orphan set. */
+  def orphanRows(df: DataFrame, orphanConvs: DataFrame): DataFrame =
+    df.join(broadcast(orphanConvs), Seq("conv_id"), "left_semi")
+
   /** Conversation registry: conversations that have a `turn_idx = 0`
     * root (FIXTURES.md §2 table-level rule). The filter is pushed into
     * the scan; distinct's partial aggregation handles skew as above.

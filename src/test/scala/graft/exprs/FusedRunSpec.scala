@@ -1,0 +1,57 @@
+package graft.exprs
+
+import org.scalatest.flatspec.AnyFlatSpec
+import org.scalatest.matchers.should.Matchers
+import org.apache.spark.sql.Observation
+import graft.SparkTestBase
+import graft.compile.TableSchemaCompiler
+import graft.integrity.Integrity
+import graft.sources.TranscriptGen
+
+/** Single-pass fusion: violations + full stats profile from ONE scan
+  * (observe), and both integrity checks from ONE full-data shuffle.
+  */
+class FusedRunSpec extends AnyFlatSpec with Matchers {
+
+  private lazy val spark = SparkTestBase.spark
+  private val schema = TableSchemaCompiler
+    .compileString(graft.compile.Fixtures.flagshipSchema).toOption.get
+
+  "FusedRun" should "deliver violations and stats from one scan" in {
+    val df = TranscriptGen.generate(spark, 20, 10,
+      TranscriptGen.Defects(badEnumRole = true, nullRole = true))
+    val obs = Observation()
+    val vios = FusedRun.violationsWithStats(df, schema, Seq("conv_id", "turn_idx"), obs)
+    val nVios = vios.count()
+    val r = FusedRun.result(df, obs)
+    r.rows shouldBe 200L
+    r.violatingRows should be > 0L
+    r.violatingRows should be <= nVios // one row can carry 2 violations
+    r.nullCounts("role") should be > 0L
+    r.nullCounts("conv_id") shouldBe 0L
+    r.mins("turn_idx") shouldBe "0"
+    r.maxs("turn_idx") shouldBe "9"
+    r.approxDistinct("turn_idx") shouldBe 10L
+    // exactly one scan in the physical plan
+    val scans = "Scan |FileScan".r.findAllIn(vios.queryExecution.executedPlan.toString).size
+    scans should be <= 1
+  }
+
+  "Integrity.integrityReport" should "find dups and orphans from one full-data shuffle" in {
+    val df = TranscriptGen.generate(spark, 100, 5,
+      TranscriptGen.Defects(duplicates = true, orphans = true)).cache()
+    try {
+      val report = Integrity.integrityReport(df)
+      // matches the independent operators
+      val expectedDups = Integrity.duplicateKeys(df, Seq("conv_id", "turn_idx"))
+        .collect().map(_.toString).sorted
+      report.duplicateKeys.collect().map(_.toString).sorted shouldBe expectedDups
+      val expectedOrphanConvs = Integrity.referentialViolations(df)
+        .select("conv_id").distinct().collect().map(_.getString(0)).sorted
+      report.orphanConvs.collect().map(_.getString(0)).sorted shouldBe expectedOrphanConvs
+      // row-level emission via broadcast join-back
+      Integrity.orphanRows(df, report.orphanConvs).count() shouldBe
+        Integrity.referentialViolations(df).count()
+    } finally df.unpersist()
+  }
+}
