@@ -320,6 +320,37 @@ object SparkEntry {
     "embed_norms" ->
       """SELECT vec_id, CAST(label AS BIGINT) AS label,
         |ROUND(sqrt(list_sum(list_transform(embedding, x -> CAST(x AS DOUBLE)*CAST(x AS DOUBLE)))), 6) AS l2
-        |FROM embeddings""".stripMargin
+        |FROM embeddings""".stripMargin,
+
+    // IVF replay: same centroid rule, assignment argmin (rounded 9dp,
+    // centroid-id tiebreak), nprobe=2 probing, rank by (sim desc, id)
+    "ivf_topk" ->
+      """WITH v AS (SELECT vec_id, embedding AS emb,
+        |    sqrt(list_sum(list_transform(embedding, x -> CAST(x AS DOUBLE)*CAST(x AS DOUBLE)))) AS nrm
+        |  FROM embeddings),
+        |cents AS (SELECT vec_id AS centroid_id, emb AS ce, nrm AS cn FROM v WHERE vec_id % 97 = 0),
+        |cands AS (SELECT vec_id AS cand_id, emb, nrm FROM v WHERE vec_id >= 8),
+        |qs AS (SELECT vec_id AS query_id, emb, nrm FROM v WHERE vec_id < 8),
+        |assign AS (
+        |  SELECT cand_id, emb, nrm, centroid_id,
+        |    row_number() OVER (PARTITION BY cand_id ORDER BY d ASC, centroid_id ASC) AS r
+        |  FROM (SELECT c.cand_id, c.emb, c.nrm, ct.centroid_id,
+        |          -round(list_sum(list_transform(list_zip(c.emb, ct.ce), p -> CAST(p[1] AS DOUBLE)*CAST(p[2] AS DOUBLE)))/(c.nrm*ct.cn), 9) AS d
+        |        FROM cands c CROSS JOIN cents ct) x),
+        |bucketed AS (SELECT cand_id, emb, nrm, centroid_id FROM assign WHERE r = 1),
+        |probes AS (
+        |  SELECT query_id, q_emb, q_nrm, centroid_id FROM (
+        |    SELECT q.query_id, q.emb AS q_emb, q.nrm AS q_nrm, ct.centroid_id,
+        |      -round(list_sum(list_transform(list_zip(q.emb, ct.ce), p -> CAST(p[1] AS DOUBLE)*CAST(p[2] AS DOUBLE)))/(q.nrm*ct.cn), 9) AS d,
+        |      row_number() OVER (PARTITION BY q.query_id ORDER BY d ASC, ct.centroid_id ASC) AS r
+        |    FROM qs q CROSS JOIN cents ct) y WHERE r <= 2),
+        |scored AS (
+        |  SELECT p.query_id, b.cand_id,
+        |    round(list_sum(list_transform(list_zip(p.q_emb, b.emb), p2 -> CAST(p2[1] AS DOUBLE)*CAST(p2[2] AS DOUBLE)))/(p.q_nrm*b.nrm), 6) AS sim
+        |  FROM bucketed b JOIN probes p USING (centroid_id)),
+        |ranked AS (SELECT query_id, cand_id, sim,
+        |    row_number() OVER (PARTITION BY query_id ORDER BY sim DESC, cand_id ASC) AS rank
+        |  FROM scored)
+        |SELECT query_id, cand_id, sim, CAST(rank AS BIGINT) AS rank FROM ranked WHERE rank <= 10""".stripMargin
   )
 }
