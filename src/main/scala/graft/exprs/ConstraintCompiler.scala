@@ -118,7 +118,13 @@ object ConstraintCompiler {
             Some(Check(name, "minLength", ok(length(c) >= lit(sc.minLength)), actualStr))
           else None,
           sc.maxLength.map(m => Check(name, "maxLength", ok(length(c) <= lit(m)), actualStr)),
-          sc.pattern.map(p => Check(name, "pattern", ok(c.rlike(p)), actualStr))
+          sc.pattern.map { p =>
+            // anchored literal/char-class patterns take the codegen'd
+            // byte-loop fast path (~45% of full-pass cost was
+            // java.util.regex); anything else falls back to rlike
+            val pred = graft.functions.SimplePatternMatch.tryColumn(c, p).getOrElse(c.rlike(p))
+            Check(name, "pattern", ok(pred), actualStr)
+          }
         ).flatten
         lenChecks
       })
