@@ -109,6 +109,25 @@ object SparkEntry {
         round(sum((pi - qi) * log(pi / qi)), 6).as("psi"))
     }),
 
+    // multipleOf on a double column through the real validator (the
+    // decimal-exact remainder path, SURVEY §7 hard part)
+    "v_multipleof" -> ((s, dir) => {
+      val li = s.read.parquet(s"$dir/lineitem.parquet")
+      val schemaJson = """
+      {
+        "type": "object",
+        "required": ["l_orderkey", "l_linenumber"],
+        "properties": {
+          "l_orderkey":   { "type": "integer" },
+          "l_linenumber": { "type": "integer" },
+          "l_discount":   { "type": "number", "multipleOf": 0.02 }
+        }
+      }"""
+      val ts = TableSchemaCompiler.compileString(schemaJson)
+        .fold(e => throw new IllegalArgumentException(e), identity)
+      Validator.violations(li, ts, Seq("l_orderkey", "l_linenumber"))
+    }),
+
     "orders_ref_integrity" -> ((s, dir) => {
       val li = s.read.parquet(s"$dir/lineitem.parquet")
       val o = s.read.parquet(s"$dir/orders.parquet")
@@ -240,6 +259,14 @@ object SparkEntry {
     "orders_ref_integrity" ->
       """SELECT CAST(COUNT(*) AS BIGINT) AS orphan_count FROM lineitem
         |WHERE l_orderkey NOT IN (SELECT o_orderkey FROM orders)""".stripMargin,
+
+    "v_multipleof" ->
+      """SELECT l_orderkey, l_linenumber,
+        |  '/' || CAST(l_orderkey AS VARCHAR) || '/' || CAST(l_linenumber AS VARCHAR) || '/l_discount' AS pointer,
+        |  'multipleOf' AS "constraint",
+        |  CAST(l_discount AS VARCHAR) AS actual
+        |FROM lineitem
+        |WHERE CAST(l_discount AS DECIMAL(38,12)) % 0.02 <> 0""".stripMargin,
 
     "dedup_exact" ->
       s"""WITH $poolCte

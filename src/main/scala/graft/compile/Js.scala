@@ -10,12 +10,15 @@ import org.json4s.jackson.JsonMethods
   */
 object Js {
 
+  // numbers parse as exact BigDecimals (JDecimal), NOT doubles: a schema
+  // saying multipleOf 0.02 must mean exactly 0.02 — the double nearest
+  // to it would poison the decimal-exact remainder check
   def parse(s: String): Either[String, JValue] =
-    try Right(JsonMethods.parse(s))
+    try Right(JsonMethods.parse(s, useBigDecimalForDouble = true))
     catch { case e: Exception => Left(s"invalid json: ${e.getMessage}") }
 
   def parseFile(f: java.io.File): Either[String, JValue] =
-    try Right(JsonMethods.parse(f))
+    try Right(JsonMethods.parse(java.nio.file.Files.readString(f.toPath), useBigDecimalForDouble = true))
     catch { case e: Exception => Left(s"invalid json: ${e.getMessage}") }
 
   def compact(j: JValue): String = JsonMethods.compact(JsonMethods.render(j))
