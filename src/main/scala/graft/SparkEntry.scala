@@ -109,6 +109,13 @@ object SparkEntry {
         round(sum((pi - qi) * log(pi / qi)), 6).as("psi"))
     }),
 
+    // operational rollup: violation counts by constraint and column
+    "v_violation_counts" -> ((s, dir) =>
+      Validator.validateTranscripts(TranscriptDerive.fromLineitem(s, dir), schema).toDF()
+        .groupBy(col("constraint"),
+          element_at(split(col("pointer"), "/"), -1).as("column"))
+        .agg(count(lit(1)).as("n"))),
+
     // multipleOf on a double column through the real validator (the
     // decimal-exact remainder path, SURVEY §7 hard part)
     "v_multipleof" -> ((s, dir) => {
@@ -220,6 +227,18 @@ object SparkEntry {
          |UNION ALL
          |SELECT conv_id, turn_idx, ${ptrSql("tool")}, 'dependencies', tool
          |FROM transcripts WHERE tool IS NOT NULL AND role IS NULL""".stripMargin,
+
+    "v_violation_counts" ->
+      s"""WITH $tCte,
+         |vios AS (
+         |SELECT 'required' AS "constraint", 'role' AS "column" FROM transcripts WHERE role IS NULL
+         |UNION ALL SELECT 'enum', 'role' FROM transcripts WHERE role IS NOT NULL AND role NOT IN ('system','user','assistant','tool')
+         |UNION ALL SELECT 'pattern', 'conv_id' FROM transcripts WHERE NOT regexp_matches(conv_id, '^c[0-9]+$$')
+         |UNION ALL SELECT 'minimum', 'turn_idx' FROM transcripts WHERE turn_idx < 0
+         |UNION ALL SELECT 'pattern', 'tool' FROM transcripts WHERE tool IS NOT NULL AND NOT regexp_matches(tool, '^[a-z][a-z0-9_]*$$')
+         |UNION ALL SELECT 'dependencies', 'tool' FROM transcripts WHERE tool IS NOT NULL AND role IS NULL)
+         |SELECT "constraint", "column", CAST(COUNT(*) AS BIGINT) AS n
+         |FROM vios GROUP BY 1, 2""".stripMargin,
 
     "uniq_duplicates" ->
       s"""WITH $tCte
