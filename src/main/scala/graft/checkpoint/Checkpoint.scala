@@ -50,6 +50,27 @@ object Checkpoint {
     else Files.readAllLines(p).asScala.flatMap(parseLine).toSet
   }
 
+  private val vioField = """"violations":(\d+)""".r
+  private val rowsField = """"rows":(\d+)""".r
+
+  /** Per-unit metrics of every completed unit in the manifest:
+    * (unit, rows, violations). The final valid/invalid verdict of a run
+    * must sum over the FULL manifest, not just the units processed in
+    * the current invocation — a resumed (or already-complete) run would
+    * otherwise report 0 row violations for the skipped units.
+    */
+  def completedMetrics(manifestPath: String): Seq[(String, Long, Long)] = {
+    val p = Paths.get(manifestPath)
+    if (!Files.exists(p)) Nil
+    else Files.readAllLines(p).asScala.toSeq.flatMap { line =>
+      parseLine(line).map { unit =>
+        val rows = rowsField.findFirstMatchIn(line).map(_.group(1).toLong).getOrElse(0L)
+        val vios = vioField.findFirstMatchIn(line).map(_.group(1).toLong).getOrElse(0L)
+        (unit, rows, vios)
+      }
+    }
+  }
+
   def appendResult(manifestPath: String, r: UnitResult): Unit = {
     val p = Paths.get(manifestPath)
     Option(p.getParent).foreach(Files.createDirectories(_))

@@ -49,8 +49,10 @@ object ValidateTableMain {
         Stats.profileLong(df, df.columns.toSeq)
           .write.mode("overwrite").parquet(s"$outDir/stats")
 
-        val all = Checkpoint.completedUnits(s"$outDir/manifest.jsonl")
-        val rowVios = results.map(_.violations).sum
+        // verdict sums over the FULL manifest (resume-safe): a re-run or
+        // resumed run must still see violations found by earlier runs
+        val all = Checkpoint.completedMetrics(s"$outDir/manifest.jsonl")
+        val rowVios = all.map(_._3).sum
         val nDups = spark.read.parquet(s"$outDir/uniqueness_violations").count()
         val nOrph = spark.read.parquet(s"$outDir/referential_violations").count()
         val total = rowVios + nDups + nOrph

@@ -36,6 +36,14 @@ object ConstraintCompiler {
     case _ => false
   }
 
+  /** True when a schema node carries no checkable constraint at all
+    * (the permissive `{}` / `true` schema) — its predicate is `lit(true)`.
+    */
+  private def isPermissive(d: SchemaDoc): Boolean =
+    d.types.isEmpty && d.enums.isEmpty && d.string.isEmpty && d.number.isEmpty &&
+      d.array.isEmpty && d.obj.isEmpty && d.format.isEmpty &&
+      d.allOf.isEmpty && d.anyOf.isEmpty && d.oneOf.isEmpty && d.not.isEmpty
+
   /** One compiled constraint: `ok` is a never-null boolean Column;
     * `actual` renders the offending value for the violation row.
     */
@@ -86,8 +94,14 @@ object ConstraintCompiler {
         // keep bound literals in the column's arithmetic family so
         // Catalyst doesn't widen an integral column to double (better
         // codegen + parquet pushdown when the filter form is used)
-        def boundLit(v: BigDecimal): Column =
-          if (v.isWhole && isIntegral(dt)) lit(v.toLong) else lit(v.toDouble)
+        def boundLit(v: BigDecimal): Column = dt match {
+          case t if v.isWhole && isIntegral(t) => lit(v.toLong)
+          // decimal columns compare in exact decimal arithmetic (same
+          // guarantee as the multipleOf path below) — lowering to double
+          // would lose precision on high-scale bounds
+          case _: DecimalType => lit(v.underlying())
+          case _ => lit(v.toDouble)
+        }
         val boundChecks = Seq(
           nc.range.min.map { b =>
             val pred = if (b.exclusive) c > boundLit(b.value) else c >= boundLit(b.value)
@@ -225,7 +239,10 @@ object ConstraintCompiler {
           }
         }
         val additionalChecks: Seq[Either[String, Check]] = oc.additionalProperties match {
-          case Some(sub) if sub.types.nonEmpty || sub.enums.nonEmpty || sub.string.nonEmpty || sub.number.nonEmpty =>
+          // compile any constraint-carrying sub-schema (incl. combinator /
+          // array / object forms — gating on scalar keywords only would
+          // fail open); skip only the empty permissive schema (`true`)
+          case Some(sub) if !isPermissive(sub) =>
             val declared = oc.properties.keys.toSeq
             Seq(predicateFor(sub, mt.valueType, lit(null)).flatMap { _ =>
               Right(Check(name, "additionalProperties",
@@ -247,24 +264,24 @@ object ConstraintCompiler {
     * compile errors (schema enforcement at bind time); the one runtime
     * check is `integer` over a floating/decimal physical column.
     */
+  private[exprs] def typesCompatible(doc: SchemaDoc, dt: DataType): Boolean =
+    doc.types.isEmpty || doc.types.exists {
+      case SimpleType.string =>
+        dt == StringType ||
+          ((dt == TimestampType || dt == TimestampNTZType || dt == DateType) &&
+            doc.format.contains("date-time")) // ts / date column
+      case SimpleType.integer => isIntegral(dt) || isFractional(dt)
+      case SimpleType.number  => dt.isInstanceOf[NumericType]
+      case SimpleType.boolean => dt == BooleanType
+      case SimpleType.array   => dt.isInstanceOf[ArrayType]
+      case SimpleType.jsonObject => dt.isInstanceOf[StructType] || dt.isInstanceOf[MapType]
+      case SimpleType.jsonNull => true
+    }
+
   private def typeCheck(name: String, c: Column, doc: SchemaDoc, dt: DataType): Either[String, Seq[Check]] = {
     if (doc.types.isEmpty) Right(Nil)
     else {
-      val compatible = doc.types.exists { t =>
-        t match {
-          case SimpleType.string =>
-            dt == StringType ||
-              ((dt == TimestampType || dt == TimestampNTZType) &&
-                doc.format.contains("date-time")) // ts column
-          case SimpleType.integer => isIntegral(dt) || isFractional(dt)
-          case SimpleType.number  => dt.isInstanceOf[NumericType]
-          case SimpleType.boolean => dt == BooleanType
-          case SimpleType.array   => dt.isInstanceOf[ArrayType]
-          case SimpleType.jsonObject => dt.isInstanceOf[StructType] || dt.isInstanceOf[MapType]
-          case SimpleType.jsonNull => true
-        }
-      }
-      if (!compatible)
+      if (!typesCompatible(doc, dt))
         Left(s"column $name: declared types ${doc.types.mkString(",")} incompatible with physical type ${dt.simpleString}")
       else if (doc.types.contains(SimpleType.integer) && !isIntegral(dt) &&
                dt.isInstanceOf[NumericType])
@@ -346,7 +363,11 @@ object ConstraintCompiler {
     val actualStr = coalesce(c.cast("string"), lit("null"))
 
     def subPred(sub: SchemaDoc): Either[String, Column] =
-      valueChecks(name, c, sub, dt).map { checks =>
+      // a branch whose declared type can't hold this physical column is
+      // simply a non-matching branch (common draft-4 idiom: oneOf over
+      // heterogeneous types) — evaluate it as false, not a compile error
+      if (!typesCompatible(sub, dt)) Right(lit(false))
+      else valueChecks(name, c, sub, dt).map { checks =>
         if (checks.isEmpty) lit(true) else checks.map(_.ok).reduce(_ && _)
       }
 

@@ -49,6 +49,13 @@ class CheckpointSpec extends AnyFlatSpec with Matchers {
     first.size shouldBe 4
     val second = Checkpoint.runValidation(spark, in, schema, s"$out/v", s"$out/manifest.jsonl")
     second shouldBe empty
+    // the verdict source of truth survives the no-op re-run: full-manifest
+    // metrics still carry every unit's rows and violations
+    val metrics = Checkpoint.completedMetrics(s"$out/manifest.jsonl")
+    metrics.size shouldBe 4
+    metrics.map(_._2).sum shouldBe first.map(_.rows).sum
+    metrics.map(_._3).sum shouldBe first.map(_.violations).sum
+    metrics.map(_._3).sum should be > 0L
   }
 
   it should "produce byte-identical violations after a simulated partial failure" in {

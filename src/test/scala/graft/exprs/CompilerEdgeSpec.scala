@@ -1,0 +1,139 @@
+package graft.exprs
+
+import org.scalatest.flatspec.AnyFlatSpec
+import org.scalatest.matchers.should.Matchers
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+import graft.SparkTestBase
+import graft.compile.TableSchemaCompiler
+
+/** Edge-case semantics of the constraint compiler:
+  * heterogeneous combinators, additionalProperties with non-scalar
+  * sub-schemas, DATE columns under format:date-time, and exact-decimal
+  * bound comparisons.
+  */
+class CompilerEdgeSpec extends AnyFlatSpec with Matchers {
+
+  private lazy val spark = SparkTestBase.spark
+
+  private def validate(schemaJson: String, df: org.apache.spark.sql.DataFrame) = {
+    val ts = TableSchemaCompiler.compileString(schemaJson)
+      .fold(e => throw new IllegalArgumentException(e), identity)
+    Validator.violations(df, ts, Seq("conv_id", "turn_idx"))
+      .collect().map(r => (r.getAs[Int]("turn_idx"), r.getAs[String]("constraint"))).toSet
+  }
+
+  "combinators" should "treat a type-incompatible branch as non-matching, not a compile error" in {
+    import spark.implicits._
+    // classic draft-4 idiom: oneOf over heterogeneous types; on a string
+    // column the integer branch is simply false
+    val schema = """
+    {
+      "type": "object",
+      "required": ["conv_id", "turn_idx"],
+      "properties": {
+        "conv_id":  { "type": "string" },
+        "turn_idx": { "type": "integer" },
+        "v": { "oneOf": [ { "type": "string", "pattern": "^ok" }, { "type": "integer" } ] }
+      }
+    }"""
+    val df = Seq(
+      ("c1", 0, "ok_value"), // matches string branch only -> exactly one
+      ("c1", 1, "nope")      // matches neither -> oneOf violation
+    ).toDF("conv_id", "turn_idx", "v")
+    validate(schema, df) shouldBe Set((1, "oneOf"))
+  }
+
+  it should "evaluate not(incompatible-branch) as passing" in {
+    import spark.implicits._
+    val schema = """
+    {
+      "type": "object",
+      "required": ["conv_id", "turn_idx"],
+      "properties": {
+        "conv_id":  { "type": "string" },
+        "turn_idx": { "type": "integer" },
+        "v": { "not": { "type": "integer" } }
+      }
+    }"""
+    val df = Seq(("c1", 0, "anything")).toDF("conv_id", "turn_idx", "v")
+    validate(schema, df) shouldBe Set.empty
+  }
+
+  "additionalProperties" should "compile combinator-form sub-schemas (no fail-open)" in {
+    import spark.implicits._
+    val schema = """
+    {
+      "type": "object",
+      "required": ["conv_id", "turn_idx"],
+      "properties": {
+        "conv_id":  { "type": "string" },
+        "turn_idx": { "type": "integer" },
+        "attrs": {
+          "type": "object",
+          "properties": { "kind": {} },
+          "additionalProperties": { "not": { "type": "string", "pattern": "^bad" } }
+        }
+      }
+    }"""
+    val df = Seq(
+      ("c1", 0, Map("kind" -> "bad_is_fine_here", "k" -> "good")), // clean
+      ("c1", 1, Map("k" -> "bad_value"))                           // caught via `not`
+    ).toDF("conv_id", "turn_idx", "attrs")
+    validate(schema, df) shouldBe Set((1, "additionalProperties"))
+  }
+
+  it should "still treat the permissive schema as absent" in {
+    import spark.implicits._
+    val schema = """
+    {
+      "type": "object",
+      "required": ["conv_id", "turn_idx"],
+      "properties": {
+        "conv_id":  { "type": "string" },
+        "turn_idx": { "type": "integer" },
+        "attrs": { "type": "object", "additionalProperties": true }
+      }
+    }"""
+    val df = Seq(("c1", 0, Map("anything" -> "goes"))).toDF("conv_id", "turn_idx", "attrs")
+    validate(schema, df) shouldBe Set.empty
+  }
+
+  "type:string + format:date-time" should "accept a physical DATE column" in {
+    import spark.implicits._
+    val schema = """
+    {
+      "type": "object",
+      "required": ["conv_id", "turn_idx"],
+      "properties": {
+        "conv_id":  { "type": "string" },
+        "turn_idx": { "type": "integer" },
+        "d": { "type": "string", "format": "date-time" }
+      }
+    }"""
+    val df = Seq(("c1", 0, java.sql.Date.valueOf("2026-01-01")))
+      .toDF("conv_id", "turn_idx", "d")
+    df.schema("d").dataType shouldBe DateType
+    validate(schema, df) shouldBe Set.empty
+  }
+
+  "decimal bounds" should "compare in exact decimal arithmetic" in {
+    import spark.implicits._
+    // 1.000000000000000001 > 1.0 only in decimal; as a double both are 1.0
+    val df = Seq(("c1", 0, BigDecimal("1.000000000000000001")),
+                 ("c1", 1, BigDecimal("1.000000000000000000")))
+      .toDF("conv_id", "turn_idx", "v")
+      .withColumn("v", col("v").cast(DecimalType(38, 18)))
+    val schema = """
+    {
+      "type": "object",
+      "required": ["conv_id", "turn_idx"],
+      "properties": {
+        "conv_id":  { "type": "string" },
+        "turn_idx": { "type": "integer" },
+        "v": { "type": "number", "maximum": 1.0 }
+      }
+    }"""
+    validate(schema, df) shouldBe Set((0, "maximum"))
+  }
+}
