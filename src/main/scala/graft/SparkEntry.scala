@@ -6,7 +6,8 @@ import graft.compile.TableSchemaCompiler
 import graft.exprs.Validator
 import graft.integrity.Integrity
 import graft.pipeline.{Ann, Dedup, TextOps, Multimodal}
-import graft.sources.TranscriptDerive
+import graft.sources.{DirtyDerive, TranscriptDerive}
+import graft.stats.Stats
 
 /** Driver contract: one entry per implemented operator (SURVEY.md §2),
   * each with an equivalent DuckDB oracle (the transcripts table is
@@ -56,6 +57,28 @@ object SparkEntry {
   // ---- pointer SQL helper (must mirror ConstraintCompiler.pointerCol) ----
   private def ptrSql(column: String): String =
     s"'/' || replace(replace(conv_id,'~','~0'),'/','~1') || '/' || CAST(turn_idx AS VARCHAR) || '/$column'"
+
+  // pointer over (l_orderkey, l_linenumber)-keyed tables
+  private def kPtr(column: String): String =
+    s"'/' || CAST(l_orderkey AS VARCHAR) || '/' || CAST(l_linenumber AS VARCHAR) || '/$column'"
+
+  private def compileSchema(json: String) =
+    TableSchemaCompiler.compileString(json)
+      .fold(e => throw new IllegalArgumentException(e), identity)
+
+  private def dirtyViolations(s: SparkSession, dir: String, schemaJson: String): DataFrame =
+    Validator.violations(DirtyDerive.fromLineitem(s, dir), compileSchema(schemaJson),
+      Seq("l_orderkey", "l_linenumber"))
+
+  private val dirtyKeyProps =
+    """"l_orderkey": {"type": "integer"}, "l_linenumber": {"type": "integer"}"""
+
+  private val dCte: String = DirtyDerive.duckdbCte
+
+  /** t-digest acceptance band per profiled column (absolute, generous:
+    * the gate pins "sketch is sane", exactness is the exact_q column).
+    */
+  private val quantileProbs = Seq(0.25, 0.5, 0.75, 0.9, 0.99)
 
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     // ---------- constraint validation over derived transcripts ----------
@@ -191,12 +214,102 @@ object SparkEntry {
         col("label").cast("long").as("label"),
         round(Ann.l2Norm(col("embedding")), 6).as("l2"))),
 
-    // ---------- no SQL oracle (rows-only checks) ----------
-    "minhash_pairs" -> ((s, dir) =>
-      Dedup.minhashPairs(dedupPool(s, dir), threshold = 0.5)),
+    // ---------- keyword vocabulary over the dirty derived table ----------
+    "v_lengths_types" -> ((s, dir) => dirtyViolations(s, dir, s"""
+      { "type": "object", "required": ["l_orderkey", "l_linenumber"],
+        "properties": {
+          $dirtyKeyProps,
+          "code": { "type": "string", "minLength": 4, "maxLength": 7 },
+          "frac": { "type": "integer" }
+        } }""")),
 
-    "simhash_pairs" -> ((s, dir) =>
-      Dedup.simhashPairs(dedupPool(s, dir), maxHamming = 3)),
+    "v_formats" -> ((s, dir) => dirtyViolations(s, dir, s"""
+      { "type": "object", "required": ["l_orderkey", "l_linenumber"],
+        "properties": {
+          $dirtyKeyProps,
+          "email":  { "type": "string", "format": "email" },
+          "ip":     { "type": "string", "format": "ipv4" },
+          "url":    { "type": "string", "format": "uri" },
+          "dt_str": { "type": "string", "format": "date-time" }
+        } }""")),
+
+    "v_combinators" -> ((s, dir) => dirtyViolations(s, dir, s"""
+      { "type": "object", "required": ["l_orderkey", "l_linenumber"],
+        "properties": {
+          $dirtyKeyProps,
+          "onec": { "oneOf": [ { "type": "string", "pattern": "^ab" },
+                               { "type": "string", "pattern": "b" } ] },
+          "anyc": { "anyOf": [ { "type": "string", "pattern": "^x" },
+                               { "type": "string", "minLength": 5 } ] },
+          "allc": { "allOf": [ { "type": "string", "pattern": "^p" },
+                               { "type": "string", "maxLength": 4 } ] },
+          "notc": { "not": { "type": "string", "enum": ["forbidden"] } }
+        } }""")),
+
+    "v_arrays" -> ((s, dir) => dirtyViolations(s, dir, s"""
+      { "type": "object", "required": ["l_orderkey", "l_linenumber"],
+        "properties": {
+          $dirtyKeyProps,
+          "tags": { "type": "array", "minItems": 1, "maxItems": 4, "uniqueItems": true,
+                    "items": { "type": "string", "pattern": "^[a-z]+$$" } },
+          "pair": { "type": "array",
+                    "items": [ { "type": "string", "pattern": "^k" },
+                               { "type": "string", "pattern": "^v" } ],
+                    "additionalItems": false }
+        } }""")),
+
+    "v_maps" -> ((s, dir) => dirtyViolations(s, dir, s"""
+      { "type": "object", "required": ["l_orderkey", "l_linenumber"],
+        "properties": {
+          $dirtyKeyProps,
+          "attrs": { "type": "object", "minProperties": 1, "maxProperties": 3,
+                     "required": ["kind"],
+                     "properties": { "kind": { "type": "string", "enum": ["a", "b"] } },
+                     "patternProperties": { "^x_": { "type": "string", "pattern": "^[0-9]+$$" } },
+                     "additionalProperties": { "type": "string", "maxLength": 4 } }
+        } }""")),
+
+    // t-digest quantiles gated against the exact per-engine quantile:
+    // exact_q pins Spark `percentile` == DuckDB `quantile_cont`; td_ok
+    // pins the sketch inside an absolute band of the exact value
+    "stats_quantiles" -> ((s, dir) => {
+      val t = TranscriptDerive.fromLineitem(s, dir).select(
+        col("turn_idx").cast("double").as("v1"),
+        length(col("text")).cast("double").as("v2"))
+      val pArr = typedlit(quantileProbs)
+      val agg = t.agg(
+        percentile(col("v1"), pArr).as("e1"), Stats.quantileAgg(col("v1"), quantileProbs).as("t1"),
+        percentile(col("v2"), pArr).as("e2"), Stats.quantileAgg(col("v2"), quantileProbs).as("t2"))
+      val rows = quantileProbs.zipWithIndex.flatMap { case (p, i) =>
+        def one(name: String, e: String, td: String, band: Double) =
+          struct(lit(name).as("col_name"), lit(p).as("p"),
+            round(element_at(col(e), i + 1), 6).as("exact_q"),
+            (abs(element_at(col(td), i + 1) - element_at(col(e), i + 1)) <= lit(band)).as("td_ok"))
+        Seq(one("turn_idx", "e1", "t1", 0.75), one("text_len", "e2", "t2", 2.0))
+      }
+      agg.select(explode(array(rows: _*)).as("s")).select(col("s.*"))
+    }),
+
+    // MinHash+LSH near-dup pairs. With the planted corpus the true-pair
+    // Jaccard spectrum is bimodal (~0.003 random vs >=0.9 planted), so
+    // 16 one-row bands recall every >=0.5 pair deterministically and the
+    // exact all-pairs DuckDB oracle is an equality check, not a bound.
+    "minhash_pairs" -> ((s, dir) =>
+      Dedup.minhashPairs(dedupPool(s, dir), k = 16, bands = 16, threshold = 0.5)
+        .select(col("id_a"), col("id_b"), round(col("jaccard"), 6).as("jaccard"))),
+
+    // SimHash pairs restricted to the exact-duplicate ground truth:
+    // identical text => identical signature => all bands collide and
+    // hamming = 0, so the pair set is provably the md5 self-join
+    "simhash_dup_pairs" -> ((s, dir) => {
+      val pool = dedupPool(s, dir)
+      val pairs = Dedup.simhashPairs(pool, maxHamming = 0)
+      val ta = pool.select(col("doc_id").as("id_a"), col("text").as("ta"))
+      val tb = pool.select(col("doc_id").as("id_b"), col("text").as("tb"))
+      pairs.join(ta, "id_a").join(tb, "id_b")
+        .filter(col("ta") === col("tb"))
+        .select(col("id_a"), col("id_b"), col("hamming").cast("long").as("hamming"))
+    }),
 
     "ivf_topk" -> ((s, dir) => {
       val e = embeddings(s, dir)
@@ -286,6 +399,125 @@ object SparkEntry {
         |  CAST(l_discount AS VARCHAR) AS actual
         |FROM lineitem
         |WHERE CAST(l_discount AS DECIMAL(38,12)) % 0.02 <> 0""".stripMargin,
+
+    "v_lengths_types" ->
+      s"""WITH $dCte
+         |SELECT l_orderkey, l_linenumber, ${kPtr("code")} AS pointer, 'minLength' AS "constraint", code AS actual
+         |FROM dirty WHERE length(code) < 4
+         |UNION ALL
+         |SELECT l_orderkey, l_linenumber, ${kPtr("code")}, 'maxLength', code
+         |FROM dirty WHERE length(code) > 7
+         |UNION ALL
+         |SELECT l_orderkey, l_linenumber, ${kPtr("frac")}, 'type:integer', CAST(frac AS VARCHAR)
+         |FROM dirty WHERE frac <> floor(frac)""".stripMargin,
+
+    "v_formats" ->
+      s"""WITH $dCte
+         |SELECT l_orderkey, l_linenumber, ${kPtr("email")} AS pointer, 'format:email' AS "constraint", email AS actual
+         |FROM dirty WHERE NOT regexp_matches(email, '^[^@\\s]+@[^@\\s]+\\.[^@\\s]+$$')
+         |UNION ALL
+         |SELECT l_orderkey, l_linenumber, ${kPtr("ip")}, 'format:ipv4', ip
+         |FROM dirty WHERE NOT regexp_matches(ip, '^((25[0-5]|2[0-4][0-9]|[01]?[0-9][0-9]?)\\.){3}(25[0-5]|2[0-4][0-9]|[01]?[0-9][0-9]?)$$')
+         |UNION ALL
+         |SELECT l_orderkey, l_linenumber, ${kPtr("url")}, 'format:uri', url
+         |FROM dirty WHERE NOT regexp_matches(url, '^[A-Za-z][A-Za-z0-9+.-]*:')
+         |UNION ALL
+         |SELECT l_orderkey, l_linenumber, ${kPtr("dt_str")}, 'format:date-time', dt_str
+         |FROM dirty WHERE TRY_CAST(dt_str AS TIMESTAMP) IS NULL""".stripMargin,
+
+    "v_combinators" ->
+      s"""WITH $dCte
+         |SELECT l_orderkey, l_linenumber, ${kPtr("onec")} AS pointer, 'oneOf' AS "constraint", onec AS actual
+         |FROM dirty
+         |WHERE (CASE WHEN regexp_matches(onec, '^ab') THEN 1 ELSE 0 END
+         |     + CASE WHEN regexp_matches(onec, 'b') THEN 1 ELSE 0 END) <> 1
+         |UNION ALL
+         |SELECT l_orderkey, l_linenumber, ${kPtr("anyc")}, 'anyOf', anyc
+         |FROM dirty WHERE NOT (regexp_matches(anyc, '^x') OR length(anyc) >= 5)
+         |UNION ALL
+         |SELECT l_orderkey, l_linenumber, ${kPtr("allc")}, 'allOf', allc
+         |FROM dirty WHERE NOT (regexp_matches(allc, '^p') AND length(allc) <= 4)
+         |UNION ALL
+         |SELECT l_orderkey, l_linenumber, ${kPtr("notc")}, 'not', notc
+         |FROM dirty WHERE notc = 'forbidden'""".stripMargin,
+
+    // array/map branches are the planted ground truth; `actual` is the
+    // to_json rendering of the branch literal
+    "v_arrays" ->
+      s"""WITH $dCte
+         |SELECT l_orderkey, l_linenumber, ${kPtr("tags")} AS pointer, 'minItems' AS "constraint", '[]' AS actual
+         |FROM dirty WHERE l_orderkey % 11 = 0
+         |UNION ALL
+         |SELECT l_orderkey, l_linenumber, ${kPtr("tags")}, 'maxItems', '["ok","fine","aa","bb","cc"]'
+         |FROM dirty WHERE l_orderkey % 11 = 1
+         |UNION ALL
+         |SELECT l_orderkey, l_linenumber, ${kPtr("tags")}, 'uniqueItems', '["dup","dup"]'
+         |FROM dirty WHERE l_orderkey % 11 = 2
+         |UNION ALL
+         |SELECT l_orderkey, l_linenumber, ${kPtr("tags")}, 'items', '["UPPER"]'
+         |FROM dirty WHERE l_orderkey % 11 = 3
+         |UNION ALL
+         |SELECT l_orderkey, l_linenumber, ${kPtr("pair")}, 'items[0]', '["bad","val"]'
+         |FROM dirty WHERE l_orderkey % 13 = 0
+         |UNION ALL
+         |SELECT l_orderkey, l_linenumber, ${kPtr("pair")}, 'items[1]', '["key","bad"]'
+         |FROM dirty WHERE l_orderkey % 13 = 1
+         |UNION ALL
+         |SELECT l_orderkey, l_linenumber, ${kPtr("pair")}, 'additionalItems', '["key","val","extra"]'
+         |FROM dirty WHERE l_orderkey % 13 = 2""".stripMargin,
+
+    "v_maps" ->
+      s"""WITH $dCte
+         |SELECT l_orderkey, l_linenumber, ${kPtr("attrs")} AS pointer, 'minProperties' AS "constraint", '{}' AS actual
+         |FROM dirty WHERE l_orderkey % 9 = 0
+         |UNION ALL
+         |SELECT l_orderkey, l_linenumber, ${kPtr("attrs")}, 'properties/kind', '{}'
+         |FROM dirty WHERE l_orderkey % 9 = 0
+         |UNION ALL
+         |SELECT l_orderkey, l_linenumber, ${kPtr("attrs")}, 'properties/kind', '{"kind":"z"}'
+         |FROM dirty WHERE l_orderkey % 9 = 1
+         |UNION ALL
+         |SELECT l_orderkey, l_linenumber, ${kPtr("attrs")}, 'patternProperties', '{"kind":"a","x_1":"oops"}'
+         |FROM dirty WHERE l_orderkey % 9 = 2
+         |UNION ALL
+         |SELECT l_orderkey, l_linenumber, ${kPtr("attrs")}, 'additionalProperties', '{"kind":"a","zz":"waytoolong"}'
+         |FROM dirty WHERE l_orderkey % 9 = 3
+         |UNION ALL
+         |SELECT l_orderkey, l_linenumber, ${kPtr("attrs")}, 'maxProperties', '{"kind":"a","p":"1","q":"2","r":"3"}'
+         |FROM dirty WHERE l_orderkey % 9 = 4""".stripMargin,
+
+    "stats_quantiles" -> {
+      val rows = quantileProbs.flatMap { p =>
+        Seq(
+          s"SELECT 'turn_idx' AS col_name, $p AS p, ROUND(quantile_cont(v1, $p), 6) AS exact_q, TRUE AS td_ok FROM vals",
+          s"SELECT 'text_len', $p, ROUND(quantile_cont(v2, $p), 6), TRUE FROM vals")
+      }
+      s"""WITH $tCte,
+         |vals AS (SELECT CAST(turn_idx AS DOUBLE) AS v1, CAST(length(text) AS DOUBLE) AS v2 FROM transcripts)
+         |${rows.mkString("\nUNION ALL\n")}""".stripMargin
+    },
+
+    // exact all-pairs shingle-Jaccard ground truth (the LSH output must
+    // EQUAL it: the corpus has no pairs near the 0.5 boundary)
+    "minhash_pairs" ->
+      s"""WITH $poolCte,
+         |sh AS (
+         |  SELECT doc_id,
+         |    CASE WHEN len(toks) < 3 THEN [array_to_string(toks, ' ')]
+         |         ELSE list_transform(range(1, len(toks) - 1),
+         |                i -> toks[i] || ' ' || toks[i+1] || ' ' || toks[i+2]) END AS sh
+         |  FROM (SELECT doc_id, regexp_split_to_array(trim(lower(text)), '\\s+') AS toks FROM pool)),
+         |pairs AS (
+         |  SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+         |    CAST(len(list_intersect(list_distinct(a.sh), list_distinct(b.sh))) AS DOUBLE)
+         |      / len(list_distinct(list_concat(a.sh, b.sh))) AS j
+         |  FROM sh a JOIN sh b ON a.doc_id < b.doc_id)
+         |SELECT id_a, id_b, ROUND(j, 6) AS jaccard FROM pairs WHERE j >= 0.5""".stripMargin,
+
+    "simhash_dup_pairs" ->
+      s"""WITH $poolCte
+         |SELECT a.doc_id AS id_a, b.doc_id AS id_b, CAST(0 AS BIGINT) AS hamming
+         |FROM pool a JOIN pool b ON a.text = b.text AND a.doc_id < b.doc_id""".stripMargin,
 
     "dedup_exact" ->
       s"""WITH $poolCte

@@ -341,7 +341,10 @@ object ConstraintCompiler {
           case "date-time" =>
             if (dt == TimestampType || dt == TimestampNTZType || dt == DateType)
               None // physically guaranteed
-            else Some(to_timestamp(c).isNotNull)
+            // try_ variant: under ANSI mode (Spark 4 default) to_timestamp
+            // THROWS on a malformed string — a validator must classify bad
+            // values, not crash on them
+            else Some(try_to_timestamp(c).isNotNull)
           case "email"    => Some(c.rlike("^[^@\\s]+@[^@\\s]+\\.[^@\\s]+$"))
           case "hostname" => Some(c.rlike("^(?=.{1,253}$)[A-Za-z0-9]([A-Za-z0-9-]{0,61}[A-Za-z0-9])?(\\.[A-Za-z0-9]([A-Za-z0-9-]{0,61}[A-Za-z0-9])?)*$"))
           case "ipv4"     => Some(c.rlike("^((25[0-5]|2[0-4][0-9]|[01]?[0-9][0-9]?)\\.){3}(25[0-5]|2[0-4][0-9]|[01]?[0-9][0-9]?)$"))
