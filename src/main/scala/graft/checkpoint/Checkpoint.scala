@@ -2,7 +2,7 @@ package graft.checkpoint
 
 import java.nio.file.{Files, Paths, StandardOpenOption}
 import scala.jdk.CollectionConverters._
-import org.apache.spark.sql.{DataFrame, Observation, SparkSession}
+import org.apache.spark.sql.SparkSession
 import org.apache.spark.sql.functions._
 import graft.compile.TableSchema
 import graft.exprs.Validator
@@ -78,11 +78,14 @@ object Checkpoint {
       StandardOpenOption.CREATE, StandardOpenOption.APPEND)
   }
 
-  /** Stable directory name for a unit. */
-  def unitDirName(unit: String): String = {
+  /** Stable partition-key value for a unit (the `unit=` partition dir). */
+  def unitKey(unit: String): String = {
     val base = new java.io.File(unit).getName.replaceAll("[^A-Za-z0-9._-]", "_")
-    f"unit=${base}_${unit.hashCode & 0x7fffffff}%08x"
+    f"${base}_${unit.hashCode & 0x7fffffff}%08x"
   }
+
+  /** Stable directory name for a unit. */
+  def unitDirName(unit: String): String = s"unit=${unitKey(unit)}"
 
   /** List the parquet data files of a table directory (the unit set). */
   def listUnits(spark: SparkSession, inputDir: String): Seq[String] = {
@@ -95,31 +98,70 @@ object Checkpoint {
     files.sorted
   }
 
-  /** Run validation over all pending units; returns results for units
-    * processed in THIS run. Each unit: one pass emitting violations
-    * (written under `outDir/<unitDir>/`) with row/violation counts
-    * observed in the same pass (no second scan of the data).
+  /** Run validation over all pending units in BATCHES of `batchSize`
+    * files per Spark job (a sequential one-job-per-unit loop is
+    * driver-bound at 100k+ lake files: each submission costs scheduler
+    * round-trips regardless of data volume). Per batch:
+    *
+    *  1. one validation job over all the batch's files, lineage via
+    *     `input_file_name()`, violations written partitioned by the
+    *     stable `unit` key (same `unit=<key>/` layout as per-unit
+    *     writes; dynamic partition overwrite keeps a re-run of a
+    *     half-finished batch idempotent);
+    *  2. one narrow count job for per-unit (rows, violations) metrics —
+    *     a zero-data-column scan grouped by file.
+    *
+    * Manifest entries are appended only after the batch's write
+    * completes, so a kill mid-batch redoes exactly that batch and the
+    * final outputs are identical to an uninterrupted run. Returns
+    * results for units processed in THIS run.
     */
   def runValidation(spark: SparkSession, inputDir: String, schema: TableSchema,
                     outDir: String, manifestPath: String,
-                    snapshotId: Option[Long] = None): Seq[UnitResult] = {
+                    snapshotId: Option[Long] = None,
+                    batchSize: Int = 64): Seq[UnitResult] = {
     val done = completedUnits(manifestPath)
     val pending = listUnits(spark, inputDir).filterNot(done)
-    pending.map { unit =>
+    pending.grouped(batchSize).flatMap { batch =>
       val t0 = System.nanoTime()
-      val df = spark.read.parquet(unit)
-      val rowsObs = Observation()
-      val observed = df.observe(rowsObs, count(lit(1)).as("rows"))
-      val vios = Validator.validateTranscripts(observed, schema)
-      val vioObs = Observation()
-      vios.toDF().observe(vioObs, count(lit(1)).as("violations"))
-        .write.mode("overwrite").parquet(s"$outDir/${unitDirName(unit)}")
-      val rows = rowsObs.get("rows").asInstanceOf[Long]
-      val nVios = vioObs.get("violations").asInstanceOf[Long]
-      val r = UnitResult(unit, snapshotId, rows, nVios, nVios == 0,
-        (System.nanoTime() - t0) / 1000000)
-      appendResult(manifestPath, r)
-      r
-    }
+      // normalize file:// URIs back to the local paths listUnits produced
+      val unitCol = regexp_replace(input_file_name(), "^file:(//)?", "")
+      val keyExpr = batch.foldLeft(lit(null).cast("string")) { (acc, unit) =>
+        when(unitCol === unit, lit(unitKey(unit))).otherwise(acc)
+      }
+      val df = spark.read.parquet(batch: _*).withColumn("unit", keyExpr)
+      val checks = graft.exprs.ConstraintCompiler.compile(schema, df.schema)
+        .fold(e => throw new IllegalArgumentException(e), identity)
+      Validator.violationsForChecks(df, checks, Seq("conv_id", "turn_idx"), carryCols = Seq("unit"))
+        .select(col("conv_id"), col("turn_idx").cast("int").as("turn_idx"),
+          col("pointer"), col("constraint"), col("actual"), col("unit"))
+        .write.mode("overwrite")
+        .option("partitionOverwriteMode", "dynamic")
+        .partitionBy("unit")
+        .parquet(outDir)
+
+      // per-unit metrics: rows from a zero-column grouped scan of the
+      // inputs; violation rows from the (tiny) freshly-written output
+      val rowsByUnit = spark.read.parquet(batch: _*)
+        .groupBy(unitCol.as("unit")).agg(count(lit(1)).as("rows"))
+        .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+      // all-clean units write no partition dir at all — count only what exists
+      val writtenDirs = batch.map(u => s"$outDir/${unitDirName(u)}")
+        .filter(p => new java.io.File(p).isDirectory)
+      val viosByKey =
+        if (writtenDirs.isEmpty) Map.empty[String, Long]
+        else spark.read.parquet(writtenDirs: _*)
+          .withColumn("unit", regexp_extract(input_file_name(), "unit=([^/]+)/", 1))
+          .groupBy("unit").agg(count(lit(1)).as("violations"))
+          .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+      val wallPerUnit = (System.nanoTime() - t0) / 1000000 / batch.size
+      batch.map { unit =>
+        val rows = rowsByUnit.getOrElse(unit, 0L)
+        val nVios = viosByKey.getOrElse(unitKey(unit), 0L)
+        val r = UnitResult(unit, snapshotId, rows, nVios, nVios == 0, wallPerUnit)
+        appendResult(manifestPath, r)
+        r
+      }
+    }.toSeq
   }
 }

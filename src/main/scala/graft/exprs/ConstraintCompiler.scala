@@ -480,7 +480,11 @@ object Validator {
     violationsForChecks(df, checks, keyCols)
   }
 
-  def violationsForChecks(df: DataFrame, checks: Seq[Check], keyCols: Seq[String]): DataFrame = {
+  /** `carryCols` are passed through to the output unchanged (e.g. a
+    * lineage/partition column) without participating in the pointer.
+    */
+  def violationsForChecks(df: DataFrame, checks: Seq[Check], keyCols: Seq[String],
+                          carryCols: Seq[String] = Nil): DataFrame = {
     require(checks.nonEmpty, "no checks compiled")
     val vioStructs = checks.map { ch =>
       when(!ch.ok, struct(
@@ -495,10 +499,11 @@ object Validator {
     //  2. explode (codegen Generate) fans out the per-check structs;
     //  3. compiled null filter drops the passing checks.
     val anyViolation = !checks.map(_.ok).reduce(_ && _)
+    val passthrough = keyCols ++ carryCols
     df.filter(anyViolation)
-      .select(keyCols.map(col) :+ explode(array(vioStructs: _*)).as("__v"): _*)
+      .select(passthrough.map(col) :+ explode(array(vioStructs: _*)).as("__v"): _*)
       .filter(col("__v").isNotNull)
-      .select(keyCols.map(col) :+ col("__v.pointer") :+ col("__v.constraint") :+ col("__v.actual"): _*)
+      .select(passthrough.map(col) :+ col("__v.pointer") :+ col("__v.constraint") :+ col("__v.actual"): _*)
   }
 
   /** Typed transcript validation (the flagship path). */

@@ -1,17 +1,21 @@
 package graft.pipeline
 
 import org.apache.spark.sql.{Column, DataFrame}
-import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
+import graft.functions.TopK.topK
 
 /** Approximate-nearest-neighbor search over an embedding column
   * (`array<float>`).
   *
-  *  - [[cosine]] / [[l2Norm]]: higher-order-function arithmetic in
-  *    double precision (codegen'd; no UDF).
+  *  - [[cosine]] / [[l2Norm]]: double-precision arithmetic via the custom
+  *    codegen'd kernel (no UDF, no interpreted HOF on the hot path).
   *  - [[bruteForceTopK]]: the exactness baseline — broadcast the (small)
   *    query set, crossJoin against candidates (narrow, no shuffle of the
-  *    big side), window top-k per query. Scales linearly in candidates.
+  *    big side), then a map-side-partial bounded-heap top-k per query
+  *    ([[graft.functions.TopKAggregator]]). The exchange carries at most
+  *    k rows per (query, map task), never the full scored cross product —
+  *    the `row_number` window form would move |q|x|cands| rows into one
+  *    partition per query.
   *  - [[ivfTopK]]: the scale path — IVF-style coarse quantization:
   *    candidates are bucketed by nearest centroid (broadcast centroids),
   *    queries probe `nprobe` nearest buckets only. At 100 TB the probe
@@ -39,9 +43,16 @@ object Ann {
   def cosine(a: Column, b: Column): Column =
     dot(a, b) / (l2Norm(a) * l2Norm(b))
 
+  /** Explode a `topK` array into ranked rows (rank 1 = best). */
+  private def explodeRanked(grouped: DataFrame, keyCol: String): DataFrame =
+    grouped
+      .select(col(keyCol), posexplode(col("top")).as(Seq("pos", "s")))
+      .select(col(keyCol), col("s._2").as("cand_id"), col("s._1").as("sim"),
+        (col("pos") + 1).cast("int").as("rank"))
+
   /** Exact top-k cosine neighbors of each query among candidates.
     * Ranking uses (rounded sim DESC, candidate id ASC) so ties are
-    * deterministic across engines and runs.
+    * deterministic across engines, runs, and cluster sizes.
     */
   def bruteForceTopK(queries: DataFrame, candidates: DataFrame, k: Int,
                      idCol: String = "vec_id", embCol: String = "embedding"): DataFrame = {
@@ -54,35 +65,41 @@ object Ann {
     val scored = c.crossJoin(broadcast(q))
       .select(col("query_id"), col("cand_id"),
         round(dot(col("q_emb"), col("c_emb")) / (col("q_norm") * col("c_norm")), 6).as("sim"))
-    val w = Window.partitionBy("query_id").orderBy(col("sim").desc, col("cand_id").asc)
-    scored.withColumn("rank", row_number().over(w))
-      .filter(col("rank") <= k)
-      .select("query_id", "cand_id", "sim", "rank")
+    explodeRanked(
+      scored.groupBy("query_id")
+        .agg(topK(k)(col("sim"), col("cand_id").cast("long")).as("top")),
+      "query_id")
   }
 
-  /** Assign each vector to its nearest centroid (broadcast centroids,
-    * then a partial-aggregable `min(struct(dist, id))` — NOT a window
-    * sort: the argmin combines map-side, so the shuffle carries one row
-    * per vector, not |vectors| x |centroids| rows).
+  /** Assign each vector to its nearest centroid. The argmin aggregation
+    * carries ONLY (id, centroid) through the exchange — the embedding
+    * payload stays out of the shuffle and is re-attached by joining the
+    * (narrow, typically broadcastable) assignment back to the vector
+    * table. The `min(struct(dist, id))` form partial-aggregates
+    * map-side, so the shuffle sees one narrow row per vector per task.
     */
   def assignToCentroids(df: DataFrame, centroids: DataFrame,
                         idCol: String = "vec_id", embCol: String = "embedding"): DataFrame = {
     val cents = centroids.select(col(idCol).as("centroid_id"), col(embCol).as("cent_emb"),
       l2Norm(col(embCol)).as("cent_norm"))
-    df.withColumn("__norm", l2Norm(col(embCol)))
+    val assignment = df
+      .select(col(idCol), col(embCol), l2Norm(col(embCol)).as("__norm"))
       .crossJoin(broadcast(cents))
-      .groupBy(col(idCol))
-      .agg(
-        first(col(embCol)).as(embCol),
-        min(struct(
+      .select(col(idCol),
+        struct(
           (-round(dot(col(embCol), col("cent_emb")) / (col("__norm") * col("cent_norm")), 9)).as("d"),
-          col("centroid_id"))).as("best"))
-      .select(col(idCol), col(embCol), col("best.centroid_id").as("centroid_id"))
+          col("centroid_id")).as("cand"))
+      .groupBy(col(idCol))
+      .agg(min(col("cand")).as("best"))
+      .select(col(idCol), col("best.centroid_id").as("centroid_id"))
+    df.select(col(idCol), col(embCol)).join(assignment, idCol)
   }
 
   /** IVF search: probe the query's nearest `nprobe` centroid buckets
     * only. Deterministic centroids make this reproducible; recall vs
-    * [[bruteForceTopK]] is asserted in tests.
+    * [[bruteForceTopK]] is asserted in tests. Both rankings (probe
+    * selection and final top-k) are bounded-heap aggregations — no
+    * global windows anywhere in the plan.
     */
   def ivfTopK(queries: DataFrame, candidates: DataFrame, centroids: DataFrame,
               k: Int, nprobe: Int = 2,
@@ -93,22 +110,29 @@ object Ann {
       .select(col(idCol).as("cand_id"), col(embCol).as("c_emb"),
         l2Norm(col(embCol)).as("c_norm"), col("centroid_id"))
 
-    // nprobe nearest centroids per query (query set is small: window ok)
-    val wq = Window.partitionBy("query_id").orderBy(col("d").asc, col("centroid_id").asc)
+    // nprobe nearest centroids per query: same bounded-heap shape (the
+    // score is the NEGATED rounded distance so "best" = nearest; the
+    // centroid-id-asc tiebreak matches the distance-then-id ordering)
     val probes = queries.select(col(idCol).as("query_id"), col(embCol).as("q_emb"),
         l2Norm(col(embCol)).as("q_norm"))
       .crossJoin(broadcast(cents))
-      .withColumn("d", -round(dot(col("q_emb"), col("cent_emb")) / (col("q_norm") * col("cent_norm")), 9))
-      .withColumn("r", row_number().over(wq))
-      .filter(col("r") <= nprobe)
-      .select("query_id", "q_emb", "q_norm", "centroid_id")
+      .select(col("query_id"), col("q_emb"), col("q_norm"),
+        round(dot(col("q_emb"), col("cent_emb")) / (col("q_norm") * col("cent_norm")), 9).as("sim"),
+        col("centroid_id"))
+      .groupBy("query_id")
+      .agg(first(col("q_emb")).as("q_emb"), first(col("q_norm")).as("q_norm"),
+        topK(nprobe)(col("sim"), col("centroid_id").cast("long")).as("top"))
+      .select(col("query_id"), col("q_emb"), col("q_norm"),
+        explode(col("top")).as("s"))
+      .select(col("query_id"), col("q_emb"), col("q_norm"), col("s._2").as("centroid_id"))
 
-    val w = Window.partitionBy("query_id").orderBy(col("sim").desc, col("cand_id").asc)
-    bucketed.join(broadcast(probes), Seq("centroid_id"))
+    val scored = bucketed.join(broadcast(probes),
+        bucketed("centroid_id") === probes("centroid_id"))
       .select(col("query_id"), col("cand_id"),
         round(dot(col("q_emb"), col("c_emb")) / (col("q_norm") * col("c_norm")), 6).as("sim"))
-      .withColumn("rank", row_number().over(w))
-      .filter(col("rank") <= k)
-      .select("query_id", "cand_id", "sim", "rank")
+    explodeRanked(
+      scored.groupBy("query_id")
+        .agg(topK(k)(col("sim"), col("cand_id").cast("long")).as("top")),
+      "query_id")
   }
 }

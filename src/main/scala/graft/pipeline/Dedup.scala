@@ -66,12 +66,32 @@ object Dedup {
         min(xxhash64(col("s"), lit(0))).as("m0"),
         (1 until k).map(seed => min(xxhash64(col("s"), lit(seed))).as(s"m$seed")): _*)
 
+  /** Guard against quadratic blowup in a band self-join: a bucket of n
+    * rows yields n^2/2 candidate pairs, and a corpus with thousands of
+    * byte-identical documents puts ALL of them in the same bucket for
+    * EVERY band. Buckets above `maxBucket` are dropped from the join
+    * (skip-and-continue — the standard LSH hot-bucket policy; callers
+    * that must not miss exact-dup pairs should run [[exactGroups]]
+    * first, which finds those pairs in one linear groupBy). The count
+    * aggregation partial-combines map-side and re-shuffles on the same
+    * (band, bucket) key the self-join needs, so AQE can reuse the
+    * exchange.
+    */
+  private def capBuckets(banded: DataFrame, keys: Seq[String], maxBucket: Int): DataFrame = {
+    val counts = banded.groupBy(keys.map(col): _*)
+      .agg(count(lit(1)).as("__bucket_n"))
+      .filter(col("__bucket_n") <= maxBucket)
+    banded.join(counts, keys).drop("__bucket_n")
+  }
+
   /** LSH candidate pairs: signatures banded into `bands` groups; same
     * (band index, band hash) -> candidate. Returns (id_a, id_b, jaccard)
-    * for verified pairs with jaccard >= threshold.
+    * for verified pairs with jaccard >= threshold. Buckets larger than
+    * `maxBucket` are skipped (see [[capBuckets]]).
     */
   def minhashPairs(df: DataFrame, textCol: String = "text", idCol: String = "doc_id",
-                   k: Int = 16, bands: Int = 4, threshold: Double = 0.7): DataFrame = {
+                   k: Int = 16, bands: Int = 4, threshold: Double = 0.7,
+                   maxBucket: Int = 4096): DataFrame = {
     require(k % bands == 0)
     val rowsPerBand = k / bands
     val sig = minhashSigTable(df, textCol, idCol, k)
@@ -80,7 +100,9 @@ object Dedup {
     val bandHashes = (0 until bands).map { b =>
       hash((b * rowsPerBand until (b + 1) * rowsPerBand).map(i => col(s"m$i")): _*)
     }
-    val banded = sig.select(col("id"), posexplode(array(bandHashes: _*)).as(Seq("band", "bandHash")))
+    val banded = capBuckets(
+      sig.select(col("id"), posexplode(array(bandHashes: _*)).as(Seq("band", "bandHash"))),
+      Seq("band", "bandHash"), maxBucket)
 
     val a = banded.select(col("band"), col("bandHash"), col("id").as("id_a"))
     val b = banded.select(col("band"), col("bandHash"), col("id").as("id_b"))
@@ -149,13 +171,14 @@ object Dedup {
     * value -> candidate; verified by hamming distance <= maxHamming.
     */
   def simhashPairs(df: DataFrame, textCol: String = "text", idCol: String = "doc_id",
-                   maxHamming: Int = 3): DataFrame = {
+                   maxHamming: Int = 3, maxBucket: Int = 4096): DataFrame = {
     val withSim = simhashTable(df, textCol, idCol)
-    val banded = withSim.select(
+    val banded = capBuckets(withSim.select(
       col("id"), col("simhash"),
       posexplode(array((0 until 4).map { b =>
         shiftright(col("simhash"), b * 16).bitwiseAND(lit(0xFFFFL))
-      }: _*)).as(Seq("band", "bandVal")))
+      }: _*)).as(Seq("band", "bandVal"))),
+      Seq("band", "bandVal"), maxBucket)
     val a = banded.select(col("band"), col("bandVal"), col("id").as("id_a"), col("simhash").as("sim_a"))
     val b = banded.select(col("band"), col("bandVal"), col("id").as("id_b"), col("simhash").as("sim_b"))
     a.join(b, Seq("band", "bandVal"))

@@ -80,4 +80,40 @@ class CheckpointSpec extends AnyFlatSpec with Matchers {
     readAllViolations(s"$outPart/v") shouldBe expected
     Checkpoint.completedUnits(manifest.toString).size shouldBe 4
   }
+
+  it should "batch units into group jobs and stay resume-correct across batch boundaries" in {
+    val in = tmp() + "/in"
+    TranscriptGen.generate(spark, 70, 10,
+      TranscriptGen.Defects(badEnumRole = true, negativeTurnIdx = true))
+      .repartition(7).write.mode("overwrite").parquet(in)
+
+    // reference: everything in one batch
+    val outFull = tmp()
+    val full = Checkpoint.runValidation(spark, in, schema, s"$outFull/v", s"$outFull/manifest.jsonl",
+      batchSize = 64)
+    full.size shouldBe 7
+    full.map(_.rows).sum shouldBe 700L
+    val expected = readAllViolations(s"$outFull/v")
+
+    // small batches + a kill that lands mid-"batch plan" (keep 2 of 7
+    // entries, not a multiple of batchSize): resume must redo exactly
+    // the 5 missing units and converge to identical outputs and metrics
+    val outPart = tmp()
+    Checkpoint.runValidation(spark, in, schema, s"$outPart/v", s"$outPart/manifest.jsonl",
+      batchSize = 3)
+    val manifest = Paths.get(s"$outPart/manifest.jsonl")
+    val lines = Files.readAllLines(manifest).asScala.toList
+    lines.size shouldBe 7
+    Files.write(manifest, lines.take(2).asJava)
+    val resumed = Checkpoint.runValidation(spark, in, schema, s"$outPart/v", s"$outPart/manifest.jsonl",
+      batchSize = 3)
+    resumed.size shouldBe 5
+
+    readAllViolations(s"$outPart/v") shouldBe expected
+    val fullMetrics = Checkpoint.completedMetrics(s"$outFull/manifest.jsonl")
+      .map { case (u, r, v) => (u.substring(u.lastIndexOf('/')), r, v) }.sorted
+    val partMetrics = Checkpoint.completedMetrics(s"$outPart/manifest.jsonl")
+      .map { case (u, r, v) => (u.substring(u.lastIndexOf('/')), r, v) }.sorted
+    partMetrics shouldBe fullMetrics
+  }
 }

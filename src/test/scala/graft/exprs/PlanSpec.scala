@@ -81,6 +81,35 @@ class PlanSpec extends AnyFlatSpec with Matchers {
     shuffleCount(df) shouldBe 1
   }
 
+  "ANN top-k ranking" should "be a partial-aggregating bounded heap, not a window" in {
+    val e = spark.read.parquet(s"$sfDir/embeddings.parquet")
+    val bf = graft.pipeline.Ann.bruteForceTopK(
+      e.filter(col("vec_id") < 8), e.filter(col("vec_id") >= 8), 10)
+    val ivf = graft.pipeline.Ann.ivfTopK(
+      e.filter(col("vec_id") < 8), e.filter(col("vec_id") >= 8),
+      e.filter(col("vec_id") % 97 === 0), k = 10, nprobe = 2)
+    for (df <- Seq(bf, ivf)) {
+      val plan = df.queryExecution.executedPlan.toString
+      // no global per-query sort of the full scored set
+      plan should not include "Window"
+      // the typed aggregator partial-aggregates map-side before its
+      // exchange, so the shuffle carries <= k rows per query per task
+      plan should include("ObjectHashAggregate")
+      plan should include("partial_topkaggregator") // map-side phase present
+    }
+  }
+
+  "IVF centroid assignment" should "shuffle only (id, centroid) pairs, not embeddings" in {
+    val e = spark.read.parquet(s"$sfDir/embeddings.parquet")
+    val assigned = graft.pipeline.Ann.assignToCentroids(
+      e.filter(col("vec_id") >= 8), e.filter(col("vec_id") % 97 === 0))
+    val plan = formatted(assigned)
+    // the argmin aggregate output is narrow; the embedding payload is
+    // re-attached by a join (broadcastable assignment), never aggregated
+    plan should not include "first(embedding"
+    assigned.columns.toSet shouldBe Set("vec_id", "embedding", "centroid_id")
+  }
+
   "whole-stage codegen" should "cover the validator projection" in {
     val t = graft.sources.TranscriptDerive.fromLineitem(spark, sfDir)
     val exec = Validator.validateTranscripts(t, schema).toDF().queryExecution.executedPlan

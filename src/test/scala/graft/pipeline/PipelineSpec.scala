@@ -56,6 +56,27 @@ class PipelineSpec extends AnyFlatSpec with Matchers {
     all(pairs.map(_.getAs[Int]("hamming"))) should be <= 3
   }
 
+  "the LSH hot-bucket guard" should "skip oversized buckets instead of going quadratic" in {
+    import spark.implicits._
+    // 10k byte-identical docs + 2 planted near-dups: without the cap the
+    // identical docs form a ~5*10^7-pair self-join in EVERY band
+    val clones = spark.range(0, 10000)
+      .select(col("id").as("doc_id"), lit("the same document text repeated verbatim").as("text"))
+    // identical pair => guaranteed bucket collision for both algorithms
+    val distinctDocs = Seq(
+      (20001L, "alpha beta gamma delta epsilon zeta eta theta"),
+      (20002L, "alpha beta gamma delta epsilon zeta eta theta")
+    ).toDF("doc_id", "text")
+    val pool = clones.unionByName(distinctDocs)
+
+    val capped = Dedup.minhashPairs(pool, threshold = 0.5, maxBucket = 100).collect()
+    // the clone mega-bucket was skipped entirely...
+    capped.map(r => (r.getLong(0), r.getLong(1))).toSet shouldBe Set((20001L, 20002L))
+    // ...same policy on the simhash side
+    val simCapped = Dedup.simhashPairs(pool, maxHamming = 3, maxBucket = 100).collect()
+    simCapped.map(r => (r.getLong(0), r.getLong(1))).toSet shouldBe Set((20001L, 20002L))
+  }
+
   "Dedup.simhash64" should "be deterministic and order-sensitive only to content" in {
     val a = docs.select(Dedup.simhash64(col("text")).as("s")).collect().map(_.getLong(0))
     val b = docs.orderBy(rand(7)).select(Dedup.simhash64(col("text")).as("s"))
