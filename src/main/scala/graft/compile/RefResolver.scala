@@ -112,21 +112,44 @@ class ScopeRefResolver(resolutionScope: Map[URI, JValue], sources: SchemaSources
     }
 }
 
-/** Where `$ref`s may load documents from. The sandbox has no network;
-  * the reference's HTTP `JsonSource[URI]` maps to registered in-memory
-  * documents plus local files (`file:` URIs).
+/** Where `$ref`s may load documents from — the analogue of the
+  * reference's `JsonSource` instances (`JsonSource.scala:44-56`:
+  * in-memory string, `file:`, and `http(s):` via a URL stream).
+  * Registered in-memory documents take precedence (tests and offline
+  * runs pre-register remote documents); then `file:`; then a live
+  * `http(s):` GET. All failures surface as `cannot load <uri>: <cause>`
+  * so callers can classify offline-only failures.
   */
 final case class SchemaSources(docs: Map[URI, JValue]) {
   def load(uri: URI): Either[String, JValue] = {
     val key = uri.resolve("#")
     docs.get(key).map(Right(_)).getOrElse {
-      if (uri.getScheme == "file")
-        Js.parseFile(new java.io.File(uri.getPath))
-      else Left(s"cannot load $uri: unknown document (no network in sandbox)")
+      uri.getScheme match {
+        case "file"           => Js.parseFile(new java.io.File(uri.getPath))
+        case "http" | "https" => SchemaSources.fetchHttp(key)
+        case other            => Left(s"cannot load $uri: unsupported scheme $other")
+      }
     }
   }
 }
 
 object SchemaSources {
   val empty: SchemaSources = SchemaSources(Map.empty)
+
+  // schema compilation is a rare driver-side step; one shared client
+  private lazy val httpClient = java.net.http.HttpClient.newBuilder()
+    .connectTimeout(java.time.Duration.ofSeconds(10))
+    .followRedirects(java.net.http.HttpClient.Redirect.NORMAL)
+    .build()
+
+  private[compile] def fetchHttp(uri: URI): Either[String, JValue] =
+    try {
+      val req = java.net.http.HttpRequest.newBuilder(uri)
+        .timeout(java.time.Duration.ofSeconds(20)).GET().build()
+      val resp = httpClient.send(req, java.net.http.HttpResponse.BodyHandlers.ofString())
+      if (resp.statusCode() / 100 == 2) Js.parse(resp.body())
+      else Left(s"cannot load $uri: HTTP ${resp.statusCode()}")
+    } catch {
+      case scala.util.control.NonFatal(e) => Left(s"cannot load $uri: ${e.getMessage}")
+    }
 }

@@ -58,8 +58,8 @@ class RefResolverSpec extends AnyFlatSpec with Matchers {
   }
 
   it should "resolve references to local files" in {
-    val f = new java.io.File("/root/reference/src/test/resources/json/reference/source.json")
-    assume(f.exists())
+    // vendored copy of the reference's fixture (src/test/resources/corpus)
+    val f = new java.io.File(getClass.getResource("/corpus/json/reference/source.json").toURI)
     val result = Js.parseFile(f).flatMap(RefResolver.resolveFrom(f.toURI, _))
     result shouldBe Js.parse("""{ "source": "value" }""")
   }
