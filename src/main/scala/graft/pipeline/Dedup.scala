@@ -119,6 +119,25 @@ object Dedup {
       .select("id_a", "id_b", "jaccard")
   }
 
+  /** Dedup-first near-dup detection — the composition to run at corpus
+    * scale: exact dedup collapses each identical-text group to its min-id
+    * representative in ONE linear groupBy (so LSH never sees a
+    * mega-bucket of clones), LSH+verify runs over representatives only,
+    * and each representative pair then expands back to its groups'
+    * members on demand. Returns representative pairs
+    * (rep_a, rep_b, jaccard) plus the (content_hash -> keep_id) group map
+    * needed for expansion.
+    */
+  def minhashPairsDeduped(df: DataFrame, textCol: String = "text", idCol: String = "doc_id",
+                          k: Int = 16, bands: Int = 4, threshold: Double = 0.7,
+                          maxBucket: Int = 4096): (DataFrame, DataFrame) = {
+    val groups = exactSurvivors(df, textCol, idCol) // (content_hash, keep_id)
+    val reps = df.groupBy(md5(col(textCol)).as("content_hash"))
+      .agg(min(col(idCol)).as(idCol), first(col(textCol)).as(textCol))
+      .drop("content_hash")
+    (minhashPairs(reps, textCol, idCol, k, bands, threshold, maxBucket), groups)
+  }
+
   /** Exact n-gram Jaccard similarity of two shingle arrays. */
   def jaccard(a: Column, b: Column): Column = {
     val inter = size(array_intersect(array_distinct(a), array_distinct(b))).cast("double")

@@ -62,19 +62,33 @@ class PipelineSpec extends AnyFlatSpec with Matchers {
     // identical docs form a ~5*10^7-pair self-join in EVERY band
     val clones = spark.range(0, 10000)
       .select(col("id").as("doc_id"), lit("the same document text repeated verbatim").as("text"))
-    // identical pair => guaranteed bucket collision for both algorithms
+    // identical pair => guaranteed bucket collision for both algorithms;
+    // 20003 is a one-token near-dup of them (shingle Jaccard 5/7)
     val distinctDocs = Seq(
       (20001L, "alpha beta gamma delta epsilon zeta eta theta"),
-      (20002L, "alpha beta gamma delta epsilon zeta eta theta")
+      (20002L, "alpha beta gamma delta epsilon zeta eta theta"),
+      (20003L, "alpha beta gamma delta epsilon zeta eta iota")
     ).toDF("doc_id", "text")
     val pool = clones.unionByName(distinctDocs)
 
-    val capped = Dedup.minhashPairs(pool, threshold = 0.5, maxBucket = 100).collect()
-    // the clone mega-bucket was skipped entirely...
-    capped.map(r => (r.getLong(0), r.getLong(1))).toSet shouldBe Set((20001L, 20002L))
-    // ...same policy on the simhash side
-    val simCapped = Dedup.simhashPairs(pool, maxHamming = 3, maxBucket = 100).collect()
+    // one-row bands: deterministic recall for the J=5/7 near-dup pairs
+    val capped = Dedup.minhashPairs(pool, k = 16, bands = 16, threshold = 0.5,
+      maxBucket = 100).collect()
+    // the clone mega-bucket was skipped entirely; planted pairs survive
+    capped.map(r => (r.getLong(0), r.getLong(1))).toSet shouldBe
+      Set((20001L, 20002L), (20001L, 20003L), (20002L, 20003L))
+    // same policy on the simhash side (only the identical pair is a
+    // guaranteed hamming<=3 match)
+    val simCapped = Dedup.simhashPairs(pool, maxHamming = 0, maxBucket = 100).collect()
     simCapped.map(r => (r.getLong(0), r.getLong(1))).toSet shouldBe Set((20001L, 20002L))
+
+    // dedup-first composition: clones collapse to ONE representative, so
+    // LSH sees no mega-bucket; the near-dup pair is found between reps
+    val (repPairs, groups) = Dedup.minhashPairsDeduped(pool, k = 16, bands = 16,
+      threshold = 0.5, maxBucket = 100)
+    repPairs.collect().map(r => (r.getLong(0), r.getLong(1))).toSet shouldBe
+      Set((20001L, 20003L))
+    groups.count() shouldBe 3 // clones, identical pair, near-dup
   }
 
   "Dedup.simhash64" should "be deterministic and order-sensitive only to content" in {
