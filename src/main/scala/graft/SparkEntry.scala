@@ -214,6 +214,12 @@ object SparkEntry {
         col("label").cast("long").as("label"),
         round(Ann.l2Norm(col("embedding")), 6).as("l2"))),
 
+    // embedding-cosine near-dup (exact baseline; tau=0.42 sits in a
+    // measured gap: the nearest pair is >=7e-4 from the boundary at the
+    // gate scales, far beyond any cross-engine arithmetic divergence)
+    "embed_neardup_pairs" -> ((s, dir) =>
+      Ann.cosineNearDupPairs(embeddings(s, dir), tau = 0.42)),
+
     // ---------- keyword vocabulary over the dirty derived table ----------
     "v_lengths_types" -> ((s, dir) => dirtyViolations(s, dir, s"""
       { "type": "object", "required": ["l_orderkey", "l_linenumber"],
@@ -606,6 +612,16 @@ object SparkEntry {
       """SELECT vec_id, CAST(label AS BIGINT) AS label,
         |ROUND(sqrt(list_sum(list_transform(embedding, x -> CAST(x AS DOUBLE)*CAST(x AS DOUBLE)))), 6) AS l2
         |FROM embeddings""".stripMargin,
+
+    "embed_neardup_pairs" ->
+      """WITH v AS (SELECT vec_id, embedding,
+        |    sqrt(list_sum(list_transform(embedding, x -> CAST(x AS DOUBLE)*CAST(x AS DOUBLE)))) AS nrm
+        |  FROM embeddings)
+        |SELECT id_a, id_b, ROUND(cos, 6) AS cos FROM (
+        |  SELECT a.vec_id AS id_a, b.vec_id AS id_b,
+        |    list_sum(list_transform(list_zip(a.embedding, b.embedding), p -> CAST(p[1] AS DOUBLE)*CAST(p[2] AS DOUBLE)))/(a.nrm*b.nrm) AS cos
+        |  FROM v a JOIN v b ON a.vec_id < b.vec_id)
+        |WHERE cos >= 0.42""".stripMargin,
 
     // IVF replay: same centroid rule, assignment argmin (rounded 9dp,
     // centroid-id tiebreak), nprobe=2 probing, rank by (sim desc, id)

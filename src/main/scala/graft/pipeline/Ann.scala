@@ -71,6 +71,64 @@ object Ann {
       "query_id")
   }
 
+  /** Embedding-cosine near-duplicate pairs, exact: every (id_a < id_b)
+    * pair with cosine >= tau. O(n^2) by definition — the correctness
+    * baseline and the oracle-checked form; at corpus scale use
+    * [[srpNearDupPairs]], which buckets by sign-random-projection bits
+    * first.
+    */
+  def cosineNearDupPairs(df: DataFrame, tau: Double,
+                         idCol: String = "vec_id", embCol: String = "embedding"): DataFrame = {
+    val a = df.select(col(idCol).as("id_a"), col(embCol).as("a_emb"), l2Norm(col(embCol)).as("a_nrm"))
+    val b = df.select(col(idCol).as("id_b"), col(embCol).as("b_emb"), l2Norm(col(embCol)).as("b_nrm"))
+    a.join(b, col("id_a") < col("id_b"))
+      .select(col("id_a"), col("id_b"),
+        (dot(col("a_emb"), col("b_emb")) / (col("a_nrm") * col("b_nrm"))).as("cos"))
+      .filter(col("cos") >= tau)
+      .select(col("id_a"), col("id_b"), round(col("cos"), 6).as("cos"))
+  }
+
+  /** Sign-random-projection LSH for cosine near-dup at scale: `planes`
+    * seeded Gaussian hyperplanes give each vector a sign bit string;
+    * vectors sharing all `planes/bands` bits of any band become
+    * candidates (bucket join, capped like the MinHash path), then exact
+    * cosine verifies. P(bit agrees) = 1 - angle/pi, so recall is high
+    * for genuinely-near pairs (cos >= 0.9 => ~0.95+ at 16/4) and exact
+    * copies are certain (identical bits). The hyperplanes are
+    * deterministic literals broadcast inside the plan — no driver state,
+    * reproducible across runs and cluster sizes.
+    */
+  def srpNearDupPairs(df: DataFrame, tau: Double, dim: Int,
+                      planes: Int = 16, bands: Int = 4, seed: Long = 42L,
+                      maxBucket: Int = 4096,
+                      idCol: String = "vec_id", embCol: String = "embedding"): DataFrame = {
+    require(planes % bands == 0, "planes must divide into bands")
+    val rnd = new scala.util.Random(seed)
+    val hyper = Seq.fill(planes)(Array.fill(dim)(rnd.nextGaussian().toFloat).toSeq)
+    val base = df.select(col(idCol).as("id"), col(embCol).as("emb"),
+      l2Norm(col(embCol)).as("nrm"))
+    val signs = hyper.map(h => (dot(col("emb"), typedLit(h)) > 0).cast("int"))
+    val rpb = planes / bands
+    val bandVals = (0 until bands).map { b =>
+      (0 until rpb).map(j => signs(b * rpb + j) * lit(1 << j)).reduce(_ + _)
+    }
+    val banded = Dedup.capBuckets(
+      base.select(col("id"), posexplode(array(bandVals: _*)).as(Seq("band", "bandVal"))),
+      Seq("band", "bandVal"), maxBucket)
+    val candidates = banded.select(col("band"), col("bandVal"), col("id").as("id_a"))
+      .join(banded.select(col("band"), col("bandVal"), col("id").as("id_b")),
+        Seq("band", "bandVal"))
+      .filter(col("id_a") < col("id_b"))
+      .select("id_a", "id_b").distinct()
+    val a = base.select(col("id").as("id_a"), col("emb").as("a_emb"), col("nrm").as("a_nrm"))
+    val b = base.select(col("id").as("id_b"), col("emb").as("b_emb"), col("nrm").as("b_nrm"))
+    candidates.join(a, "id_a").join(b, "id_b")
+      .select(col("id_a"), col("id_b"),
+        (dot(col("a_emb"), col("b_emb")) / (col("a_nrm") * col("b_nrm"))).as("cos"))
+      .filter(col("cos") >= tau)
+      .select(col("id_a"), col("id_b"), round(col("cos"), 6).as("cos"))
+  }
+
   /** Assign each vector to its nearest centroid. The argmin aggregation
     * carries ONLY (id, centroid) through the exchange — the embedding
     * payload stays out of the shuffle and is re-attached by joining the

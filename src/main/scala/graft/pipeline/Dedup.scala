@@ -77,7 +77,7 @@ object Dedup {
     * (band, bucket) key the self-join needs, so AQE can reuse the
     * exchange.
     */
-  private def capBuckets(banded: DataFrame, keys: Seq[String], maxBucket: Int): DataFrame = {
+  private[pipeline] def capBuckets(banded: DataFrame, keys: Seq[String], maxBucket: Int): DataFrame = {
     val counts = banded.groupBy(keys.map(col): _*)
       .agg(count(lit(1)).as("__bucket_n"))
       .filter(col("__bucket_n") <= maxBucket)

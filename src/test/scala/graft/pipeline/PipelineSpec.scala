@@ -115,6 +115,30 @@ class PipelineSpec extends AnyFlatSpec with Matchers {
     r6 shouldBe 1.0     // probing all buckets == brute force
   }
 
+  "Ann.srpNearDupPairs" should "find exact-copy pairs with certainty and never report false positives" in {
+    import spark.implicits._
+    // plant exact copies: identical vectors => identical sign bits =>
+    // guaranteed bucket collision in every band, cosine exactly 1.0
+    val e = embeddings
+    val pool = e.select(col("vec_id"), col("embedding"))
+      .unionByName(e.filter(col("vec_id") % 9 === 4)
+        .select((col("vec_id") + 10000).as("vec_id"), col("embedding")))
+    val srp = Ann.srpNearDupPairs(pool, tau = 0.95, dim = 64)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2)))
+    val planted = e.filter(col("vec_id") % 9 === 4).select("vec_id")
+      .collect().map(r => (r.getLong(0), r.getLong(0) + 10000)).toSet
+    srp.map(t => (t._1, t._2)).toSet shouldBe planted // nothing natural reaches 0.95
+    all(srp.map(_._3)) shouldBe 1.0
+  }
+
+  it should "be a subset of the exact brute force at any tau" in {
+    val bf = Ann.cosineNearDupPairs(embeddings, tau = 0.30)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val srp = Ann.srpNearDupPairs(embeddings, tau = 0.30, dim = 64)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    srp.subsetOf(bf) shouldBe true // exact verify: precision is 1 by construction
+  }
+
   "Ann.bruteForceTopK" should "return k deterministic rows per query" in {
     val q = embeddings.filter(col("vec_id") < 8)
     val c = embeddings.filter(col("vec_id") >= 8)
