@@ -236,7 +236,9 @@ object SparkEntry {
           "email":  { "type": "string", "format": "email" },
           "ip":     { "type": "string", "format": "ipv4" },
           "url":    { "type": "string", "format": "uri" },
-          "dt_str": { "type": "string", "format": "date-time" }
+          "dt_str": { "type": "string", "format": "date-time" },
+          "host":   { "type": "string", "format": "hostname" },
+          "ip6":    { "type": "string", "format": "ipv6" }
         } }""")),
 
     "v_combinators" -> ((s, dir) => dirtyViolations(s, dir, s"""
@@ -436,7 +438,15 @@ object SparkEntry {
          |FROM dirty WHERE NOT regexp_matches(url, '^[A-Za-z][A-Za-z0-9+.-]*:')
          |UNION ALL
          |SELECT l_orderkey, l_linenumber, ${kPtr("dt_str")}, 'format:date-time', dt_str
-         |FROM dirty WHERE TRY_CAST(dt_str AS TIMESTAMP) IS NULL""".stripMargin,
+         |FROM dirty WHERE TRY_CAST(dt_str AS TIMESTAMP) IS NULL
+         |UNION ALL
+         |-- hostname/ipv6 regexes use Java lookahead, unsupported by RE2:
+         |-- oracle these from the planted branch rules instead
+         |SELECT l_orderkey, l_linenumber, ${kPtr("host")}, 'format:hostname', host
+         |FROM dirty WHERE l_orderkey % 23 = 9
+         |UNION ALL
+         |SELECT l_orderkey, l_linenumber, ${kPtr("ip6")}, 'format:ipv6', ip6
+         |FROM dirty WHERE l_orderkey % 31 = 6""".stripMargin,
 
     "v_combinators" ->
       s"""WITH $dCte

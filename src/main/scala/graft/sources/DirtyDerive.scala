@@ -38,6 +38,10 @@ object DirtyDerive {
               ELSE concat('https://x.io/', l_orderkey) END AS url""",
       """CASE WHEN l_orderkey % 13 = 4 THEN 'not-a-time'
               ELSE concat('2024-03-0', l_linenumber, ' 12:00:00') END AS dt_str""",
+      """CASE WHEN l_orderkey % 23 = 9 THEN '-bad..host-'
+              ELSE concat('node-', l_orderkey, '.example.org') END AS host""",
+      """CASE WHEN l_orderkey % 31 = 6 THEN 'gggg::zz'
+              ELSE concat('fe80::', l_linenumber) END AS ip6""",
       // ---- combinators ----
       """CASE WHEN l_orderkey % 17 = 0 THEN concat('ab', l_linenumber)
               WHEN l_orderkey % 17 = 1 THEN concat('a', l_linenumber)
@@ -88,6 +92,10 @@ object DirtyDerive {
       |         ELSE 'https://x.io/' || l_orderkey END AS url,
       |    CASE WHEN l_orderkey % 13 = 4 THEN 'not-a-time'
       |         ELSE '2024-03-0' || l_linenumber || ' 12:00:00' END AS dt_str,
+      |    CASE WHEN l_orderkey % 23 = 9 THEN '-bad..host-'
+      |         ELSE 'node-' || l_orderkey || '.example.org' END AS host,
+      |    CASE WHEN l_orderkey % 31 = 6 THEN 'gggg::zz'
+      |         ELSE 'fe80::' || l_linenumber END AS ip6,
       |    CASE WHEN l_orderkey % 17 = 0 THEN 'ab' || l_linenumber
       |         WHEN l_orderkey % 17 = 1 THEN 'a' || l_linenumber
       |         ELSE 'b' || l_linenumber END AS onec,
