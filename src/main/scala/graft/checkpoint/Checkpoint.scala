@@ -124,10 +124,15 @@ object Checkpoint {
     val pending = listUnits(spark, inputDir).filterNot(done)
     pending.grouped(batchSize).flatMap { batch =>
       val t0 = System.nanoTime()
-      // normalize file:// URIs back to the local paths listUnits produced
-      val unitCol = regexp_replace(input_file_name(), "^file:(//)?", "")
-      val keyExpr = batch.foldLeft(lit(null).cast("string")) { (acc, unit) =>
-        when(unitCol === unit, lit(unitKey(unit))).otherwise(acc)
+      // normalize file:// URIs back to the local paths listUnits produced;
+      // input_file_name() URI-encodes special characters (spaces etc.), so
+      // decode before comparing — and FAIL LOUDLY on any path that matches
+      // no unit: a silent null here would record rows=0/violations=0 and
+      // flip a dirty table's verdict to valid
+      val unitCol = url_decode(regexp_replace(input_file_name(), "^file:(//)?", ""))
+      val keyExpr = batch.foldLeft(
+        raise_error(concat(lit("file not in batch lineage: "), unitCol)).cast("string")) {
+        (acc, unit) => when(unitCol === unit, lit(unitKey(unit))).otherwise(acc)
       }
       val df = spark.read.parquet(batch: _*).withColumn("unit", keyExpr)
       val checks = graft.exprs.ConstraintCompiler.compile(schema, df.schema)
@@ -145,6 +150,9 @@ object Checkpoint {
       val rowsByUnit = spark.read.parquet(batch: _*)
         .groupBy(unitCol.as("unit")).agg(count(lit(1)).as("rows"))
         .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+      val strayFiles = rowsByUnit.keySet -- batch.toSet
+      require(strayFiles.isEmpty,
+        s"batch lineage mismatch: scanned files not in the unit list: ${strayFiles.take(3)}")
       // all-clean units write no partition dir at all — count only what exists
       val writtenDirs = batch.map(u => s"$outDir/${unitDirName(u)}")
         .filter(p => new java.io.File(p).isDirectory)

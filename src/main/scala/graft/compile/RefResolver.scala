@@ -136,19 +136,33 @@ final case class SchemaSources(docs: Map[URI, JValue]) {
 object SchemaSources {
   val empty: SchemaSources = SchemaSources(Map.empty)
 
-  // schema compilation is a rare driver-side step; one shared client
+  // schema compilation is a rare driver-side step; one shared client.
+  // Timeouts stay short: in an offline environment an unregistered
+  // remote ref should fail fast, not hang the compile.
   private lazy val httpClient = java.net.http.HttpClient.newBuilder()
-    .connectTimeout(java.time.Duration.ofSeconds(10))
+    .connectTimeout(java.time.Duration.ofSeconds(3))
     .followRedirects(java.net.http.HttpClient.Redirect.NORMAL)
     .build()
+
+  /** Cap on a fetched schema document (schemas are small; an unbounded
+    * read into a String would let a misbehaving server OOM the driver).
+    */
+  private val maxSchemaBytes = 8 * 1024 * 1024
 
   private[compile] def fetchHttp(uri: URI): Either[String, JValue] =
     try {
       val req = java.net.http.HttpRequest.newBuilder(uri)
-        .timeout(java.time.Duration.ofSeconds(20)).GET().build()
-      val resp = httpClient.send(req, java.net.http.HttpResponse.BodyHandlers.ofString())
-      if (resp.statusCode() / 100 == 2) Js.parse(resp.body())
-      else Left(s"cannot load $uri: HTTP ${resp.statusCode()}")
+        .timeout(java.time.Duration.ofSeconds(10)).GET().build()
+      val resp = httpClient.send(req, java.net.http.HttpResponse.BodyHandlers.ofInputStream())
+      try {
+        if (resp.statusCode() / 100 != 2) Left(s"cannot load $uri: HTTP ${resp.statusCode()}")
+        else {
+          val bytes = resp.body().readNBytes(maxSchemaBytes + 1)
+          if (bytes.length > maxSchemaBytes)
+            Left(s"cannot load $uri: document exceeds $maxSchemaBytes bytes")
+          else Js.parse(new String(bytes, java.nio.charset.StandardCharsets.UTF_8))
+        }
+      } finally resp.body().close()
     } catch {
       case scala.util.control.NonFatal(e) => Left(s"cannot load $uri: ${e.getMessage}")
     }

@@ -244,10 +244,18 @@ object ConstraintCompiler {
           // fail open); skip only the empty permissive schema (`true`)
           case Some(sub) if !isPermissive(sub) =>
             val declared = oc.properties.keys.toSeq
+            // draft-4 §5.4.4: a key is "additional" only if it matches
+            // neither `properties` nor any `patternProperties` regex
+            def exempt(k: Column): Column = {
+              val byName =
+                if (declared.nonEmpty) k.cast("string").isin(declared: _*) else lit(false)
+              oc.patternProperties.map { case (pat, _) => k.cast("string").rlike(pat) }
+                .foldLeft(byName)(_ || _)
+            }
             Seq(predicateFor(sub, mt.valueType, lit(null)).flatMap { _ =>
               Right(Check(name, "additionalProperties",
                 ok(forall(map_keys(c), k =>
-                  (if (declared.nonEmpty) k.cast("string").isin(declared: _*) else lit(false)) ||
+                  exempt(k) ||
                     predicateFor(sub, mt.valueType, try_element_at(c, k))
                       .fold(e => throw new IllegalArgumentException(e), identity))),
                 actualStr))

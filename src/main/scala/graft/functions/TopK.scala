@@ -23,9 +23,14 @@ final class TopKAggregator(k: Int)
 
   require(k > 0, "k must be positive")
 
-  // (score desc, id asc): a is strictly better than b
-  private def better(a: (Double, Long), b: (Double, Long)): Boolean =
-    a._1 > b._1 || (a._1 == b._1 && a._2 < b._2)
+  // (score desc, id asc): a is strictly better than b. Double.compare
+  // gives a TOTAL order (NaN sorts greatest, matching Spark's descending
+  // sort semantics) — a naive `>` is not total under NaN, which would
+  // make results partition-order-dependent and break merge associativity.
+  private def better(a: (Double, Long), b: (Double, Long)): Boolean = {
+    val c = java.lang.Double.compare(a._1, b._1)
+    c > 0 || (c == 0 && a._2 < b._2)
+  }
 
   override def zero: List[(Double, Long)] = Nil
 

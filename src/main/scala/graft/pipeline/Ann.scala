@@ -43,6 +43,19 @@ object Ann {
   def cosine(a: Column, b: Column): Column =
     dot(a, b) / (l2Norm(a) * l2Norm(b))
 
+  /** The bounded-heap aggregator carries ids as long; reject id columns
+    * that a long cast would silently null/corrupt (plan-time error
+    * instead of a runtime encoder failure).
+    */
+  private def requireIntegralId(df: DataFrame, idCol: String): Unit = {
+    import org.apache.spark.sql.types._
+    df.schema(idCol).dataType match {
+      case ByteType | ShortType | IntegerType | LongType => ()
+      case other => throw new IllegalArgumentException(
+        s"top-k ranking requires an integral id column; $idCol is ${other.simpleString}")
+    }
+  }
+
   /** Explode a `topK` array into ranked rows (rank 1 = best). */
   private def explodeRanked(grouped: DataFrame, keyCol: String): DataFrame =
     grouped
@@ -56,6 +69,7 @@ object Ann {
     */
   def bruteForceTopK(queries: DataFrame, candidates: DataFrame, k: Int,
                      idCol: String = "vec_id", embCol: String = "embedding"): DataFrame = {
+    requireIntegralId(candidates, idCol)
     // norms precomputed per side — NOT per pair (the crossJoin would
     // otherwise recompute each norm |candidates| or |queries| times)
     val q = queries.select(col(idCol).as("query_id"), col(embCol).as("q_emb"),
@@ -162,6 +176,8 @@ object Ann {
   def ivfTopK(queries: DataFrame, candidates: DataFrame, centroids: DataFrame,
               k: Int, nprobe: Int = 2,
               idCol: String = "vec_id", embCol: String = "embedding"): DataFrame = {
+    requireIntegralId(candidates, idCol)
+    requireIntegralId(centroids, idCol)
     val cents = centroids.select(col(idCol).as("centroid_id"), col(embCol).as("cent_emb"),
       l2Norm(col(embCol)).as("cent_norm"))
     val bucketed = assignToCentroids(candidates, centroids, idCol, embCol)

@@ -131,11 +131,17 @@ object Dedup {
   def minhashPairsDeduped(df: DataFrame, textCol: String = "text", idCol: String = "doc_id",
                           k: Int = 16, bands: Int = 4, threshold: Double = 0.7,
                           maxBucket: Int = 4096): (DataFrame, DataFrame) = {
-    val groups = exactSurvivors(df, textCol, idCol) // (content_hash, keep_id)
-    val reps = df.groupBy(md5(col(textCol)).as("content_hash"))
-      .agg(min(col(idCol)).as(idCol), first(col(textCol)).as(textCol))
-      .drop("content_hash")
-    (minhashPairs(reps, textCol, idCol, k, bands, threshold, maxBucket), groups)
+    // ONE grouped pass yields both the representative rows and the group
+    // index; the member map (doc -> representative) is a narrow hash join
+    // against it, and being a lazy DataFrame it costs nothing unless the
+    // caller actually expands pairs
+    val groups = df.groupBy(md5(col(textCol)).as("content_hash"))
+      .agg(min(col(idCol)).as("keep_id"), first(col(textCol)).as(textCol))
+    val reps = groups.select(col("keep_id").as(idCol), col(textCol))
+    val members = df.select(col(idCol), md5(col(textCol)).as("content_hash"))
+      .join(groups.select("content_hash", "keep_id"), "content_hash")
+      .select(col(idCol), col("keep_id"))
+    (minhashPairs(reps, textCol, idCol, k, bands, threshold, maxBucket), members)
   }
 
   /** Exact n-gram Jaccard similarity of two shingle arrays. */

@@ -81,6 +81,18 @@ class CheckpointSpec extends AnyFlatSpec with Matchers {
     Checkpoint.completedUnits(manifest.toString).size shouldBe 4
   }
 
+  it should "keep lineage correct for paths input_file_name URI-encodes" in {
+    // a space in the directory name makes input_file_name() return an
+    // encoded URI; a naive string match would silently record 0 rows
+    val in = tmp() + "/with space/in"
+    writeInput(in)
+    val out = tmp()
+    val rs = Checkpoint.runValidation(spark, in, schema, s"$out/v", s"$out/manifest.jsonl")
+    rs.size shouldBe 4
+    rs.map(_.rows).sum shouldBe 400L
+    rs.map(_.violations).sum should be > 0L
+  }
+
   it should "batch units into group jobs and stay resume-correct across batch boundaries" in {
     val in = tmp() + "/in"
     TranscriptGen.generate(spark, 70, 10,

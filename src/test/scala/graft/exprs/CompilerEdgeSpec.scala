@@ -83,6 +83,29 @@ class CompilerEdgeSpec extends AnyFlatSpec with Matchers {
     validate(schema, df) shouldBe Set((1, "additionalProperties"))
   }
 
+  it should "exempt patternProperties-matched keys (draft-4 §5.4.4)" in {
+    import spark.implicits._
+    val schema = """
+    {
+      "type": "object",
+      "required": ["conv_id", "turn_idx"],
+      "properties": {
+        "conv_id":  { "type": "string" },
+        "turn_idx": { "type": "integer" },
+        "attrs": {
+          "type": "object",
+          "patternProperties": { "^x_": { "type": "string", "pattern": "^[0-9]+$" } },
+          "additionalProperties": { "type": "string", "maxLength": 4 }
+        }
+      }
+    }"""
+    val df = Seq(
+      ("c1", 0, Map("x_1" -> "123456789")), // matches ^x_ -> NOT additional, passes pattern
+      ("c1", 1, Map("other" -> "toolong")) // truly additional -> maxLength
+    ).toDF("conv_id", "turn_idx", "attrs")
+    validate(schema, df) shouldBe Set((1, "additionalProperties"))
+  }
+
   it should "still treat the permissive schema as absent" in {
     import spark.implicits._
     val schema = """

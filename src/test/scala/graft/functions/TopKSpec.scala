@@ -12,7 +12,14 @@ import org.scalatest.matchers.should.Matchers
 class TopKSpec extends AnyFlatSpec with Matchers {
 
   private def ordered(rows: Seq[(Double, Long)], k: Int): Seq[(Double, Long)] =
-    rows.sortBy { case (s, id) => (-s, id) }.take(k)
+    rows.sorted(Ordering.comparatorToOrdering[(Double, Long)] { (a, b) =>
+      val c = java.lang.Double.compare(b._1, a._1) // desc, NaN greatest
+      if (c != 0) c else java.lang.Long.compare(a._2, b._2)
+    }).take(k)
+
+  // tuple == is false for NaN == NaN; compare on canonical bits instead
+  private def bits(rows: Seq[(Double, Long)]): Seq[(Long, Long)] =
+    rows.map { case (s, id) => (java.lang.Double.doubleToLongBits(s), id) }
 
   private def check(p: Prop): Unit = {
     val r = ScTest.check(ScTest.Parameters.default.withMinSuccessfulTests(200), p)
@@ -20,8 +27,11 @@ class TopKSpec extends AnyFlatSpec with Matchers {
   }
 
   private val rowGen: Gen[(Double, Long)] = for {
-    // coarse scores force ties so the id tiebreak is exercised
-    s <- Gen.chooseNum(0, 20).map(_ / 10.0)
+    // coarse scores force ties so the id tiebreak is exercised; NaN is
+    // generated too — the ordering must stay total under it (0/0 sims)
+    s <- Gen.frequency(
+      (19, Gen.chooseNum(0, 20).map(_ / 10.0)),
+      (1, Gen.const(Double.NaN)))
     id <- Gen.chooseNum(0L, 50L)
   } yield (s, id)
 
@@ -31,7 +41,7 @@ class TopKSpec extends AnyFlatSpec with Matchers {
       val chunks = if (rows.isEmpty) Seq(Nil) else rows.grouped(math.max(1, rows.size / parts)).toSeq
       val buffers = chunks.map(_.foldLeft(agg.zero)(agg.reduce))
       val merged = buffers.reduceLeft(agg.merge)
-      agg.finish(merged) == ordered(rows, 5)
+      bits(agg.finish(merged)) == bits(ordered(rows, 5))
     })
   }
 
@@ -43,7 +53,8 @@ class TopKSpec extends AnyFlatSpec with Matchers {
       val left = agg.merge(agg.merge(buf(a), buf(b)), buf(c))
       val right = agg.merge(ba, agg.merge(bb, bc))
       val swapped = agg.merge(bb, agg.merge(ba, bc))
-      left == right && right == swapped && left == ordered(a ++ b ++ c, 3).toList
+      bits(left) == bits(right) && bits(right) == bits(swapped) &&
+        bits(left) == bits(ordered(a ++ b ++ c, 3))
     })
   }
 

@@ -84,11 +84,15 @@ class PipelineSpec extends AnyFlatSpec with Matchers {
 
     // dedup-first composition: clones collapse to ONE representative, so
     // LSH sees no mega-bucket; the near-dup pair is found between reps
-    val (repPairs, groups) = Dedup.minhashPairsDeduped(pool, k = 16, bands = 16,
+    val (repPairs, members) = Dedup.minhashPairsDeduped(pool, k = 16, bands = 16,
       threshold = 0.5, maxBucket = 100)
     repPairs.collect().map(r => (r.getLong(0), r.getLong(1))).toSet shouldBe
       Set((20001L, 20003L))
-    groups.count() shouldBe 3 // clones, identical pair, near-dup
+    // member map expands a representative back to its whole group
+    val m = members.collect().map(r => r.getLong(0) -> r.getLong(1))
+    m.length shouldBe 10003
+    m.map(_._2).distinct.sorted shouldBe Array(0L, 20001L, 20003L)
+    m.toMap.apply(20002L) shouldBe 20001L
   }
 
   "Dedup.simhash64" should "be deterministic and order-sensitive only to content" in {
