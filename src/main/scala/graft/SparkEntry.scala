@@ -201,6 +201,15 @@ object SparkEntry {
           col("n_bytes").cast("long").as("n_bytes"),
           col("head_byte").cast("long").as("head_byte"))),
 
+    "multimodal_frames" -> ((s, dir) =>
+      Multimodal.frameSample(Multimodal.asMediaTable(docs(s, dir)))
+        .toDF().select(col("doc_id"), col("mime"), col("n_frames"), col("first_frame_md5"))),
+
+    "text_subwords" -> ((s, dir) =>
+      docs(s, dir).select(
+        col("doc_id"),
+        TextOps.subwordCount(col("text")).cast("long").as("n_subwords"))),
+
     // ---------- similarity / ANN over embeddings ----------
     "ann_cosine_topk" -> ((s, dir) => {
       val e = embeddings(s, dir)
@@ -600,6 +609,21 @@ object SparkEntry {
       """SELECT doc_id, 'text/plain' AS mime,
         |CAST(octet_length(encode(text)) AS BIGINT) AS n_bytes,
         |CAST(CASE WHEN length(text) = 0 THEN -1 ELSE ascii(text) END AS BIGINT) AS head_byte
+        |FROM documents""".stripMargin,
+
+    "multimodal_frames" ->
+      """SELECT doc_id, 'text/plain' AS mime,
+        |CAST(CASE WHEN octet_length(encode(text)) = 0 THEN 0
+        |     ELSE CAST(ceil(octet_length(encode(text)) / 512.0) AS BIGINT) END AS BIGINT) AS n_frames,
+        |-- corpus is ASCII (verified: octet_length == length for every
+        |-- doc), so the first 256 chars ARE the first 256 bytes
+        |CASE WHEN octet_length(encode(text)) = 0 THEN NULL
+        |     ELSE md5(substring(text, 1, 256)) END AS first_frame_md5
+        |FROM documents""".stripMargin,
+
+    "text_subwords" ->
+      """SELECT doc_id,
+        |CAST(len(regexp_extract_all(text, '''(?:s|t|re|ve|m|ll|d)| ?[A-Za-z]+| ?[0-9]+| ?[^A-Za-z0-9\s]+|\s+')) AS BIGINT) AS n_subwords
         |FROM documents""".stripMargin,
 
     "ann_cosine_topk" ->

@@ -43,6 +43,38 @@ object Multimodal {
     acc.map(v => if (bytes.length == 0) 0f else (v.toDouble / bytes.length).toFloat)
   }
 
+  final case class MediaFrames(
+      doc_id: Long, mime: String, n_frames: Long, first_frame_md5: String)
+
+  /** Frame sampling over the binary column — the video/audio analogue of
+    * the decode stub: deterministic byte windows of `frameSize` bytes
+    * taken every `stride` bytes stand in for decoded frames (a real
+    * codec replaces the window slicing; the per-partition batching,
+    * schema, and output shape are the production plumbing). Returns the
+    * sampled-frame count and an md5 of the first frame for verification.
+    */
+  def frameSample(media: DataFrame, frameSize: Int = 256, stride: Int = 512): Dataset[MediaFrames] = {
+    require(frameSize > 0 && stride > 0)
+    val spark = media.sparkSession
+    import spark.implicits._
+    media.select(col("doc_id"), col("mime"), col("media")).as[MediaRow]
+      .mapPartitions { rows =>
+        val md = java.security.MessageDigest.getInstance("MD5")
+        rows.map { r =>
+          val bytes = Option(r.media).getOrElse(Array.emptyByteArray)
+          val n = if (bytes.isEmpty) 0L else (bytes.length + stride - 1L) / stride
+          val first =
+            if (bytes.isEmpty) null
+            else {
+              md.reset()
+              md.update(bytes, 0, math.min(frameSize, bytes.length))
+              md.digest().map("%02x".format(_)).mkString
+            }
+          MediaFrames(r.doc_id, r.mime, n, first)
+        }
+      }
+  }
+
   /** Partition-wise batched feature extraction over the binary column.
     * One pass, no shuffle; executor-side only.
     */

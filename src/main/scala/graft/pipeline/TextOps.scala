@@ -16,6 +16,22 @@ object TextOps {
     when(trim(c) === "" || c.isNull, lit(0))
       .otherwise(size(split(trim(c), "\\s+")))
 
+  /** BPE-style pre-tokenization pattern (the GPT-2 pattern family with
+    * the trailing-whitespace lookahead removed — lookahead is Java-only
+    * and the count must be reproducible on RE2 engines): contractions,
+    * space-prefixed letter runs, digit runs, punctuation runs, then
+    * whitespace runs.
+    */
+  val subwordPattern: String =
+    "'(?:s|t|re|ve|m|ll|d)| ?[A-Za-z]+| ?[0-9]+| ?[^A-Za-z0-9\\s]+|\\s+"
+
+  /** Subword-ish token count: number of [[subwordPattern]] matches —
+    * the usual cheap proxy for "BPE tokens" when no tokenizer model is
+    * shipped. Pure codegen (`regexp_count`).
+    */
+  def subwordCount(c: Column): Column =
+    regexp_count(coalesce(c, lit("")), lit(subwordPattern))
+
   /** Rolling document fingerprint: md5 of case- and whitespace-normalized
     * text (deterministic, engine-portable).
     */

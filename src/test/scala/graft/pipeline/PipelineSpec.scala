@@ -152,6 +152,39 @@ class PipelineSpec extends AnyFlatSpec with Matchers {
     r1.length shouldBe 80 // 8 queries x 10
   }
 
+  "TextOps.subwordCount" should "count BPE-style pre-tokens at the edges" in {
+    import spark.implicits._
+    val df = Seq(
+      ("", 0L),                      // empty
+      ("hello", 1L),                 // one letter run
+      ("hello world", 2L),           // " world" joins the space
+      ("it's 42!", 4L),              // [it]['s][ 42][!]
+      ("a  b", 3L)                   // [a][ ][ b]: double space -> ws run + spaced run? no: [a][\s\s]? greedy " ?" takes one
+    ).toDF("text", "expected")
+    val got = df.select(col("expected"), TextOps.subwordCount(col("text")).cast("long").as("n"))
+      .collect()
+    got.foreach(r => withClue(r.toString)(r.getLong(1) shouldBe r.getLong(0)))
+  }
+
+  "Multimodal.frameSample" should "sample deterministic byte windows" in {
+    import spark.implicits._
+    val df = Seq(
+      (1L, "x" * 1000),  // 1000 bytes -> frames at 0 and 512 -> 2
+      (2L, "y" * 512),   // exactly one stride -> 1 frame
+      (3L, "")           // empty -> 0 frames, null md5
+    ).toDF("doc_id", "text")
+    val out = Multimodal.frameSample(Multimodal.asMediaTable(df))
+      .collect().map(f => f.doc_id -> f).toMap
+    out(1L).n_frames shouldBe 2L
+    out(2L).n_frames shouldBe 1L
+    out(3L).n_frames shouldBe 0L
+    out(3L).first_frame_md5 shouldBe null
+    // first frame md5 = md5 of the first 256 bytes
+    val md = java.security.MessageDigest.getInstance("MD5")
+    val expect = md.digest(("x" * 256).getBytes("UTF-8")).map("%02x".format(_)).mkString
+    out(1L).first_frame_md5 shouldBe expect
+  }
+
   "Multimodal" should "extract deterministic features preserving byte counts" in {
     val feats = Multimodal.extractFeatures(Multimodal.asMediaTable(docs)).cache()
     try {
