@@ -30,13 +30,20 @@ object Checkpoint {
       rows: Long,
       violations: Long,
       passed: Boolean,
-      wallMs: Long)
+      wallMs: Long,
+      nullCounts: Map[String, Long] = Map.empty)
 
   private def esc(s: String) = s.replace("\\", "\\\\").replace("\"", "\\\"")
 
-  def toJson(r: UnitResult): String =
+  def toJson(r: UnitResult): String = {
+    val nulls =
+      if (r.nullCounts.isEmpty) ""
+      else r.nullCounts.toSeq.sortBy(_._1)
+        .map { case (c, n) => s""""${esc(c)}":$n""" }
+        .mkString(""","null_counts":{""", ",", "}")
     s"""{"unit":"${esc(r.unit)}","snapshot_id":${r.snapshotId.map(_.toString).getOrElse("null")},""" +
-      s""""rows":${r.rows},"violations":${r.violations},"passed":${r.passed},"wall_ms":${r.wallMs}}"""
+      s""""rows":${r.rows},"violations":${r.violations},"passed":${r.passed},"wall_ms":${r.wallMs}$nulls}"""
+  }
 
   def parseLine(line: String): Option[String] = {
     // minimal parse: extract the unit field (manifest is engine-written)
@@ -108,8 +115,9 @@ object Checkpoint {
     *     stable `unit` key (same `unit=<key>/` layout as per-unit
     *     writes; dynamic partition overwrite keeps a re-run of a
     *     half-finished batch idempotent);
-    *  2. one narrow count job for per-unit (rows, violations) metrics —
-    *     a zero-data-column scan grouped by file.
+    *  2. one grouped metrics job for per-unit (rows, per-column null
+    *     counts) — the manifest's per-partition metrics; violation
+    *     counts come from the freshly-written (tiny) violations output.
     *
     * Manifest entries are appended only after the batch's write
     * completes, so a kill mid-batch redoes exactly that batch and the
@@ -145,11 +153,19 @@ object Checkpoint {
         .partitionBy("unit")
         .parquet(outDir)
 
-      // per-unit metrics: rows from a zero-column grouped scan of the
-      // inputs; violation rows from the (tiny) freshly-written output
-      val rowsByUnit = spark.read.parquet(batch: _*)
-        .groupBy(unitCol.as("unit")).agg(count(lit(1)).as("rows"))
-        .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+      // per-unit metrics: one grouped scan of the inputs yields rows +
+      // per-column null counts (the manifest's per-partition metrics);
+      // violation rows come from the (tiny) freshly-written output
+      val statCols = df.drop("unit").columns.toSeq
+      val metricsRows = spark.read.parquet(batch: _*)
+        .groupBy(unitCol.as("unit"))
+        .agg(count(lit(1)).as("rows"),
+          statCols.map(c => sum(col(c).isNull.cast("long")).as(s"__nulls_$c")): _*)
+        .collect()
+      val rowsByUnit = metricsRows.map(r => r.getString(0) -> r.getAs[Long]("rows")).toMap
+      val nullsByUnit = metricsRows.map { r =>
+        r.getString(0) -> statCols.map(c => c -> r.getAs[Long](s"__nulls_$c")).toMap
+      }.toMap
       val strayFiles = rowsByUnit.keySet -- batch.toSet
       require(strayFiles.isEmpty,
         s"batch lineage mismatch: scanned files not in the unit list: ${strayFiles.take(3)}")
@@ -166,7 +182,8 @@ object Checkpoint {
       batch.map { unit =>
         val rows = rowsByUnit.getOrElse(unit, 0L)
         val nVios = viosByKey.getOrElse(unitKey(unit), 0L)
-        val r = UnitResult(unit, snapshotId, rows, nVios, nVios == 0, wallPerUnit)
+        val r = UnitResult(unit, snapshotId, rows, nVios, nVios == 0, wallPerUnit,
+          nullsByUnit.getOrElse(unit, Map.empty))
         appendResult(manifestPath, r)
         r
       }

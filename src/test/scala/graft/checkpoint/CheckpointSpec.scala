@@ -40,6 +40,13 @@ class CheckpointSpec extends AnyFlatSpec with Matchers {
     // wall-clock and lineage present
     all(results.map(_.wallMs)) should be >= 0L
     all(results.map(_.snapshotId)) shouldBe None
+    // per-partition metrics: per-column null counts ride in the manifest
+    results.map(_.nullCounts.keySet) foreach
+      (_ shouldBe Set("conv_id", "turn_idx", "role", "text", "tool", "ts"))
+    results.map(_.nullCounts("tool")).sum should be > 0L // non-tool rows
+    results.map(_.nullCounts("conv_id")).sum shouldBe 0L
+    val line = Files.readAllLines(Paths.get(s"$out/manifest.jsonl")).get(0)
+    line should include(""""null_counts":{""")
   }
 
   it should "skip completed units on re-run (resume is incremental)" in {
