@@ -210,6 +210,15 @@ object SparkEntry {
         col("doc_id"),
         TextOps.subwordCount(col("text")).cast("long").as("n_subwords"))),
 
+    "doc_rolling_hash" -> ((s, dir) =>
+      docs(s, dir).select(col("doc_id"),
+        TextOps.rollingFingerprint(col("text")).as("rh"))),
+
+    "multimodal_resample" -> ((s, dir) =>
+      Multimodal.resample(Multimodal.asMediaTable(docs(s, dir)))
+        .toDF().select(col("doc_id"),
+          col("n_bytes").cast("long").as("n_bytes"), col("resampled_md5"))),
+
     // ---------- similarity / ANN over embeddings ----------
     "ann_cosine_topk" -> ((s, dir) => {
       val e = embeddings(s, dir)
@@ -624,6 +633,22 @@ object SparkEntry {
     "text_subwords" ->
       """SELECT doc_id,
         |CAST(len(regexp_extract_all(text, '''(?:s|t|re|ve|m|ll|d)| ?[A-Za-z]+| ?[0-9]+| ?[^A-Za-z0-9\s]+|\s+')) AS BIGINT) AS n_subwords
+        |FROM documents""".stripMargin,
+
+    // corpus is ASCII so ascii(char) == utf-8 byte; fold replays the
+    // byte-level polynomial mod 1e9+7 exactly
+    "doc_rolling_hash" ->
+      """SELECT doc_id, CAST(list_reduce(
+        |  list_prepend(CAST(0 AS BIGINT),
+        |    list_transform(range(1, length(text) + 1), i -> CAST(ascii(substr(text, i, 1)) AS BIGINT))),
+        |  (h, c) -> (h * 31 + c) % 1000000007) AS BIGINT) AS rh
+        |FROM documents""".stripMargin,
+
+    "multimodal_resample" ->
+      """SELECT doc_id, CAST(length(text) AS BIGINT) AS n_bytes,
+        |CASE WHEN length(text) = 0 THEN NULL ELSE md5(array_to_string(
+        |  list_transform(range(0, 64), i -> substr(text, CAST((i * length(text)) // 64 AS INT) + 1, 1)), ''))
+        |END AS resampled_md5
         |FROM documents""".stripMargin,
 
     "ann_cosine_topk" ->

@@ -75,6 +75,43 @@ object Multimodal {
       }
   }
 
+  final case class MediaResampled(
+      doc_id: Long, mime: String, n_bytes: Int, resampled_md5: String)
+
+  /** Resize/resample stand-in: nearest-neighbor byte resampling to a
+    * fixed target length — the 1-D analogue of an image resize, with the
+    * same plumbing a real resize needs (per-partition batches over the
+    * binary column, fixed-size output). Index rule `(i * len) / target`
+    * is pure integer arithmetic, so the output is reproducible anywhere.
+    * Empty media resamples to null.
+    */
+  def resample(media: DataFrame, target: Int = 64): Dataset[MediaResampled] = {
+    require(target > 0)
+    val spark = media.sparkSession
+    import spark.implicits._
+    media.select(col("doc_id"), col("mime"), col("media")).as[MediaRow]
+      .mapPartitions { rows =>
+        val md = java.security.MessageDigest.getInstance("MD5")
+        rows.map { r =>
+          val bytes = Option(r.media).getOrElse(Array.emptyByteArray)
+          val digest =
+            if (bytes.isEmpty) null
+            else {
+              val out = new Array[Byte](target)
+              var i = 0
+              while (i < target) {
+                out(i) = bytes(((i.toLong * bytes.length) / target).toInt)
+                i += 1
+              }
+              md.reset()
+              md.update(out)
+              md.digest().map("%02x".format(_)).mkString
+            }
+          MediaResampled(r.doc_id, r.mime, bytes.length, digest)
+        }
+      }
+  }
+
   /** Partition-wise batched feature extraction over the binary column.
     * One pass, no shuffle; executor-side only.
     */

@@ -32,11 +32,18 @@ object TextOps {
   def subwordCount(c: Column): Column =
     regexp_count(coalesce(c, lit("")), lit(subwordPattern))
 
-  /** Rolling document fingerprint: md5 of case- and whitespace-normalized
+  /** Document fingerprint: md5 of case- and whitespace-normalized
     * text (deterministic, engine-portable).
     */
   def fingerprint(c: Column): Column =
     md5(regexp_replace(lower(coalesce(c, lit(""))), "\\s+", " "))
+
+  /** Rolling-hash fingerprint (Rabin–Karp polynomial over UTF-8 bytes,
+    * mod 1e9+7) — custom codegen expression
+    * ([[graft.functions.RollingHash]]); byte loop, no string copy.
+    */
+  def rollingFingerprint(c: Column): Column =
+    graft.functions.TextFunctions.rollingHash(c)
 
   /** Non-overlapping occurrence count of `needle` in `hay` via
     * length-delta (exact, portable to any SQL engine).

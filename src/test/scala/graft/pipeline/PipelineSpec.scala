@@ -185,6 +185,19 @@ class PipelineSpec extends AnyFlatSpec with Matchers {
     out(1L).first_frame_md5 shouldBe expect
   }
 
+  "Multimodal.resample" should "nearest-neighbor sample bytes to a fixed length" in {
+    import spark.implicits._
+    val df = Seq((1L, "abcd"), (2L, "")).toDF("doc_id", "text")
+    val out = Multimodal.resample(Multimodal.asMediaTable(df), target = 8)
+      .collect().map(r => r.doc_id -> r).toMap
+    // indices (i*4)/8 for i<8 -> 0,0,1,1,2,2,3,3 -> "aabbccdd"
+    val md = java.security.MessageDigest.getInstance("MD5")
+    val expect = md.digest("aabbccdd".getBytes("UTF-8")).map("%02x".format(_)).mkString
+    out(1L).resampled_md5 shouldBe expect
+    out(1L).n_bytes shouldBe 4
+    out(2L).resampled_md5 shouldBe null
+  }
+
   "Multimodal" should "extract deterministic features preserving byte counts" in {
     val feats = Multimodal.extractFeatures(Multimodal.asMediaTable(docs)).cache()
     try {
