@@ -644,9 +644,11 @@ object SparkEntry {
         |  (h, c) -> (h * 31 + c) % 1000000007) AS BIGINT) AS rh
         |FROM documents""".stripMargin,
 
+    // corpus is ASCII (verified: octet_length == length for every doc),
+    // so char indexing replays the Spark side's byte indexing exactly
     "multimodal_resample" ->
-      """SELECT doc_id, CAST(length(text) AS BIGINT) AS n_bytes,
-        |CASE WHEN length(text) = 0 THEN NULL ELSE md5(array_to_string(
+      """SELECT doc_id, CAST(octet_length(encode(text)) AS BIGINT) AS n_bytes,
+        |CASE WHEN octet_length(encode(text)) = 0 THEN NULL ELSE md5(array_to_string(
         |  list_transform(range(0, 64), i -> substr(text, CAST((i * length(text)) // 64 AS INT) + 1, 1)), ''))
         |END AS resampled_md5
         |FROM documents""".stripMargin,

@@ -105,6 +105,47 @@ object Checkpoint {
     files.sorted
   }
 
+  /** Per-unit (rows, per-column null counts) from parquet FOOTERS — a
+    * metadata-only read, no data pages decoded (the same stats an
+    * Iceberg manifest carries). Runs as one small distributed job over
+    * the batch's paths so the driver never loops over files. Returns
+    * None when any file lacks complete column statistics (then the
+    * caller falls back to a grouped scan).
+    */
+  private def footerMetrics(spark: SparkSession, files: Seq[String],
+                            statCols: Seq[String]): Option[Map[String, (Long, Map[String, Long])]] = {
+    val collected =
+      spark.sparkContext.parallelize(files, math.min(files.size, 32)).map { f =>
+        val conf = new org.apache.hadoop.conf.Configuration()
+        val in = org.apache.parquet.hadoop.util.HadoopInputFile
+          .fromPath(new org.apache.hadoop.fs.Path(f), conf)
+        val reader = org.apache.parquet.hadoop.ParquetFileReader.open(in)
+        try {
+          var rows = 0L
+          val nulls = scala.collection.mutable.Map.empty[String, Long]
+          var ok = true
+          reader.getFooter.getBlocks.forEach { b =>
+            rows += b.getRowCount
+            b.getColumns.forEach { c =>
+              val name = c.getPath.toDotString
+              val st = c.getStatistics
+              if (st == null || !st.isNumNullsSet) ok = false
+              else nulls(name) = nulls.getOrElse(name, 0L) + st.getNumNulls
+            }
+          }
+          (f, rows, nulls.toMap, ok)
+        } finally reader.close()
+      }.collect()
+    val complete = collected.forall { case (_, _, nulls, ok) =>
+      ok && statCols.forall(nulls.contains)
+    }
+    if (complete)
+      Some(collected.map { case (f, rows, nulls, _) =>
+        f -> (rows, statCols.map(c => c -> nulls(c)).toMap)
+      }.toMap)
+    else None
+  }
+
   /** Run validation over all pending units in BATCHES of `batchSize`
     * files per Spark job (a sequential one-job-per-unit loop is
     * driver-bound at 100k+ lake files: each submission costs scheduler
@@ -153,22 +194,29 @@ object Checkpoint {
         .partitionBy("unit")
         .parquet(outDir)
 
-      // per-unit metrics: one grouped scan of the inputs yields rows +
-      // per-column null counts (the manifest's per-partition metrics);
-      // violation rows come from the (tiny) freshly-written output
+      // per-unit metrics (rows + per-column null counts — the manifest's
+      // per-partition metrics): from parquet footers when complete
+      // statistics exist (metadata only, no second decode of the data
+      // the validation job just scanned), else one grouped fallback scan
       val statCols = df.drop("unit").columns.toSeq
-      val metricsRows = spark.read.parquet(batch: _*)
-        .groupBy(unitCol.as("unit"))
-        .agg(count(lit(1)).as("rows"),
-          statCols.map(c => sum(col(c).isNull.cast("long")).as(s"__nulls_$c")): _*)
-        .collect()
-      val rowsByUnit = metricsRows.map(r => r.getString(0) -> r.getAs[Long]("rows")).toMap
-      val nullsByUnit = metricsRows.map { r =>
-        r.getString(0) -> statCols.map(c => c -> r.getAs[Long](s"__nulls_$c")).toMap
-      }.toMap
-      val strayFiles = rowsByUnit.keySet -- batch.toSet
-      require(strayFiles.isEmpty,
-        s"batch lineage mismatch: scanned files not in the unit list: ${strayFiles.take(3)}")
+      val (rowsByUnit, nullsByUnit) = footerMetrics(spark, batch, statCols) match {
+        case Some(m) =>
+          (m.map { case (u, (r, _)) => u -> r },
+           m.map { case (u, (_, n)) => u -> n })
+        case None =>
+          val metricsRows = spark.read.parquet(batch: _*)
+            .groupBy(unitCol.as("unit"))
+            .agg(count(lit(1)).as("rows"),
+              statCols.map(c => sum(col(c).isNull.cast("long")).as(s"__nulls_$c")): _*)
+            .collect()
+          val stray = metricsRows.map(_.getString(0)).toSet -- batch.toSet
+          require(stray.isEmpty,
+            s"batch lineage mismatch: scanned files not in the unit list: ${stray.take(3)}")
+          (metricsRows.map(r => r.getString(0) -> r.getAs[Long]("rows")).toMap,
+           metricsRows.map { r =>
+             r.getString(0) -> statCols.map(c => c -> r.getAs[Long](s"__nulls_$c")).toMap
+           }.toMap)
+      }
       // all-clean units write no partition dir at all — count only what exists
       val writtenDirs = batch.map(u => s"$outDir/${unitDirName(u)}")
         .filter(p => new java.io.File(p).isDirectory)

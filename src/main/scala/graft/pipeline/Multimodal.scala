@@ -21,6 +21,15 @@ object Multimodal {
       doc_id: Long, mime: String, n_bytes: Int,
       head_byte: Int, checksum: Long, feature: Array[Float])
 
+  private def mediaBytes(r: MediaRow): Array[Byte] =
+    Option(r.media).getOrElse(Array.emptyByteArray)
+
+  private def hexMd5(md: java.security.MessageDigest, bytes: Array[Byte], len: Int): String = {
+    md.reset()
+    md.update(bytes, 0, len)
+    md.digest().map("%02x".format(_)).mkString
+  }
+
   /** Wrap a text table as a media table: bytes + typed metadata.
     * (In production the binary column comes straight from the lake.)
     */
@@ -61,15 +70,11 @@ object Multimodal {
       .mapPartitions { rows =>
         val md = java.security.MessageDigest.getInstance("MD5")
         rows.map { r =>
-          val bytes = Option(r.media).getOrElse(Array.emptyByteArray)
+          val bytes = mediaBytes(r)
           val n = if (bytes.isEmpty) 0L else (bytes.length + stride - 1L) / stride
           val first =
             if (bytes.isEmpty) null
-            else {
-              md.reset()
-              md.update(bytes, 0, math.min(frameSize, bytes.length))
-              md.digest().map("%02x".format(_)).mkString
-            }
+            else hexMd5(md, bytes, math.min(frameSize, bytes.length))
           MediaFrames(r.doc_id, r.mime, n, first)
         }
       }
@@ -93,7 +98,7 @@ object Multimodal {
       .mapPartitions { rows =>
         val md = java.security.MessageDigest.getInstance("MD5")
         rows.map { r =>
-          val bytes = Option(r.media).getOrElse(Array.emptyByteArray)
+          val bytes = mediaBytes(r)
           val digest =
             if (bytes.isEmpty) null
             else {
@@ -103,9 +108,7 @@ object Multimodal {
                 out(i) = bytes(((i.toLong * bytes.length) / target).toInt)
                 i += 1
               }
-              md.reset()
-              md.update(out)
-              md.digest().map("%02x".format(_)).mkString
+              hexMd5(md, out, out.length)
             }
           MediaResampled(r.doc_id, r.mime, bytes.length, digest)
         }
@@ -121,7 +124,7 @@ object Multimodal {
     media.select(col("doc_id"), col("mime"), col("media")).as[MediaRow]
       .mapPartitions { rows =>
         rows.map { r =>
-          val bytes = Option(r.media).getOrElse(Array.emptyByteArray)
+          val bytes = mediaBytes(r)
           val crc = new java.util.zip.CRC32
           crc.update(bytes)
           MediaFeatures(
