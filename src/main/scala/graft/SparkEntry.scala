@@ -214,6 +214,15 @@ object SparkEntry {
       docs(s, dir).select(col("doc_id"),
         TextOps.rollingFingerprint(col("text")).as("rh"))),
 
+    // n-gram Jaccard as a first-class check: similarity of each planted
+    // near-dup pair (text vs text + ' qq zz'), exact on both engines
+    "ngram_jaccard" -> ((s, dir) =>
+      docs(s, dir).filter(col("doc_id") % 11 === 5)
+        .select(col("doc_id"),
+          round(Dedup.jaccard(
+            Dedup.shingles(col("text")),
+            Dedup.shingles(concat(col("text"), lit(" qq zz")))), 6).as("jaccard"))),
+
     "multimodal_resample" -> ((s, dir) =>
       Multimodal.resample(Multimodal.asMediaTable(docs(s, dir)))
         .toDF().select(col("doc_id"),
@@ -634,6 +643,22 @@ object SparkEntry {
       """SELECT doc_id,
         |CAST(len(regexp_extract_all(text, '''(?:s|t|re|ve|m|ll|d)| ?[A-Za-z]+| ?[0-9]+| ?[^A-Za-z0-9\s]+|\s+')) AS BIGINT) AS n_subwords
         |FROM documents""".stripMargin,
+
+    "ngram_jaccard" ->
+      """WITH base AS (SELECT doc_id, text FROM documents WHERE doc_id % 11 = 5),
+        |t AS (SELECT doc_id,
+        |  regexp_split_to_array(trim(lower(text)), '\s+') AS ta,
+        |  regexp_split_to_array(trim(lower(text || ' qq zz')), '\s+') AS tb FROM base),
+        |sh AS (SELECT doc_id,
+        |  CASE WHEN len(ta) < 3 THEN [array_to_string(ta, ' ')]
+        |       ELSE list_transform(range(1, len(ta) - 1), i -> ta[i] || ' ' || ta[i+1] || ' ' || ta[i+2]) END AS sa,
+        |  CASE WHEN len(tb) < 3 THEN [array_to_string(tb, ' ')]
+        |       ELSE list_transform(range(1, len(tb) - 1), i -> tb[i] || ' ' || tb[i+1] || ' ' || tb[i+2]) END AS sb
+        |  FROM t)
+        |SELECT doc_id, ROUND(
+        |  CAST(len(list_intersect(list_distinct(sa), list_distinct(sb))) AS DOUBLE)
+        |    / len(list_distinct(list_concat(sa, sb))), 6) AS jaccard
+        |FROM sh""".stripMargin,
 
     // corpus is ASCII so ascii(char) == utf-8 byte; fold replays the
     // byte-level polynomial mod 1e9+7 exactly

@@ -21,7 +21,7 @@ import org.apache.spark.unsafe.types.UTF8String
 case class RollingHash(child: Expression) extends UnaryExpression {
 
   override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
-    case StringType => TypeCheckResult.TypeCheckSuccess
+    case StringType | NullType => TypeCheckResult.TypeCheckSuccess // null in -> null out
     case other => TypeCheckResult.TypeCheckFailure(
       s"rolling_hash needs a string input, got ${other.simpleString}")
   }

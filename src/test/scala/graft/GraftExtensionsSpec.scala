@@ -1,0 +1,48 @@
+package graft
+
+import org.scalatest.flatspec.AnyFlatSpec
+import org.scalatest.matchers.should.Matchers
+
+/** SQL-surface registration of the custom codegen expressions: a
+  * `spark.sql` user gets the same kernels the DataFrame API uses.
+  */
+class GraftExtensionsSpec extends AnyFlatSpec with Matchers {
+
+  private lazy val spark = {
+    val s = SparkTestBase.spark
+    GraftExtensions.install(s)
+    s
+  }
+
+  "GraftExtensions" should "expose rolling_hash to spark.sql" in {
+    val h = spark.sql("SELECT rolling_hash('abc') AS h").collect().head.getLong(0)
+    val expect = "abc".getBytes("UTF-8")
+      .foldLeft(0L)((acc, b) => (acc * 31L + (b & 0xffL)) % 1000000007L)
+    h shouldBe expect
+    spark.sql("SELECT rolling_hash(NULL) AS h").collect().head.isNullAt(0) shouldBe true
+  }
+
+  it should "expose float_vec_dot to spark.sql" in {
+    val d = spark.sql(
+      "SELECT float_vec_dot(array(CAST(1.5 AS FLOAT), CAST(2 AS FLOAT)), array(CAST(4 AS FLOAT), CAST(0.5 AS FLOAT))) AS d")
+      .collect().head.getDouble(0)
+    d shouldBe 7.0
+  }
+
+  it should "reject wrong arity with a clear error" in {
+    val e = intercept[Exception](spark.sql("SELECT rolling_hash('a', 'b')").collect())
+    e.getMessage should include("argument")
+  }
+
+  it should "apply the same registrations through the extensions class" in {
+    // the config route (spark.sql.extensions) drives this same instance;
+    // verify the injector enumerates every registration without error
+    val captured = scala.collection.mutable.Buffer.empty[String]
+    val ext = new org.apache.spark.sql.SparkSessionExtensions
+    new GraftExtensions()(ext) // must not throw
+    GraftExtensions.registrations.map(_._1.funcName) should contain allOf
+      ("rolling_hash", "float_vec_dot")
+    captured // (silence unused warning pattern)
+    succeed
+  }
+}
