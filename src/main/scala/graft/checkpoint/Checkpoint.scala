@@ -24,13 +24,20 @@ import graft.exprs.Validator
   */
 object Checkpoint {
 
+  /** `batchWallMs`/`batchSize` are BATCH-level timing: the wall time of
+    * the group job that processed this unit and how many units shared
+    * it. A per-unit wall time would be a lie (the batch is one fused
+    * Spark job; a slow unit's cost cannot be attributed), so the
+    * manifest records the honest batch measurement instead.
+    */
   final case class UnitResult(
       unit: String,
       snapshotId: Option[Long],
       rows: Long,
       violations: Long,
       passed: Boolean,
-      wallMs: Long,
+      batchWallMs: Long,
+      batchSize: Int = 1,
       nullCounts: Map[String, Long] = Map.empty)
 
   private def esc(s: String) = s.replace("\\", "\\\\").replace("\"", "\\\"")
@@ -42,7 +49,8 @@ object Checkpoint {
         .map { case (c, n) => s""""${esc(c)}":$n""" }
         .mkString(""","null_counts":{""", ",", "}")
     s"""{"unit":"${esc(r.unit)}","snapshot_id":${r.snapshotId.map(_.toString).getOrElse("null")},""" +
-      s""""rows":${r.rows},"violations":${r.violations},"passed":${r.passed},"wall_ms":${r.wallMs}$nulls}"""
+      s""""rows":${r.rows},"violations":${r.violations},"passed":${r.passed},""" +
+      s""""batch_wall_ms":${r.batchWallMs},"batch_size":${r.batchSize}$nulls}"""
   }
 
   def parseLine(line: String): Option[String] = {
@@ -173,16 +181,26 @@ object Checkpoint {
     val pending = listUnits(spark, inputDir).filterNot(done)
     pending.grouped(batchSize).flatMap { batch =>
       val t0 = System.nanoTime()
-      // normalize file:// URIs back to the local paths listUnits produced;
+      // normalize file:// URIs back to the local paths listUnits produced.
       // input_file_name() URI-encodes special characters (spaces etc.), so
-      // decode before comparing — and FAIL LOUDLY on any path that matches
-      // no unit: a silent null here would record rows=0/violations=0 and
-      // flip a dirty table's verdict to valid
-      val unitCol = url_decode(regexp_replace(input_file_name(), "^file:(//)?", ""))
-      val keyExpr = batch.foldLeft(
-        raise_error(concat(lit("file not in batch lineage: "), unitCol)).cast("string")) {
-        (acc, unit) => when(unitCol === unit, lit(unitKey(unit))).otherwise(acc)
-      }
+      // the broadcast lookup map carries BOTH the raw path and its
+      // percent-encoded form per unit (url_decode on the column would
+      // apply form-urlencoding semantics and corrupt a literal '+' in a
+      // filename into a space). The O(1) map lookup replaces a
+      // batch-deep nested `when` chain (O(batch) expression depth per
+      // row, hostile to codegen at large batch sizes) — and FAILS LOUDLY
+      // on any path that matches no unit: a silent null here would
+      // record rows=0/violations=0 and flip a dirty table's verdict to
+      // valid.
+      val unitCol = regexp_replace(input_file_name(), "^file:(//)?", "")
+      val keyByPath: Map[String, String] = batch.flatMap { unit =>
+        val k = unitKey(unit)
+        val encoded = new java.net.URI(null, null, unit, null).getRawPath
+        Seq(unit -> k, encoded -> k)
+      }.toMap
+      val keyExpr = coalesce(
+        try_element_at(typedLit(keyByPath), unitCol),
+        raise_error(concat(lit("file not in batch lineage: "), unitCol)).cast("string"))
       val df = spark.read.parquet(batch: _*).withColumn("unit", keyExpr)
       val checks = graft.exprs.ConstraintCompiler.compile(schema, df.schema)
         .fold(e => throw new IllegalArgumentException(e), identity)
@@ -204,17 +222,17 @@ object Checkpoint {
           (m.map { case (u, (r, _)) => u -> r },
            m.map { case (u, (_, n)) => u -> n })
         case None =>
+          // group by the SAME fail-loud lineage key as the validation job
+          // (raise_error fires here too if a scanned file is unknown)
+          val unitByKey = batch.map(u => unitKey(u) -> u).toMap
           val metricsRows = spark.read.parquet(batch: _*)
-            .groupBy(unitCol.as("unit"))
+            .groupBy(keyExpr.as("unit_key"))
             .agg(count(lit(1)).as("rows"),
               statCols.map(c => sum(col(c).isNull.cast("long")).as(s"__nulls_$c")): _*)
             .collect()
-          val stray = metricsRows.map(_.getString(0)).toSet -- batch.toSet
-          require(stray.isEmpty,
-            s"batch lineage mismatch: scanned files not in the unit list: ${stray.take(3)}")
-          (metricsRows.map(r => r.getString(0) -> r.getAs[Long]("rows")).toMap,
+          (metricsRows.map(r => unitByKey(r.getString(0)) -> r.getAs[Long]("rows")).toMap,
            metricsRows.map { r =>
-             r.getString(0) -> statCols.map(c => c -> r.getAs[Long](s"__nulls_$c")).toMap
+             unitByKey(r.getString(0)) -> statCols.map(c => c -> r.getAs[Long](s"__nulls_$c")).toMap
            }.toMap)
       }
       // all-clean units write no partition dir at all — count only what exists
@@ -226,12 +244,12 @@ object Checkpoint {
           .withColumn("unit", regexp_extract(input_file_name(), "unit=([^/]+)/", 1))
           .groupBy("unit").agg(count(lit(1)).as("violations"))
           .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
-      val wallPerUnit = (System.nanoTime() - t0) / 1000000 / batch.size
+      val batchWallMs = (System.nanoTime() - t0) / 1000000
       batch.map { unit =>
         val rows = rowsByUnit.getOrElse(unit, 0L)
         val nVios = viosByKey.getOrElse(unitKey(unit), 0L)
-        val r = UnitResult(unit, snapshotId, rows, nVios, nVios == 0, wallPerUnit,
-          nullsByUnit.getOrElse(unit, Map.empty))
+        val r = UnitResult(unit, snapshotId, rows, nVios, nVios == 0,
+          batchWallMs, batch.size, nullsByUnit.getOrElse(unit, Map.empty))
         appendResult(manifestPath, r)
         r
       }

@@ -116,18 +116,26 @@ class ScopeRefResolver(resolutionScope: Map[URI, JValue], sources: SchemaSources
   * reference's `JsonSource` instances (`JsonSource.scala:44-56`:
   * in-memory string, `file:`, and `http(s):` via a URL stream).
   * Registered in-memory documents take precedence (tests and offline
-  * runs pre-register remote documents); then `file:`; then a live
-  * `http(s):` GET. All failures surface as `cannot load <uri>: <cause>`
-  * so callers can classify offline-only failures.
+  * runs pre-register remote documents); then `file:`; then — ONLY when
+  * `allowNetwork` is explicitly enabled — a live `http(s):` GET.
+  * Network fetching is opt-in because a driver-side GET for any
+  * unregistered remote `$ref` is an SSRF/egress vector for untrusted
+  * schema documents, and a remote document change silently changes the
+  * compiled constraints (non-reproducible validation runs). All
+  * failures surface as `cannot load <uri>: <cause>` so callers can
+  * classify offline-only failures.
   */
-final case class SchemaSources(docs: Map[URI, JValue]) {
+final case class SchemaSources(docs: Map[URI, JValue], allowNetwork: Boolean = false) {
   def load(uri: URI): Either[String, JValue] = {
     val key = uri.resolve("#")
     docs.get(key).map(Right(_)).getOrElse {
       uri.getScheme match {
-        case "file"           => Js.parseFile(new java.io.File(uri.getPath))
-        case "http" | "https" => SchemaSources.fetchHttp(key)
-        case other            => Left(s"cannot load $uri: unsupported scheme $other")
+        case "file" => Js.parseFile(new java.io.File(uri.getPath))
+        case "http" | "https" =>
+          if (allowNetwork) SchemaSources.fetchHttp(key)
+          else Left(s"cannot load $uri: network fetching is disabled " +
+            "(pre-register the document, or opt in with SchemaSources(..., allowNetwork = true))")
+        case other => Left(s"cannot load $uri: unsupported scheme $other")
       }
     }
   }

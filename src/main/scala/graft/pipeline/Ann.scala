@@ -79,6 +79,10 @@ object Ann {
     val scored = c.crossJoin(broadcast(q))
       .select(col("query_id"), col("cand_id"),
         round(dot(col("q_emb"), col("c_emb")) / (col("q_norm") * col("c_norm")), 6).as("sim"))
+      // a null embedding yields a null sim, which the aggregator's
+      // non-nullable (Double, Long) tuple encoder would throw on — a
+      // null-embedding candidate is simply never a neighbor
+      .filter(col("sim").isNotNull)
     explodeRanked(
       scored.groupBy("query_id")
         .agg(topK(k)(col("sim"), col("cand_id").cast("long")).as("top")),
@@ -161,6 +165,7 @@ object Ann {
         struct(
           (-round(dot(col(embCol), col("cent_emb")) / (col("__norm") * col("cent_norm")), 9)).as("d"),
           col("centroid_id")).as("cand"))
+      .filter(col("cand.d").isNotNull) // null embedding -> no assignment (see bruteForceTopK)
       .groupBy(col(idCol))
       .agg(min(col("cand")).as("best"))
       .select(col(idCol), col("best.centroid_id").as("centroid_id"))
@@ -193,6 +198,7 @@ object Ann {
       .select(col("query_id"), col("q_emb"), col("q_norm"),
         round(dot(col("q_emb"), col("cent_emb")) / (col("q_norm") * col("cent_norm")), 9).as("sim"),
         col("centroid_id"))
+      .filter(col("sim").isNotNull) // null query/centroid embedding (see bruteForceTopK)
       .groupBy("query_id")
       .agg(first(col("q_emb")).as("q_emb"), first(col("q_norm")).as("q_norm"),
         topK(nprobe)(col("sim"), col("centroid_id").cast("long")).as("top"))
@@ -204,6 +210,7 @@ object Ann {
         bucketed("centroid_id") === probes("centroid_id"))
       .select(col("query_id"), col("cand_id"),
         round(dot(col("q_emb"), col("c_emb")) / (col("q_norm") * col("c_norm")), 6).as("sim"))
+      .filter(col("sim").isNotNull) // null candidate embedding (see bruteForceTopK)
     explodeRanked(
       scored.groupBy("query_id")
         .agg(topK(k)(col("sim"), col("cand_id").cast("long")).as("top")),

@@ -78,8 +78,15 @@ object Dedup {
     * exchange.
     */
   private[pipeline] def capBuckets(banded: DataFrame, keys: Seq[String], maxBucket: Int): DataFrame = {
+    // observe() makes a cap-induced divergence self-explaining (visible
+    // in the UI / QueryExecutionListener metrics as `lsh_bucket_caps`)
+    // at zero extra passes: a silent drop of an oversized bucket would
+    // otherwise under-report pairs with no trace of why
     val counts = banded.groupBy(keys.map(col): _*)
       .agg(count(lit(1)).as("__bucket_n"))
+      .observe("lsh_bucket_caps",
+        sum(when(col("__bucket_n") > maxBucket, 1L).otherwise(0L)).as("dropped_buckets"),
+        sum(when(col("__bucket_n") > maxBucket, col("__bucket_n")).otherwise(0L)).as("dropped_rows"))
       .filter(col("__bucket_n") <= maxBucket)
     banded.join(counts, keys).drop("__bucket_n")
   }

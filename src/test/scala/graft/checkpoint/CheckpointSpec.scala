@@ -37,8 +37,9 @@ class CheckpointSpec extends AnyFlatSpec with Matchers {
     results.map(_.violations).sum should be > 0L
     results.count(_.passed == false) should be >= 1
     Checkpoint.completedUnits(s"$out/manifest.jsonl").size shouldBe 4
-    // wall-clock and lineage present
-    all(results.map(_.wallMs)) should be >= 0L
+    // wall-clock (batch-level, honest measurement) and lineage present
+    all(results.map(_.batchWallMs)) should be >= 0L
+    all(results.map(_.batchSize)) shouldBe 4
     all(results.map(_.snapshotId)) shouldBe None
     // per-partition metrics: per-column null counts ride in the manifest
     results.map(_.nullCounts.keySet) foreach
@@ -98,6 +99,28 @@ class CheckpointSpec extends AnyFlatSpec with Matchers {
     rs.size shouldBe 4
     rs.map(_.rows).sum shouldBe 400L
     rs.map(_.violations).sum should be > 0L
+  }
+
+  it should "not corrupt a literal '+' in a path (percent-decoding, not form-urlencoding)" in {
+    // url_decode semantics would turn '+' into a space, break the lineage
+    // match, and abort the run via raise_error — a legit filename must work
+    val in = tmp() + "/v+1/in"
+    writeInput(in)
+    val out = tmp()
+    val rs = Checkpoint.runValidation(spark, in, schema, s"$out/v", s"$out/manifest.jsonl")
+    rs.size shouldBe 4
+    rs.map(_.rows).sum shouldBe 400L
+  }
+
+  it should "handle a batch size far above the unit count (lookup map stays O(1))" in {
+    val in = tmp() + "/in"
+    writeInput(in)
+    val out = tmp()
+    val rs = Checkpoint.runValidation(spark, in, schema, s"$out/v", s"$out/manifest.jsonl",
+      batchSize = 512)
+    rs.size shouldBe 4
+    rs.map(_.rows).sum shouldBe 400L
+    all(rs.map(_.batchSize)) shouldBe 4 // actual batch, not the cap
   }
 
   it should "batch units into group jobs and stay resume-correct across batch boundaries" in {

@@ -34,12 +34,14 @@ class HttpSourceSpec extends AnyFlatSpec with Matchers with BeforeAndAfterAll {
 
   override def afterAll(): Unit = if (server != null) server.stop(0)
 
+  private val networked = SchemaSources(Map.empty, allowNetwork = true)
+
   "SchemaSources" should "load a remote document over HTTP and resolve $refs into it" in {
     val schema =
       s"""{ "id": "http://example.test/root#",
          |  "type": "object",
          |  "properties": { "v": { "$$ref": "$base/remote-schema.json#/properties/x" } } }""".stripMargin
-    val parsed = SchemaParser.parseString(schema, sources = SchemaSources.empty)
+    val parsed = SchemaParser.parseString(schema, sources = networked)
     parsed.isRight shouldBe true
     val doc = parsed.toOption.get
     val v = doc.obj.get.properties("v").schema
@@ -52,10 +54,21 @@ class HttpSourceSpec extends AnyFlatSpec with Matchers with BeforeAndAfterAll {
       s"""{ "id": "http://example.test/root2#",
          |  "type": "object",
          |  "properties": { "v": { "$$ref": "$base/broken.json#" } } }""".stripMargin
-    val parsed = SchemaParser.parseString(schema, sources = SchemaSources.empty)
+    val parsed = SchemaParser.parseString(schema, sources = networked)
     parsed.isLeft shouldBe true
     parsed.left.getOrElse("") should include("cannot load")
     parsed.left.getOrElse("") should include("404")
+  }
+
+  it should "refuse network fetches unless explicitly opted in (SSRF/egress guard)" in {
+    val schema =
+      s"""{ "id": "http://example.test/root4#",
+         |  "type": "object",
+         |  "properties": { "v": { "$$ref": "$base/remote-schema.json#" } } }""".stripMargin
+    // default SchemaSources: same live server, but allowNetwork=false
+    val parsed = SchemaParser.parseString(schema, sources = SchemaSources.empty)
+    parsed.isLeft shouldBe true
+    parsed.left.getOrElse("") should include("network fetching is disabled")
   }
 
   it should "prefer registered in-memory documents over the network" in {

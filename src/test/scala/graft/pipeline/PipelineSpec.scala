@@ -152,6 +152,22 @@ class PipelineSpec extends AnyFlatSpec with Matchers {
     r1.length shouldBe 80 // 8 queries x 10
   }
 
+  it should "drop null-embedding rows instead of crashing the heap encoder" in {
+    import spark.implicits._
+    val q = embeddings.filter(col("vec_id") < 2)
+    val nullRow = Seq((9999L, null.asInstanceOf[Array[Float]], 0))
+      .toDF("vec_id", "embedding", "label")
+    val c = embeddings.filter(col("vec_id") >= 8).unionByName(nullRow)
+    // null sim would hit TopKAggregator's non-nullable (Double, Long)
+    // tuple encoder; the filter must drop it before the aggregation
+    val rows = Ann.bruteForceTopK(q, c, 10).collect()
+    rows.length shouldBe 20
+    rows.map(_.getAs[Long]("cand_id")) should not contain 9999L
+    val cents = embeddings.filter(col("vec_id") % 97 === 0)
+    val ivf = Ann.ivfTopK(q, c.unionByName(nullRow), cents, 10, nprobe = 2).collect()
+    ivf.map(_.getAs[Long]("cand_id")) should not contain 9999L
+  }
+
   "TextOps.subwordCount" should "count BPE-style pre-tokens at the edges" in {
     import spark.implicits._
     val df = Seq(
