@@ -47,6 +47,59 @@ object SparkEntry {
       |  UNION ALL SELECT doc_id + 2000000, text || ' qq zz' FROM documents WHERE doc_id % 11 = 5
       |)""".stripMargin
 
+  /** Embedding pool with planted exact copies (+1,000,000) and perturbed
+    * near-copies (+2,000,000). The perturbation weights 17/16 and 15/16
+    * are exactly representable dyadics and the multiply runs in double
+    * then rounds to float, so BOTH engines produce bit-identical vectors
+    * (cos of a perturbed pair lands at ~0.998, far above the 0.95 gate
+    * tau; the densest base pair is <= 0.61). Same rules in [[embPoolCte]].
+    */
+  def embPool(s: SparkSession, dir: String): DataFrame = {
+    val e = embeddings(s, dir).select("vec_id", "embedding")
+    e.unionByName(e.filter(col("vec_id") % 7 === 3)
+        .select((col("vec_id") + 1000000).as("vec_id"), col("embedding")))
+      .unionByName(e.filter(col("vec_id") % 11 === 5)
+        .select((col("vec_id") + 2000000).as("vec_id"),
+          transform(col("embedding"), (x, i) =>
+            when(i % 2 === 0, (x.cast("double") * lit(1.0625)).cast("float"))
+              .otherwise((x.cast("double") * lit(0.9375)).cast("float"))).as("embedding")))
+  }
+
+  // DuckDB lambda indices are 1-based (Spark's are 0-based): i % 2 = 1
+  // below is the SAME elements as i % 2 === 0 above
+  private val embPoolCte: String =
+    """epool AS (
+      |  SELECT vec_id, embedding FROM embeddings
+      |  UNION ALL SELECT vec_id + 1000000, embedding FROM embeddings WHERE vec_id % 7 = 3
+      |  UNION ALL SELECT vec_id + 2000000,
+      |    list_transform(embedding, (x, i) -> CASE WHEN i % 2 = 1
+      |      THEN CAST(CAST(x AS DOUBLE) * 1.0625 AS FLOAT)
+      |      ELSE CAST(CAST(x AS DOUBLE) * 0.9375 AS FLOAT) END)
+      |  FROM embeddings WHERE vec_id % 11 = 5
+      |)""".stripMargin
+
+  /** Documents + first-token-substituted variants (+3,000,000): the
+    * simhash near-miss pool. The variant's hamming distance is a
+    * deterministic property of the text and the (replayable) token
+    * hash — mostly 0-4, with a long tail — and the oracle REPLAYS the
+    * whole simhash computation, so no recall assumption is needed:
+    * at maxHamming <= 3 with 4 bands the band join provably finds every
+    * qualifying pair (pigeonhole, see [[graft.pipeline.Dedup.simhashPairs]]).
+    */
+  def simhashNearPool(s: SparkSession, dir: String): DataFrame = {
+    val d = docs(s, dir).select("doc_id", "text")
+    d.unionByName(d.filter(col("doc_id") % 5 === 1)
+      .select((col("doc_id") + 3000000).as("doc_id"),
+        regexp_replace(col("text"), "^\\S+", "zq").as("text")))
+  }
+
+  private val simhashPoolCte: String =
+    """spool AS (
+      |  SELECT doc_id, text FROM documents
+      |  UNION ALL SELECT doc_id + 3000000, regexp_replace(text, '^\S+', 'zq')
+      |  FROM documents WHERE doc_id % 5 = 1
+      |)""".stripMargin
+
   private val tCte: String = TranscriptDerive.duckdbCteTable
 
   /** Flagship query on sf=0.001; driver smoke-checks rows>0. */
@@ -247,6 +300,44 @@ object SparkEntry {
     "embed_neardup_pairs" -> ((s, dir) =>
       Ann.cosineNearDupPairs(embeddings(s, dir), tau = 0.42)),
 
+    // the SCALE path for embedding near-dup: seeded SRP-LSH banding +
+    // exact verify, gated against the exact all-pairs oracle over the
+    // planted pool. Recall is a deterministic property of the baked
+    // hyperplane seed and the data: verified 0 missed / 0 extra at
+    // sf0.001/0.01/0.1 (planted pairs sit at cos >= 0.998, per-pair miss
+    // probability ~4e-5 at 16 planes / 4 bands; densest base pair 0.605)
+    "embed_neardup_srp" -> ((s, dir) =>
+      Ann.srpNearDupPairs(embPool(s, dir), tau = 0.95, dim = 64)),
+
+    // simhash at hamming 1..3 (beyond the hamming=0 degenerate case):
+    // replayable md5-derived token bits so the oracle recomputes
+    // signature + hamming end-to-end in DuckDB; at maxHamming=3 with 4
+    // bands the band join provably finds every qualifying pair
+    "simhash_near_pairs" -> ((s, dir) =>
+      Dedup.simhashPairsFromSig(
+          Dedup.simhashTableMd5(simhashNearPool(s, dir), "text", "doc_id"), maxHamming = 3)
+        .select(col("id_a"), col("id_b"), col("hamming").cast("long").as("hamming"))),
+
+    // the dedup-first composition (the actual 100-TB recipe): exact
+    // dedup -> LSH over representatives -> expand back to member pairs.
+    // Its output must equal the plain all-pairs ground truth, i.e. the
+    // SAME oracle as minhash_pairs
+    "minhash_pairs_dedup" -> ((s, dir) => {
+      val (repPairs, members) =
+        Dedup.minhashPairsDeduped(dedupPool(s, dir), k = 24, bands = 12, threshold = 0.5)
+      val m1 = members.select(col("keep_id").as("id_a"), col("doc_id").as("mem_a"))
+      val m2 = members.select(col("keep_id").as("id_b"), col("doc_id").as("mem_b"))
+      val cross = repPairs.join(m1, "id_a").join(m2, "id_b")
+        .select(least(col("mem_a"), col("mem_b")).as("id_a"),
+          greatest(col("mem_a"), col("mem_b")).as("id_b"),
+          round(col("jaccard"), 6).as("jaccard"))
+      val within = members.select(col("keep_id"), col("doc_id").as("a"))
+        .join(members.select(col("keep_id"), col("doc_id").as("b")), "keep_id")
+        .filter(col("a") < col("b"))
+        .select(col("a").as("id_a"), col("b").as("id_b"), lit(1.0).as("jaccard"))
+      cross.unionByName(within)
+    }),
+
     // ---------- keyword vocabulary over the dirty derived table ----------
     "v_lengths_types" -> ((s, dir) => dirtyViolations(s, dir, s"""
       { "type": "object", "required": ["l_orderkey", "l_linenumber"],
@@ -293,6 +384,17 @@ object SparkEntry {
                     "additionalItems": false }
         } }""")),
 
+    // combinators NESTED inside items: each element must match exactly
+    // one oneOf branch ('n9' matches both -> violation, 'zz' neither)
+    "v_array_oneof" -> ((s, dir) => dirtyViolations(s, dir, s"""
+      { "type": "object", "required": ["l_orderkey", "l_linenumber"],
+        "properties": {
+          $dirtyKeyProps,
+          "mix": { "type": "array",
+                   "items": { "oneOf": [ { "type": "string", "pattern": "^n[0-9]+$$" },
+                                         { "type": "string", "pattern": "9$$" } ] } }
+        } }""")),
+
     "v_maps" -> ((s, dir) => dirtyViolations(s, dir, s"""
       { "type": "object", "required": ["l_orderkey", "l_linenumber"],
         "properties": {
@@ -302,6 +404,21 @@ object SparkEntry {
                      "properties": { "kind": { "type": "string", "enum": ["a", "b"] } },
                      "patternProperties": { "^x_": { "type": "string", "pattern": "^[0-9]+$$" } },
                      "additionalProperties": { "type": "string", "maxLength": 4 } }
+        } }""")),
+
+    // object schema on a STRUCT-typed column (the fail-open class the
+    // round-2 review caught: without the struct branch this compiled to
+    // zero checks and every planted violation passed silently)
+    "v_structs" -> ((s, dir) => dirtyViolations(s, dir, s"""
+      { "type": "object", "required": ["l_orderkey", "l_linenumber"],
+        "properties": {
+          $dirtyKeyProps,
+          "meta": { "type": "object", "minProperties": 1, "maxProperties": 3,
+                    "required": ["kind"],
+                    "properties": { "kind": { "type": "string", "enum": ["a", "b"] },
+                                    "note": { "type": "string", "maxLength": 6 } },
+                    "patternProperties": { "^x_": { "type": "string", "pattern": "^[0-9]+$$" } },
+                    "additionalProperties": { "type": "string", "maxLength": 4 } }
         } }""")),
 
     // t-digest quantiles gated against the exact per-engine quantile:
@@ -536,6 +653,31 @@ object SparkEntry {
          |SELECT l_orderkey, l_linenumber, ${kPtr("attrs")}, 'maxProperties', '{"kind":"a","p":"1","q":"2","r":"3"}'
          |FROM dirty WHERE l_orderkey % 9 = 4""".stripMargin,
 
+    // struct branches are planted ground truth (same discipline as
+    // v_maps); `actual` is the fixed to_json literal per branch
+    "v_structs" ->
+      s"""WITH $dCte
+         |SELECT l_orderkey, l_linenumber, ${kPtr("meta")} AS pointer, 'minProperties' AS "constraint", '{}' AS actual
+         |FROM dirty WHERE l_orderkey % 8 = 0
+         |UNION ALL
+         |SELECT l_orderkey, l_linenumber, ${kPtr("meta")}, 'properties/kind', '{}'
+         |FROM dirty WHERE l_orderkey % 8 = 0
+         |UNION ALL
+         |SELECT l_orderkey, l_linenumber, ${kPtr("meta")}, 'properties/kind', '{"kind":"z"}'
+         |FROM dirty WHERE l_orderkey % 8 = 1
+         |UNION ALL
+         |SELECT l_orderkey, l_linenumber, ${kPtr("meta")}, 'properties/note', '{"kind":"a","note":"waytoolong"}'
+         |FROM dirty WHERE l_orderkey % 8 = 2
+         |UNION ALL
+         |SELECT l_orderkey, l_linenumber, ${kPtr("meta")}, 'patternProperties', '{"kind":"a","x_1":"oops"}'
+         |FROM dirty WHERE l_orderkey % 8 = 3
+         |UNION ALL
+         |SELECT l_orderkey, l_linenumber, ${kPtr("meta")}, 'additionalProperties', '{"kind":"a","zz":"toolong"}'
+         |FROM dirty WHERE l_orderkey % 8 = 4
+         |UNION ALL
+         |SELECT l_orderkey, l_linenumber, ${kPtr("meta")}, 'maxProperties', '{"kind":"a","note":"ok","x_1":"1","zz":"hm"}'
+         |FROM dirty WHERE l_orderkey % 8 = 5""".stripMargin,
+
     "stats_quantiles" -> {
       val rows = quantileProbs.flatMap { p =>
         Seq(
@@ -698,6 +840,73 @@ object SparkEntry {
       """SELECT vec_id, CAST(label AS BIGINT) AS label,
         |ROUND(sqrt(list_sum(list_transform(embedding, x -> CAST(x AS DOUBLE)*CAST(x AS DOUBLE)))), 6) AS l2
         |FROM embeddings""".stripMargin,
+
+    // the SRP gate replays the exact all-pairs ground truth over the
+    // planted pool; the Spark side must match it exactly (banding is
+    // only allowed to cost time, never pairs)
+    "embed_neardup_srp" ->
+      s"""WITH $embPoolCte,
+         |v AS (SELECT vec_id, embedding,
+         |    sqrt(list_sum(list_transform(embedding, x -> CAST(x AS DOUBLE)*CAST(x AS DOUBLE)))) AS nrm
+         |  FROM epool)
+         |SELECT id_a, id_b, ROUND(cos, 6) AS cos FROM (
+         |  SELECT a.vec_id AS id_a, b.vec_id AS id_b,
+         |    list_sum(list_transform(list_zip(a.embedding, b.embedding), p -> CAST(p[1] AS DOUBLE)*CAST(p[2] AS DOUBLE)))/(a.nrm*b.nrm) AS cos
+         |  FROM v a JOIN v b ON a.vec_id < b.vec_id)
+         |WHERE cos >= 0.95""".stripMargin,
+
+    // full end-to-end replay of the md5-bit simhash: token split,
+    // hex-parsed 64 bit sources, per-bit vote sums, signature assembly,
+    // and all-pairs hamming <= 3 (which the 4-band join provably equals)
+    "simhash_near_pairs" -> {
+      val voteCols = (0 until 64).map { i =>
+        val src = if (i < 60) s"(h60 >> $i)" else s"(h4 >> ${i - 60})"
+        s"SUM(CASE WHEN $src & 1 = 1 THEN 1 ELSE -1 END) AS v$i"
+      }.mkString(",\n|    ")
+      val sigExpr = ((0 until 63).map(i => s"CASE WHEN v$i > 0 THEN ${1L << i} ELSE 0 END") :+
+        "CASE WHEN v63 > 0 THEN (-9223372036854775807 - 1) ELSE 0 END").mkString(" + ")
+      s"""WITH $simhashPoolCte,
+         |toks AS (SELECT doc_id, unnest(regexp_split_to_array(trim(lower(text)), '\\s+')) AS t FROM spool),
+         |hx AS (SELECT doc_id, md5(t) AS m FROM toks),
+         |hv AS (SELECT doc_id,
+         |    list_reduce(list_transform(range(1, 16),
+         |      i -> CAST(strpos('0123456789abcdef', substr(m, CAST(i AS INT), 1)) - 1 AS BIGINT)),
+         |      (a, b) -> a * 16 + b) AS h60,
+         |    CAST(strpos('0123456789abcdef', substr(m, 16, 1)) - 1 AS BIGINT) AS h4
+         |  FROM hx),
+         |votes AS (SELECT doc_id,
+         |    $voteCols
+         |  FROM hv GROUP BY doc_id),
+         |sig AS (SELECT doc_id, $sigExpr AS s FROM votes)
+         |SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+         |       CAST(bit_count(xor(a.s, b.s)) AS BIGINT) AS hamming
+         |FROM sig a JOIN sig b ON a.doc_id < b.doc_id
+         |WHERE bit_count(xor(a.s, b.s)) <= 3""".stripMargin
+    },
+
+    // dedup-first composition: identical ground truth to minhash_pairs
+    "minhash_pairs_dedup" ->
+      s"""WITH $poolCte,
+         |sh AS (
+         |  SELECT doc_id,
+         |    CASE WHEN len(toks) < 3 THEN [array_to_string(toks, ' ')]
+         |         ELSE list_transform(range(1, len(toks) - 1),
+         |                i -> toks[i] || ' ' || toks[i+1] || ' ' || toks[i+2]) END AS sh
+         |  FROM (SELECT doc_id, regexp_split_to_array(trim(lower(text)), '\\s+') AS toks FROM pool)),
+         |pairs AS (
+         |  SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+         |    CAST(len(list_intersect(list_distinct(a.sh), list_distinct(b.sh))) AS DOUBLE)
+         |      / len(list_distinct(list_concat(a.sh, b.sh))) AS j
+         |  FROM sh a JOIN sh b ON a.doc_id < b.doc_id)
+         |SELECT id_a, id_b, ROUND(j, 6) AS jaccard FROM pairs WHERE j >= 0.5""".stripMargin,
+
+    "v_array_oneof" ->
+      s"""WITH $dCte
+         |SELECT l_orderkey, l_linenumber, ${kPtr("mix")} AS pointer, 'items' AS "constraint", '["zz","x9"]' AS actual
+         |FROM dirty WHERE l_orderkey % 27 = 0
+         |UNION ALL
+         |SELECT l_orderkey, l_linenumber, ${kPtr("mix")}, 'items', '["n9"]'
+         |FROM dirty WHERE l_orderkey % 27 = 1""".stripMargin,
 
     "embed_neardup_pairs" ->
       """WITH v AS (SELECT vec_id, embedding,

@@ -265,6 +265,75 @@ object ConstraintCompiler {
         val all = propChecks ++ patternChecks ++ additionalChecks
         all.collectFirst { case Left(e) => Left(e) }
           .getOrElse(Right(sizeChecks ++ all.collect { case Right(v) => v }))
+
+      // Struct-typed columns: same draft-4 object vocabulary, but the key
+      // set is STATIC (the struct's fields), so everything compiles to
+      // per-field `getField` checks — pure codegen, no per-key lambdas.
+      // A property is "present" when its field is non-null (a struct
+      // physically carries every field; null == absent), which pins
+      // `required` and the min/maxProperties counts. Without this branch
+      // an object schema on a struct column would compile to ZERO checks
+      // and fail open (silently passing violations).
+      case (Some(oc), st: StructType) =>
+        def ok(pred: Column): Column = c.isNull || pred
+        val actualStr = coalesce(to_json(c), lit("null"))
+        def present(f: String): Column = c.getField(f).isNotNull
+        // rlike is a regex *find* (unanchored); match that semantics when
+        // deciding key-pattern membership at compile time
+        def keyMatches(pat: String, field: String): Boolean =
+          pat.r.findFirstIn(field).isDefined
+        val presentCount = st.fieldNames.toSeq
+          .map(f => when(present(f), 1).otherwise(0))
+          .reduceOption(_ + _).getOrElse(lit(0))
+        val sizeChecks = Seq(
+          if (oc.minProperties > 0)
+            Some(Check(name, "minProperties", ok(presentCount >= lit(oc.minProperties)), actualStr))
+          else None,
+          oc.maxProperties.map(m =>
+            Check(name, "maxProperties", ok(presentCount <= lit(m)), actualStr))
+        ).flatten
+        val propChecks: Seq[Either[String, Seq[Check]]] = oc.properties.toSeq.map { case (k, prop) =>
+          st.fields.find(_.name == k) match {
+            case None if prop.required =>
+              // bind-time schema enforcement (same philosophy as type
+              // mismatches): a field the struct can never carry would
+              // violate on every row — surface it at compile time
+              Left(s"column $name: required property $k missing from struct ${st.simpleString}")
+            case None => Right(Nil) // optional + physically absent: nothing to check
+            case Some(f) =>
+              predicateFor(prop.schema, f.dataType, c.getField(k)).map { p =>
+                val reqPred = if (prop.required) present(k) else lit(true)
+                Seq(Check(name, s"properties/$k", ok(reqPred && p), actualStr))
+              }
+          }
+        }
+        // one check per pattern (not per field), mirroring the map form's
+        // one-violation-per-constraint emission
+        val patternChecks: Seq[Either[String, Seq[Check]]] = oc.patternProperties.map { case (pat, sub) =>
+          val matching = st.fields.filter(f => keyMatches(pat, f.name)).toSeq
+          val preds = matching.map(f => predicateFor(sub, f.dataType, c.getField(f.name)))
+          preds.collectFirst { case Left(e) => Left(e) }.getOrElse {
+            val conj = preds.collect { case Right(p) => p }.reduceOption(_ && _)
+            Right(conj.map(p => Check(name, "patternProperties", ok(p), actualStr)).toSeq)
+          }
+        }
+        val additionalChecks: Seq[Either[String, Seq[Check]]] = oc.additionalProperties match {
+          case Some(sub) if !isPermissive(sub) =>
+            val declared = oc.properties.keySet
+            val extra = st.fields.filterNot(f =>
+              declared(f.name) ||
+                oc.patternProperties.exists { case (pat, _) => keyMatches(pat, f.name) }).toSeq
+            val preds = extra.map(f => predicateFor(sub, f.dataType, c.getField(f.name)))
+            preds.collectFirst { case Left(e) => Left(e) }.toSeq :+ {
+              val conj = preds.collect { case Right(p) => p }.reduceOption(_ && _)
+              Right(conj.map(p => Check(name, "additionalProperties", ok(p), actualStr)).toSeq)
+            }
+          case _ => Nil // absent, false (quirk), or permissive true
+        }
+        val all = propChecks ++ patternChecks ++ additionalChecks
+        all.collectFirst { case Left(e) => Left(e) }
+          .getOrElse(Right(sizeChecks ++ all.collect { case Right(v) => v }.flatten))
+
       case _ => Right(Nil)
     }
 

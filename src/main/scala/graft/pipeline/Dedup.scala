@@ -36,20 +36,23 @@ object Dedup {
     df.groupBy(md5(col(textCol)).as("content_hash"))
       .agg(min(col(idCol)).as("keep_id"))
 
-  /** Word n-gram shingles as an array column. O(n) in the token count:
-    * built by zipping the token array with its own 1- and 2-shifted
-    * slices (the naive transform+slice form is O(n^2) per document and
-    * interpreted).
+  /** Word n-gram shingles as an array column, for arbitrary n >= 1.
+    * O(tokens) per document: the token array is zipped with its own
+    * i-shifted slices, one zip per extra gram position (the naive
+    * transform+slice form is O(tokens^2) per document and interpreted).
+    * zip_with pads the shorter (shifted) side with nulls, which mark the
+    * incomplete tail grams; the final filter drops them. Documents with
+    * fewer than n tokens yield their whole text as the single shingle
+    * (so short docs still participate in Jaccard instead of vanishing).
     */
   def shingles(textCol: Column, n: Int = 3): Column = {
-    require(n == 3, "shingles currently fixed at n=3")
+    require(n >= 1, s"shingle size must be >= 1, got $n")
     val toks = split(trim(lower(textCol)), "\\s+")
-    val t2 = slice(toks, lit(2), greatest(size(toks) - 1, lit(0)))
-    val t3 = slice(toks, lit(3), greatest(size(toks) - 2, lit(0)))
-    val pairs23 = zip_with(t2, t3, (b, c) =>
-      when(b.isNull || c.isNull, lit(null)).otherwise(concat(b, lit(" "), c)))
-    val grams = zip_with(toks, pairs23, (a, bc) =>
-      when(a.isNull || bc.isNull, lit(null)).otherwise(concat(a, lit(" "), bc)))
+    val grams = (1 until n).foldLeft(toks) { (acc, i) =>
+      val shifted = slice(toks, lit(i + 1), greatest(size(toks) - i, lit(0)))
+      zip_with(acc, shifted, (a, b) =>
+        when(a.isNull || b.isNull, lit(null)).otherwise(concat(a, lit(" "), b)))
+    }
     when(size(toks) < n, array(concat_ws(" ", toks)))
       .otherwise(filter(grams, g => g.isNotNull))
   }
@@ -158,26 +161,51 @@ object Dedup {
     when(union === 0, lit(0.0)).otherwise(inter / union)
   }
 
-  /** 64-bit SimHash per id on the codegen path: explode tokens, hash,
-    * then 64 conditional-sum vote aggregations, assembled into one long
-    * (bit 63 OR'd in separately — ANSI mode rejects a wrapping shift).
+  private def tokenRows(df: DataFrame, textCol: String, idCol: String): DataFrame =
+    df.select(col(idCol).as("id"), explode(split(trim(lower(col(textCol))), "\\s+")).as("t"))
+
+  /** Shared vote-and-assemble stage: 64 conditional-sum vote
+    * aggregations over per-token bit expressions, assembled into one
+    * long (bit 63 OR'd in separately — ANSI mode rejects a wrapping
+    * shift). `bit(i)` must be a 0/1 long expression over the token rows.
     */
-  def simhashTable(df: DataFrame, textCol: String, idCol: String): DataFrame = {
-    val voted = df
-      .select(col(idCol).as("id"), explode(split(trim(lower(col(textCol))), "\\s+")).as("t"))
-      .select(col("id"), xxhash64(col("t")).as("h"))
+  private def simhashFromTokenBits(tokens: DataFrame, bit: Int => Column): DataFrame = {
+    val voted = tokens
       .groupBy("id")
       .agg(
-        sum(when(col("h").bitwiseAND(lit(1L)) === 1L, 1L).otherwise(-1L)).as("v0"),
-        (1 until 64).map { i =>
-          sum(when(shiftright(col("h"), i).bitwiseAND(lit(1L)) === 1L, 1L).otherwise(-1L)).as(s"v$i")
-        }: _*)
+        sum(when(bit(0) === 1L, 1L).otherwise(-1L)).as("v0"),
+        (1 until 64).map(i => sum(when(bit(i) === 1L, 1L).otherwise(-1L)).as(s"v$i")): _*)
     val low = (0 until 63).map { i =>
       when(col(s"v$i") > 0, lit(1L << i)).otherwise(lit(0L))
     }.reduce(_ + _)
     val full = low.bitwiseOR(when(col("v63") > 0, lit(Long.MinValue)).otherwise(lit(0L)))
     voted.select(col("id"), full.as("simhash"))
   }
+
+  /** 64-bit SimHash per id on the codegen path: explode tokens, hash,
+    * then the shared vote aggregation. xxhash64 is the production token
+    * hash (codegen, fast, well mixed).
+    */
+  def simhashTable(df: DataFrame, textCol: String, idCol: String): DataFrame =
+    simhashFromTokenBits(
+      tokenRows(df, textCol, idCol).select(col("id"), xxhash64(col("t")).as("h")),
+      i => shiftright(col("h"), i).bitwiseAND(lit(1L)))
+
+  /** SimHash with a REPLAYABLE token hash: 64 bits drawn from md5(token)
+    * (60 from the first 15 hex chars, 4 from the 16th) — every stage is
+    * exactly reproducible in another SQL engine, which lets an external
+    * oracle replay signature, banding, and hamming verification
+    * end-to-end. Same vote/band machinery as [[simhashTable]]; use that
+    * one in production (xxhash64 is cheaper than md5).
+    */
+  def simhashTableMd5(df: DataFrame, textCol: String, idCol: String): DataFrame =
+    simhashFromTokenBits(
+      tokenRows(df, textCol, idCol).select(col("id"),
+        conv(substring(md5(col("t")), 1, 15), 16, 10).cast("long").as("h60"),
+        conv(substring(md5(col("t")), 16, 1), 16, 10).cast("long").as("h4")),
+      i =>
+        if (i < 60) shiftright(col("h60"), i).bitwiseAND(lit(1L))
+        else shiftright(col("h4"), i - 60).bitwiseAND(lit(1L)))
 
   /** HOF single-pass simhash (kept for per-row use inside a scan; the
     * bulk path is [[simhashTable]]).
@@ -201,10 +229,23 @@ object Dedup {
 
   /** SimHash near-duplicate candidates: 4 bands of 16 bits; same band
     * value -> candidate; verified by hamming distance <= maxHamming.
+    *
+    * Recall guarantee (pigeonhole): a pair with hamming <= 3 differs in
+    * at most 3 of the 4 bands, so at least one band value is identical
+    * and the pair ALWAYS becomes a candidate — at maxHamming <= 3 the
+    * output is exactly the set of all pairs within the hamming bound
+    * (modulo the hot-bucket cap), not an approximation.
     */
   def simhashPairs(df: DataFrame, textCol: String = "text", idCol: String = "doc_id",
-                   maxHamming: Int = 3, maxBucket: Int = 4096): DataFrame = {
-    val withSim = simhashTable(df, textCol, idCol)
+                   maxHamming: Int = 3, maxBucket: Int = 4096): DataFrame =
+    simhashPairsFromSig(simhashTable(df, textCol, idCol), maxHamming, maxBucket)
+
+  /** Band-join + hamming verification over a precomputed (id, simhash)
+    * table (so callers can choose the token hash, e.g.
+    * [[simhashTableMd5]] for replayability).
+    */
+  def simhashPairsFromSig(withSim: DataFrame,
+                          maxHamming: Int = 3, maxBucket: Int = 4096): DataFrame = {
     val banded = capBuckets(withSim.select(
       col("id"), col("simhash"),
       posexplode(array((0 until 4).map { b =>

@@ -63,13 +63,28 @@ object DirtyDerive {
               WHEN l_orderkey % 13 = 1 THEN array('key', 'bad')
               WHEN l_orderkey % 13 = 2 THEN array('key', 'val', 'extra')
               ELSE array('key', 'val') END AS pair""",
+      // ---- array of oneOf-constrained elements ('n1' matches only
+      // ^n[0-9]+$, 'x9' only 9$, 'n9' BOTH (not exactly-one), 'zz' neither) ----
+      """CASE WHEN l_orderkey % 27 = 0 THEN array('zz', 'x9')
+              WHEN l_orderkey % 27 = 1 THEN array('n9')
+              ELSE array('n1', 'x9') END AS mix""",
       // ---- maps (branch literals; key order pins to_json output) ----
       """CASE WHEN l_orderkey % 9 = 0 THEN map()
               WHEN l_orderkey % 9 = 1 THEN map('kind', 'z')
               WHEN l_orderkey % 9 = 2 THEN map('kind', 'a', 'x_1', 'oops')
               WHEN l_orderkey % 9 = 3 THEN map('kind', 'a', 'zz', 'waytoolong')
               WHEN l_orderkey % 9 = 4 THEN map('kind', 'a', 'p', '1', 'q', '2', 'r', '3')
-              ELSE map('kind', 'a', 'x_1', '42') END AS attrs""")
+              ELSE map('kind', 'a', 'x_1', '42') END AS attrs""",
+      // ---- structs (fixed field set kind/note/x_1/zz; a field is a
+      // "present property" when non-null; to_json drops null fields, so
+      // each branch's actual string is a fixed literal) ----
+      """CASE WHEN l_orderkey % 8 = 0 THEN named_struct('kind', CAST(NULL AS STRING), 'note', CAST(NULL AS STRING), 'x_1', CAST(NULL AS STRING), 'zz', CAST(NULL AS STRING))
+              WHEN l_orderkey % 8 = 1 THEN named_struct('kind', 'z', 'note', CAST(NULL AS STRING), 'x_1', CAST(NULL AS STRING), 'zz', CAST(NULL AS STRING))
+              WHEN l_orderkey % 8 = 2 THEN named_struct('kind', 'a', 'note', 'waytoolong', 'x_1', CAST(NULL AS STRING), 'zz', CAST(NULL AS STRING))
+              WHEN l_orderkey % 8 = 3 THEN named_struct('kind', 'a', 'note', CAST(NULL AS STRING), 'x_1', 'oops', 'zz', CAST(NULL AS STRING))
+              WHEN l_orderkey % 8 = 4 THEN named_struct('kind', 'a', 'note', CAST(NULL AS STRING), 'x_1', CAST(NULL AS STRING), 'zz', 'toolong')
+              WHEN l_orderkey % 8 = 5 THEN named_struct('kind', 'a', 'note', 'ok', 'x_1', '1', 'zz', 'hm')
+              ELSE named_struct('kind', 'a', 'note', CAST(NULL AS STRING), 'x_1', CAST(NULL AS STRING), 'zz', CAST(NULL AS STRING)) END AS meta""")
 
   /** Rule-for-rule identical derivation for the DuckDB oracle. Array and
     * map columns are NOT materialized oracle-side; the per-branch

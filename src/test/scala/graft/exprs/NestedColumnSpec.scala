@@ -129,4 +129,77 @@ class NestedColumnSpec extends AnyFlatSpec with Matchers {
     ).toDF("conv_id", "turn_idx", "attrs")
     validate(schema, df) shouldBe Set((1, "additionalProperties"))
   }
+
+  // ---- object schemas bound to STRUCT-typed columns (presence = field
+  // non-null; the key set is static so checks are per-field getField) ----
+
+  private val structSchema = """
+  {
+    "type": "object",
+    "required": ["conv_id", "turn_idx"],
+    "properties": {
+      "conv_id":  { "type": "string" },
+      "turn_idx": { "type": "integer" },
+      "meta": {
+        "type": "object",
+        "minProperties": 1, "maxProperties": 3,
+        "required": ["kind"],
+        "properties": { "kind": { "type": "string", "enum": ["a", "b"] },
+                        "note": { "type": "string", "maxLength": 6 } },
+        "patternProperties": { "^x_": { "type": "string", "pattern": "^[0-9]+$" } },
+        "additionalProperties": { "type": "string", "maxLength": 4 }
+      }
+    }
+  }"""
+
+  import NestedColumnSpec.Meta
+
+  "struct constraints" should "check presence, per-field schemas, and property counts" in {
+    import spark.implicits._
+    val df = Seq(
+      ("c1", 0, Meta("a", "ok", "42", null)),          // clean
+      ("c1", 1, Meta(null, null, null, null)),         // required kind + minProperties
+      ("c1", 2, Meta("z", null, null, null)),          // properties/kind enum
+      ("c1", 3, Meta("a", "waytoolong", null, null)),  // properties/note maxLength
+      ("c1", 4, Meta("a", null, "oops", null)),        // patternProperties
+      ("c1", 5, Meta("a", null, null, "toolong")),     // additionalProperties
+      ("c1", 6, Meta("a", "ok", "1", "hm"))            // maxProperties (4 present)
+    ).toDF("conv_id", "turn_idx", "meta")
+    validate(structSchema, df) shouldBe Set(
+      (1, "properties/kind"), (1, "minProperties"),
+      (2, "properties/kind"), (3, "properties/note"),
+      (4, "patternProperties"), (5, "additionalProperties"),
+      (6, "maxProperties"))
+  }
+
+  it should "pass a wholly-null struct through value checks (required is column-level)" in {
+    import spark.implicits._
+    val df = Seq(("c1", 0, Option.empty[Meta]))
+      .toDF("conv_id", "turn_idx", "meta")
+    validate(structSchema, df) shouldBe Set.empty
+  }
+
+  it should "reject at compile time a required property the struct cannot carry" in {
+    import spark.implicits._
+    val schema = """
+    {
+      "type": "object",
+      "required": ["conv_id", "turn_idx"],
+      "properties": {
+        "conv_id":  { "type": "string" },
+        "turn_idx": { "type": "integer" },
+        "meta": { "type": "object", "required": ["missing_field"],
+                  "properties": { "missing_field": { "type": "string" } } }
+      }
+    }"""
+    val df = Seq(("c1", 0, Meta("a", null, null, null))).toDF("conv_id", "turn_idx", "meta")
+    val ex = intercept[IllegalArgumentException](validate(schema, df))
+    ex.getMessage should include("missing_field")
+    ex.getMessage should include("missing from struct")
+  }
+}
+
+object NestedColumnSpec {
+  // top-level so Spark can derive an Encoder (inner classes need an outer scope)
+  final case class Meta(kind: String, note: String, x_n: String, zz: String)
 }

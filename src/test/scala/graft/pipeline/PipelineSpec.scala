@@ -38,6 +38,27 @@ class PipelineSpec extends AnyFlatSpec with Matchers {
     } finally pool.unpersist()
   }
 
+  "Dedup.shingles" should "match a slow reference implementation for n in {1,2,3,5}" in {
+    import spark.implicits._
+    def slowShingles(text: String, n: Int): Seq[String] = {
+      val toks = text.trim.toLowerCase.split("\\s+").toSeq
+      if (toks.size < n) Seq(toks.mkString(" "))
+      else toks.sliding(n).map(_.mkString(" ")).toSeq
+    }
+    val texts = Seq(
+      "", "one", "one two", "one two three",
+      "a b c d e f g", "  padded   whitespace  text here ",
+      "MiXeD Case TOKENS again and again and again")
+    val df = texts.toDF("text")
+    for (n <- Seq(1, 2, 3, 5)) {
+      val got = df.select(col("text"), Dedup.shingles(col("text"), n).as("sh"))
+        .collect().map(r => r.getString(0) -> r.getSeq[String](1).toSeq).toMap
+      texts.foreach { t =>
+        withClue(s"n=$n text='$t': ")(got(t) shouldBe slowShingles(t, n))
+      }
+    }
+  }
+
   it should "report jaccard 1.0 for exact duplicates" in {
     val pool = graft.SparkEntry.dedupPool(spark, sfDir)
     val exact = Dedup.minhashPairs(pool, threshold = 0.5)
@@ -54,6 +75,48 @@ class PipelineSpec extends AnyFlatSpec with Matchers {
       .map(id => (id, id + 1000000L))
     exactPlanted.foreach { p => byPair.get(p) shouldBe Some(0) }
     all(pairs.map(_.getAs[Int]("hamming"))) should be <= 3
+  }
+
+  "Dedup.simhashTableMd5" should "be token-order invariant and text-sensitive like the xxhash form" in {
+    import spark.implicits._
+    val df = Seq(
+      (1L, "alpha beta gamma delta"),
+      (2L, "delta gamma beta alpha"), // permutation -> identical signature
+      (3L, "alpha beta gamma delta"), // exact copy -> identical signature
+      (4L, "completely different words here")
+    ).toDF("doc_id", "text")
+    val sig = Dedup.simhashTableMd5(df, "text", "doc_id")
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    sig(2L) shouldBe sig(1L)
+    sig(3L) shouldBe sig(1L)
+    sig(4L) should not be sig(1L)
+    // the banded pair path over the md5 signatures finds the hamming-0 group
+    val pairs = Dedup.simhashPairsFromSig(
+        Dedup.simhashTableMd5(df, "text", "doc_id"), maxHamming = 0)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    pairs shouldBe Set((1L, 2L), (1L, 3L), (2L, 3L))
+  }
+
+  "Dedup.minhashPairsDeduped" should "expand back to exactly the plain LSH pair set" in {
+    val pool = graft.SparkEntry.dedupPool(spark, sfDir).cache()
+    try {
+      def norm(df: org.apache.spark.sql.DataFrame) =
+        df.collect().map(r => (r.getLong(0), r.getLong(1),
+          math.round(r.getDouble(2) * 1e6) / 1e6)).toSet
+      val direct = norm(Dedup.minhashPairs(pool, k = 24, bands = 12, threshold = 0.5))
+      val (repPairs, members) =
+        Dedup.minhashPairsDeduped(pool, k = 24, bands = 12, threshold = 0.5)
+      val m1 = members.select(col("keep_id").as("id_a"), col("doc_id").as("mem_a"))
+      val m2 = members.select(col("keep_id").as("id_b"), col("doc_id").as("mem_b"))
+      val cross = repPairs.join(m1, "id_a").join(m2, "id_b")
+        .select(least(col("mem_a"), col("mem_b")).as("id_a"),
+          greatest(col("mem_a"), col("mem_b")).as("id_b"), col("jaccard"))
+      val within = members.select(col("keep_id"), col("doc_id").as("a"))
+        .join(members.select(col("keep_id"), col("doc_id").as("b")), "keep_id")
+        .filter(col("a") < col("b"))
+        .select(col("a").as("id_a"), col("b").as("id_b"), lit(1.0).as("jaccard"))
+      norm(cross.unionByName(within)) shouldBe direct
+    } finally pool.unpersist()
   }
 
   "the LSH hot-bucket guard" should "skip oversized buckets instead of going quadratic" in {
