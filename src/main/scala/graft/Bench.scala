@@ -27,14 +27,16 @@ object Bench {
     spark.range(1000).count() // JVM/codegen warm-up
 
     // best-of-2 per query: the first run pays JIT/codegen/file-listing;
-    // the host VM's throughput also fluctuates (BENCH.md methodology)
+    // the host VM's throughput also fluctuates (BENCH.md methodology).
+    // The per-query spread (max/min of the two runs) ships in the JSON so
+    // a host-noise outlier is self-diagnosing instead of needing a replay.
     val results = SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
       val times = (1 to 2).map { _ =>
         val t0 = System.nanoTime()
         try { fn(spark, sfDir).count() } catch { case _: Throwable => -1L }
         (System.nanoTime() - t0) / 1e9
       }
-      name -> times.min
+      (name, times.min, times.max / math.max(times.min, 1e-9))
     }
 
     // flagship throughput: validated turns/sec (input rows of the derived
@@ -48,10 +50,13 @@ object Bench {
     val vSec = (System.nanoTime() - tV0) / 1e9
     val turnsPerSec = nTurns / vSec
 
-    val qs = results.map { case (k, v) => "\"" + k + "\":" + v }.mkString("{", ",", "}")
+    val qs = results.map { case (k, v, _) => "\"" + k + "\":" + v }.mkString("{", ",", "}")
+    val spreads = results.map { case (k, _, s) =>
+      "\"" + k + "\":" + (math.round(s * 100) / 100.0)
+    }.mkString("{", ",", "}")
     val total = results.map(_._2).sum
     println(
-      s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir","turns":$nTurns,"validate_sec":$vSec,"turns_per_sec":${turnsPerSec.round}}""")
+      s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"spread":$spreads,"sf":"$sfDir","turns":$nTurns,"validate_sec":$vSec,"turns_per_sec":${turnsPerSec.round}}""")
     spark.stop()
   }
 }

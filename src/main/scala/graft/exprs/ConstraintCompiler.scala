@@ -149,12 +149,18 @@ object ConstraintCompiler {
     } yield typeCheck ++ enumCheck ++ numeric ++ strings ++ format ++ arrays ++ maps ++ combinators
   }
 
+  // element-level forall on the whole-stage-codegen path: Spark's HOF
+  // `forall` is CodegenFallback (interpreted lambda dispatch per element),
+  // which at wide-array scale becomes the scan bottleneck; ForAllExpr
+  // splices the compiled element predicate into a generated loop
+  // (equivalence pinned by ForAllSpec against the HOF form)
+  private def forallCg(arr: Column, elemType: DataType)(f: Column => Column): Column =
+    graft.functions.ForAllFunctions.forallCodegen(arr, elemType, f)
+
   /** Array-column constraints (SURVEY §2b items/additionalItems/
     * uniqueItems/size rows): size bounds, element-level `items` schema
-    * via forall, tuple-form positional items, additionalItems over the
-    * tail slice, uniqueItems via array_distinct. Note: these use Spark
-    * higher-order functions (CodegenFallback) — fine for nested-column
-    * validation, which is per-element work regardless of engine.
+    * via the codegen'd forall, tuple-form positional items,
+    * additionalItems over the tail slice, uniqueItems via array_distinct.
     */
   private def arrayChecks(name: String, c: Column, doc: SchemaDoc, dt: DataType): Either[String, Seq[Check]] =
     (doc.array, dt) match {
@@ -174,7 +180,7 @@ object ConstraintCompiler {
             // instantiate it inside the forall lambda
             predicateFor(single, at.elementType, lit(null).cast(at.elementType)).map { _ =>
               Seq(Check(name, "items",
-                ok(forall(c, x => predicateFor(single, at.elementType, x)
+                ok(forallCg(c, at.elementType)(x => predicateFor(single, at.elementType, x)
                   .fold(e => throw new IllegalArgumentException(e), identity))),
                 actualStr))
             }
@@ -190,7 +196,8 @@ object ConstraintCompiler {
               case Some(Right(sub)) =>
                 Seq(predicateFor(sub, at.elementType, lit(null)).flatMap { _ =>
                   Right(Check(name, "additionalItems",
-                    ok(forall(slice(c, lit(tuple.size + 1), greatest(size(c) - tuple.size, lit(0))),
+                    ok(forallCg(slice(c, lit(tuple.size + 1), greatest(size(c) - tuple.size, lit(0))),
+                        at.elementType)(
                       x => predicateFor(sub, at.elementType, x)
                         .fold(e => throw new IllegalArgumentException(e), identity))),
                     actualStr))
@@ -231,7 +238,7 @@ object ConstraintCompiler {
         val patternChecks = oc.patternProperties.map { case (pat, sub) =>
           predicateFor(sub, mt.valueType, lit(null)).flatMap { _ =>
             Right(Check(name, "patternProperties",
-              ok(forall(map_keys(c), k =>
+              ok(forallCg(map_keys(c), mt.keyType)(k =>
                 !k.cast("string").rlike(pat) ||
                   predicateFor(sub, mt.valueType, try_element_at(c, k))
                     .fold(e => throw new IllegalArgumentException(e), identity))),
@@ -254,7 +261,7 @@ object ConstraintCompiler {
             }
             Seq(predicateFor(sub, mt.valueType, lit(null)).flatMap { _ =>
               Right(Check(name, "additionalProperties",
-                ok(forall(map_keys(c), k =>
+                ok(forallCg(map_keys(c), mt.keyType)(k =>
                   exempt(k) ||
                     predicateFor(sub, mt.valueType, try_element_at(c, k))
                       .fold(e => throw new IllegalArgumentException(e), identity))),

@@ -1,6 +1,6 @@
 package graft.exprs
 
-import org.apache.spark.sql.{DataFrame, Observation}
+import org.apache.spark.sql.{Column, DataFrame, Observation}
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types.NumericType
 import graft.compile.TableSchema
@@ -13,37 +13,57 @@ import graft.compile.TableSchema
   */
 object FusedRun {
 
+  /** Size profile of a container column (array/map: element count;
+    * struct: non-null field count — "present properties").
+    */
+  final case class SizeStats(min: Long, p50: Double, max: Long)
+
   final case class Result(
       rows: Long,
       violatingRows: Long,
       nullCounts: Map[String, Long],
       mins: Map[String, String],
       maxs: Map[String, String],
-      approxDistinct: Map[String, Long])
+      approxDistinct: Map[String, Long],
+      containerSizes: Map[String, SizeStats] = Map.empty)
 
   /** Returns the violations DataFrame; after an ACTION on it completes,
     * `result(obs)` yields the observed stats of the same pass.
+    *
+    * Orderable columns get null/min/max/approx-distinct; container
+    * columns (array/map/struct) are NOT skipped — they get null counts
+    * plus size quantiles (min/p50/max of the element count, or of the
+    * non-null field count for structs), so profile parity holds on
+    * nested tables too.
     */
   def violationsWithStats(df: DataFrame, schema: TableSchema, keyCols: Seq[String],
                           obs: Observation): DataFrame = {
+    import org.apache.spark.sql.types.{ArrayType, MapType, StructType}
     val checks = ConstraintCompiler.compile(schema, df.schema)
       .fold(e => throw new IllegalArgumentException(e), identity)
     val anyViolation = !checks.map(_.ok).reduce(_ && _)
     val statCols = df.schema.fields.toSeq.flatMap { f =>
       val n = f.name
       val c = col(n)
-      val orderable = f.dataType match {
-        case _: org.apache.spark.sql.types.ArrayType => false
-        case _: org.apache.spark.sql.types.MapType => false
-        case _: org.apache.spark.sql.types.StructType => false
-        case _ => true
-      }
-      if (!orderable) Nil
-      else Seq(
+      def sizeStats(sz: Column) = Seq(
         sum(c.isNull.cast("long")).as(s"${n}__nulls"),
-        min(c).cast("string").as(s"${n}__min"),
-        max(c).cast("string").as(s"${n}__max"),
-        approx_count_distinct(c).as(s"${n}__distinct"))
+        min(sz).cast("long").as(s"${n}__size_min"),
+        percentile_approx(sz.cast("double"), lit(0.5), lit(1000)).as(s"${n}__size_p50"),
+        max(sz).cast("long").as(s"${n}__size_max"))
+      f.dataType match {
+        case _: ArrayType | _: MapType =>
+          sizeStats(size(c)) // size(null) = null: null rows don't skew the quantile
+        case st: StructType =>
+          val present = st.fieldNames.toSeq
+            .map(fn => when(c.getField(fn).isNotNull, 1).otherwise(0))
+            .reduceOption(_ + _).getOrElse(lit(0))
+          sizeStats(when(c.isNull, lit(null)).otherwise(present))
+        case _ => Seq(
+          sum(c.isNull.cast("long")).as(s"${n}__nulls"),
+          min(c).cast("string").as(s"${n}__min"),
+          max(c).cast("string").as(s"${n}__max"),
+          approx_count_distinct(c).as(s"${n}__distinct"))
+      }
     }
     val metrics = Seq(
       count(lit(1)).as("rows"),
@@ -54,13 +74,21 @@ object FusedRun {
 
   def result(df: DataFrame, obs: Observation): Result = {
     val m = obs.get
-    val cols = df.columns.toSeq.filter(n => m.contains(s"${n}__nulls"))
+    val scalarCols = df.columns.toSeq.filter(n => m.contains(s"${n}__min"))
+    val containerCols = df.columns.toSeq.filter(n => m.contains(s"${n}__size_min"))
+    val allCols = scalarCols ++ containerCols
     Result(
       rows = m("rows").asInstanceOf[Long],
       violatingRows = m("violating_rows").asInstanceOf[Long],
-      nullCounts = cols.map(n => n -> m(s"${n}__nulls").asInstanceOf[Long]).toMap,
-      mins = cols.map(n => n -> Option(m(s"${n}__min")).map(_.toString).orNull).toMap,
-      maxs = cols.map(n => n -> Option(m(s"${n}__max")).map(_.toString).orNull).toMap,
-      approxDistinct = cols.map(n => n -> m(s"${n}__distinct").asInstanceOf[Long]).toMap)
+      nullCounts = allCols.map(n => n -> m(s"${n}__nulls").asInstanceOf[Long]).toMap,
+      mins = scalarCols.map(n => n -> Option(m(s"${n}__min")).map(_.toString).orNull).toMap,
+      maxs = scalarCols.map(n => n -> Option(m(s"${n}__max")).map(_.toString).orNull).toMap,
+      approxDistinct = scalarCols.map(n => n -> m(s"${n}__distinct").asInstanceOf[Long]).toMap,
+      containerSizes = containerCols.map { n =>
+        n -> SizeStats(
+          m(s"${n}__size_min").asInstanceOf[Long],
+          m(s"${n}__size_p50").asInstanceOf[Double],
+          m(s"${n}__size_max").asInstanceOf[Long])
+      }.toMap)
   }
 }

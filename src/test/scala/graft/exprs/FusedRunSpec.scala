@@ -37,6 +37,37 @@ class FusedRunSpec extends AnyFlatSpec with Matchers {
     scans should be <= 1
   }
 
+  it should "profile container columns with null counts and size quantiles" in {
+    import spark.implicits._
+    import NestedColumnSpec.Meta
+    val df = Seq(
+      ("c1", 0, Seq("a", "b"), Map("k" -> "v"), Meta("a", "ok", null, null)),
+      ("c1", 1, Seq("a"), Map("k" -> "v", "j" -> "w"), Meta("a", null, null, null)),
+      ("c1", 2, null.asInstanceOf[Seq[String]], Map.empty[String, String],
+        null.asInstanceOf[Meta]),
+      ("c1", 3, Seq("a", "b", "c", "d"), null.asInstanceOf[Map[String, String]],
+        Meta("a", "x", "1", "z"))
+    ).toDF("conv_id", "turn_idx", "tags", "attrs", "meta")
+    val nestedSchema = TableSchemaCompiler.compileString("""
+      { "type": "object", "required": ["conv_id", "turn_idx"],
+        "properties": {
+          "conv_id": { "type": "string" }, "turn_idx": { "type": "integer" },
+          "tags": { "type": "array", "maxItems": 10 } } }""").toOption.get
+    val obs = Observation()
+    FusedRun.violationsWithStats(df, nestedSchema, Seq("conv_id", "turn_idx"), obs).count()
+    val r = FusedRun.result(df, obs)
+    r.nullCounts("tags") shouldBe 1L
+    r.nullCounts("attrs") shouldBe 1L
+    r.nullCounts("meta") shouldBe 1L
+    r.containerSizes("tags") shouldBe FusedRun.SizeStats(1, 2.0, 4)
+    r.containerSizes("attrs") shouldBe FusedRun.SizeStats(0, 1.0, 2)
+    // struct "size" = non-null field count: 2, 1, (null), 4
+    r.containerSizes("meta") shouldBe FusedRun.SizeStats(1, 2.0, 4)
+    // scalar columns still fully profiled alongside
+    r.mins("turn_idx") shouldBe "0"
+    r.approxDistinct("conv_id") shouldBe 1L
+  }
+
   "Integrity.integrityReport" should "find dups and orphans from one full-data shuffle" in {
     val df = TranscriptGen.generate(spark, 100, 5,
       TranscriptGen.Defects(duplicates = true, orphans = true)).cache()

@@ -117,4 +117,24 @@ class PlanSpec extends AnyFlatSpec with Matchers {
     // no interpreted higher-order functions in the hot path
     exec.toString.toLowerCase should not include "arrayfilter"
   }
+
+  it should "leave no CodegenFallback expression in the array/map validation plans" in {
+    import org.apache.spark.sql.catalyst.expressions.codegen.CodegenFallback
+    // the exact schemas the v_arrays / v_maps / v_structs / v_array_oneof
+    // gate queries compile (element checks previously ran on interpreted
+    // HOF lambdas; ForAllExpr keeps them inside codegen)
+    val dirty = graft.sources.DirtyDerive.fromLineitem(spark, sfDir)
+    for (q <- Seq("v_arrays", "v_maps", "v_structs", "v_array_oneof")) {
+      val df = graft.SparkEntry.queries(q)(spark, sfDir)
+      val fallbacks = df.queryExecution.executedPlan.flatMap(_.expressions)
+        .flatMap(_.collect { case e: CodegenFallback => e })
+        // to_json (the `actual` renderer) only executes on the rare
+        // violating row, post-filter — the per-row hot path is the
+        // predicate side, which must be fallback-free
+        .filterNot(_.isInstanceOf[org.apache.spark.sql.catalyst.expressions.StructsToJson])
+      withClue(s"$q fallbacks: ${fallbacks.map(_.prettyName).distinct}: ")(
+        fallbacks shouldBe empty)
+    }
+    dirty.columns should contain("tags") // the fixture actually carries the arrays
+  }
 }

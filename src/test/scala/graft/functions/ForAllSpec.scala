@@ -1,0 +1,113 @@
+package graft.functions
+
+import org.scalatest.flatspec.AnyFlatSpec
+import org.scalatest.matchers.should.Matchers
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.{IntegerType, StringType}
+import graft.SparkTestBase
+
+/** [[ForAllExpr]] must be drop-in equivalent to Spark's `forall` HOF
+  * (including three-valued logic: false beats null beats true) while
+  * staying on the whole-stage-codegen path.
+  */
+class ForAllSpec extends AnyFlatSpec with Matchers {
+
+  private lazy val spark = SparkTestBase.spark
+
+  private def intArrays = {
+    import spark.implicits._
+    Seq(
+      (0L, Seq[Integer](1, 2, 3)),
+      (1L, Seq[Integer](2, 4, 6)),
+      (2L, Seq[Integer]()),
+      (3L, Seq[Integer](2, null, 4)),   // null element, rest true -> null
+      (4L, Seq[Integer](2, null, 5)),   // null element + false -> false
+      (5L, null.asInstanceOf[Seq[Integer]]), // null array -> null
+      (6L, Seq[Integer](null))
+    ).toDF("id", "xs")
+  }
+
+  // three-valued predicate: null for odd elements, x > 2 for even ones
+  private def pred(x: org.apache.spark.sql.Column) =
+    when(x % 2 === 0, x > 2).otherwise(lit(null).cast("boolean"))
+
+  it should "match forall() on ints for every null/empty shape" in {
+    val rows = intArrays.select(
+      col("id"),
+      forall(col("xs"), pred).as("hof"),
+      ForAllFunctions.forallCodegen(col("xs"), IntegerType, pred).as("cg"))
+      .collect()
+    rows.foreach { r =>
+      withClue(s"id=${r.getLong(0)}: ")(r.isNullAt(2) shouldBe r.isNullAt(1))
+      if (!r.isNullAt(1))
+        withClue(s"id=${r.getLong(0)}: ")(r.getBoolean(2) shouldBe r.getBoolean(1))
+    }
+  }
+
+  it should "match forall() in interpreted mode (codegen disabled)" in {
+    val prev = spark.conf.get("spark.sql.codegen.wholeStage", "true")
+    spark.conf.set("spark.sql.codegen.wholeStage", "false")
+    spark.conf.set("spark.sql.codegen.factoryMode", "NO_CODEGEN")
+    try {
+      val rows = intArrays.select(
+        col("id"),
+        forall(col("xs"), pred).as("hof"),
+        ForAllFunctions.forallCodegen(col("xs"), IntegerType, pred).as("cg"))
+        .collect()
+      rows.foreach { r =>
+        withClue(s"id=${r.getLong(0)}: ")(r.isNullAt(2) shouldBe r.isNullAt(1))
+        if (!r.isNullAt(1))
+          withClue(s"id=${r.getLong(0)}: ")(r.getBoolean(2) shouldBe r.getBoolean(1))
+      }
+    } finally {
+      spark.conf.set("spark.sql.codegen.wholeStage", prev)
+      spark.conf.set("spark.sql.codegen.factoryMode", "CODEGEN_ONLY")
+    }
+  }
+
+  it should "agree with forall() on randomized string arrays and predicates" in {
+    import spark.implicits._
+    val rnd = new scala.util.Random(7)
+    val data = (0 until 500).map { i =>
+      val n = rnd.nextInt(6)
+      val xs = Seq.fill(n)(if (rnd.nextInt(8) == 0) null
+        else rnd.alphanumeric.take(1 + rnd.nextInt(5)).mkString)
+      (i.toLong, if (rnd.nextInt(20) == 0) null else xs)
+    }.toDF("id", "xs")
+    def p(x: org.apache.spark.sql.Column) = x.isNull ||
+      (org.apache.spark.sql.functions.length(x) <= 3 && x.rlike("^[a-zA-Z]"))
+    val rows = data.select(
+      forall(col("xs"), p).as("hof"),
+      ForAllFunctions.forallCodegen(col("xs"), StringType, p).as("cg")).collect()
+    rows.foreach { r =>
+      r.isNullAt(1) shouldBe r.isNullAt(0)
+      if (!r.isNullAt(0)) r.getBoolean(1) shouldBe r.getBoolean(0)
+    }
+  }
+
+  it should "run on a codegen-capable plan (spark.range source) without fallback" in {
+    // spark.range keeps the plan inside WholeStageCodegen (a literal
+    // DataFrame folds to LocalTableScan with no codegen span)
+    val df = spark.range(1000).select(
+      ForAllFunctions.forallCodegen(
+        array(col("id") % 7, col("id") % 5), org.apache.spark.sql.types.LongType,
+        x => x < 6).as("ok"))
+    val plan = df.queryExecution.executedPlan
+    // the `*(n)` prefix marks operators fused into a WholeStageCodegen
+    // stage; the Project carrying forall_codegen must be inside one
+    plan.toString.linesIterator.next().trim should startWith("*(")
+    // correctness of the windowed result
+    val n = df.filter(col("ok")).count()
+    // ok == (id%7 < 6 && id%5 < 6) == id%7 != 6
+    n shouldBe (0 until 1000).count(i => i % 7 < 6)
+  }
+
+  it should "reject a mistyped element at analysis" in {
+    import spark.implicits._
+    val df = Seq((1L, Seq("a"))).toDF("id", "xs")
+    val ex = intercept[Exception] {
+      df.select(ForAllFunctions.forallCodegen(col("xs"), IntegerType, _ > 0)).collect()
+    }
+    ex.getMessage.toLowerCase should include("forall_codegen")
+  }
+}
