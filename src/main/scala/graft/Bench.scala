@@ -30,13 +30,21 @@ object Bench {
     // the host VM's throughput also fluctuates (BENCH.md methodology).
     // The per-query spread (max/min of the two runs) ships in the JSON so
     // a host-noise outlier is self-diagnosing instead of needing a replay.
-    val results = SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
+    // a throwing query must NOT enter the timing stats (its fail-fast
+    // wall time would masquerade as the suite's fastest query); it is
+    // reported by name in an `errors` array instead
+    val attempts = SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
       val times = (1 to 2).map { _ =>
         val t0 = System.nanoTime()
-        try { fn(spark, sfDir).count() } catch { case _: Throwable => -1L }
-        (System.nanoTime() - t0) / 1e9
+        val ok = try { fn(spark, sfDir).count(); true } catch { case _: Throwable => false }
+        (ok, (System.nanoTime() - t0) / 1e9)
       }
-      (name, times.min, times.max / math.max(times.min, 1e-9))
+      (name, times)
+    }
+    val errors = attempts.collect { case (name, ts) if ts.exists(!_._1) => name }
+    val results = attempts.collect { case (name, ts) if ts.forall(_._1) =>
+      val secs = ts.map(_._2)
+      (name, secs.min, secs.max / math.max(secs.min, 1e-9))
     }
 
     // flagship throughput: validated turns/sec (input rows of the derived
@@ -55,8 +63,9 @@ object Bench {
       "\"" + k + "\":" + (math.round(s * 100) / 100.0)
     }.mkString("{", ",", "}")
     val total = results.map(_._2).sum
+    val errs = errors.map("\"" + _ + "\"").mkString("[", ",", "]")
     println(
-      s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"spread":$spreads,"sf":"$sfDir","turns":$nTurns,"validate_sec":$vSec,"turns_per_sec":${turnsPerSec.round}}""")
+      s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"spread":$spreads,"errors":$errs,"sf":"$sfDir","turns":$nTurns,"validate_sec":$vSec,"turns_per_sec":${turnsPerSec.round}}""")
     spark.stop()
   }
 }

@@ -193,11 +193,19 @@ object Checkpoint {
       // record rows=0/violations=0 and flip a dirty table's verdict to
       // valid.
       val unitCol = regexp_replace(input_file_name(), "^file:(//)?", "")
-      val keyByPath: Map[String, String] = batch.flatMap { unit =>
+      val keyEntries = batch.flatMap { unit =>
         val k = unitKey(unit)
         val encoded = new java.net.URI(null, null, unit, null).getRawPath
         Seq(unit -> k, encoded -> k)
-      }.toMap
+      }
+      // one unit's encoded form colliding with another unit's raw path
+      // (e.g. 'a b.parquet' vs 'a%20b.parquet' in one batch) would let
+      // toMap silently overwrite an entry and misroute lineage — refuse
+      // loudly instead of flipping a dirty unit's verdict
+      val ambiguous = keyEntries.groupBy(_._1).filter(_._2.map(_._2).distinct.size > 1).keys
+      require(ambiguous.isEmpty,
+        s"ambiguous unit paths in batch (raw vs percent-encoded collision): ${ambiguous.take(3).mkString(", ")}")
+      val keyByPath: Map[String, String] = keyEntries.toMap
       val keyExpr = coalesce(
         try_element_at(typedLit(keyByPath), unitCol),
         raise_error(concat(lit("file not in batch lineage: "), unitCol)).cast("string"))

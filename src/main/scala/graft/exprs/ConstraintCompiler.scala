@@ -57,6 +57,16 @@ object ConstraintCompiler {
   def pointerEscape(c: Column): Column =
     regexp_replace(regexp_replace(c, "~", "~0"), "/", "~1")
 
+  /** Count of "present" properties of a struct value: non-null fields
+    * (a struct physically carries every field; null == absent). Shared
+    * by min/maxProperties validation and the stats profile
+    * ([[FusedRun]]) so the two can never diverge on what "present"
+    * means.
+    */
+  def structPresentCount(c: Column, st: StructType): Column =
+    st.fieldNames.toSeq.map(f => when(c.getField(f).isNotNull, 1).otherwise(0))
+      .reduceOption(_ + _).getOrElse(lit(0))
+
   def pointerCol(keyCols: Seq[String], column: String): Column = {
     val keyParts = keyCols.flatMap { k =>
       Seq(lit("/"), coalesce(pointerEscape(col(k).cast("string")), lit("null")))
@@ -289,9 +299,7 @@ object ConstraintCompiler {
         // deciding key-pattern membership at compile time
         def keyMatches(pat: String, field: String): Boolean =
           pat.r.findFirstIn(field).isDefined
-        val presentCount = st.fieldNames.toSeq
-          .map(f => when(present(f), 1).otherwise(0))
-          .reduceOption(_ + _).getOrElse(lit(0))
+        val presentCount = structPresentCount(c, st)
         val sizeChecks = Seq(
           if (oc.minProperties > 0)
             Some(Check(name, "minProperties", ok(presentCount >= lit(oc.minProperties)), actualStr))
@@ -331,10 +339,10 @@ object ConstraintCompiler {
               declared(f.name) ||
                 oc.patternProperties.exists { case (pat, _) => keyMatches(pat, f.name) }).toSeq
             val preds = extra.map(f => predicateFor(sub, f.dataType, c.getField(f.name)))
-            preds.collectFirst { case Left(e) => Left(e) }.toSeq :+ {
+            Seq(preds.collectFirst { case Left(e) => Left(e) }.getOrElse {
               val conj = preds.collect { case Right(p) => p }.reduceOption(_ && _)
               Right(conj.map(p => Check(name, "additionalProperties", ok(p), actualStr)).toSeq)
-            }
+            })
           case _ => Nil // absent, false (quirk), or permissive true
         }
         val all = propChecks ++ patternChecks ++ additionalChecks

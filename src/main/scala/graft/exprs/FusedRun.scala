@@ -54,9 +54,7 @@ object FusedRun {
         case _: ArrayType | _: MapType =>
           sizeStats(size(c)) // size(null) = null: null rows don't skew the quantile
         case st: StructType =>
-          val present = st.fieldNames.toSeq
-            .map(fn => when(c.getField(fn).isNotNull, 1).otherwise(0))
-            .reduceOption(_ + _).getOrElse(lit(0))
+          val present = ConstraintCompiler.structPresentCount(c, st)
           sizeStats(when(c.isNull, lit(null)).otherwise(present))
         case _ => Seq(
           sum(c.isNull.cast("long")).as(s"${n}__nulls"),
@@ -84,11 +82,17 @@ object FusedRun {
       mins = scalarCols.map(n => n -> Option(m(s"${n}__min")).map(_.toString).orNull).toMap,
       maxs = scalarCols.map(n => n -> Option(m(s"${n}__max")).map(_.toString).orNull).toMap,
       approxDistinct = scalarCols.map(n => n -> m(s"${n}__distinct").asInstanceOf[Long]).toMap,
-      containerSizes = containerCols.map { n =>
-        n -> SizeStats(
-          m(s"${n}__size_min").asInstanceOf[Long],
-          m(s"${n}__size_p50").asInstanceOf[Double],
-          m(s"${n}__size_max").asInstanceOf[Long])
+      // a container column that is null on every row (or a zero-row
+      // input) yields null min/p50/max — omit the entry rather than
+      // unboxing null to a fabricated SizeStats(0, 0.0, 0)
+      containerSizes = containerCols.flatMap { n =>
+        (Option(m(s"${n}__size_min")), Option(m(s"${n}__size_p50")),
+          Option(m(s"${n}__size_max"))) match {
+          case (Some(mn), Some(p50), Some(mx)) =>
+            Some(n -> SizeStats(mn.asInstanceOf[Long],
+              p50.asInstanceOf[Double], mx.asInstanceOf[Long]))
+          case _ => None
+        }
       }.toMap)
   }
 }

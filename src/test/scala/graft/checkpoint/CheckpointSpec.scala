@@ -112,6 +112,22 @@ class CheckpointSpec extends AnyFlatSpec with Matchers {
     rs.map(_.rows).sum shouldBe 400L
   }
 
+  it should "refuse a batch where one unit's encoded path collides with another's raw path" in {
+    // 'a b.parquet' percent-encodes to 'a%20b.parquet'; if BOTH exist as
+    // files, lineage would be ambiguous — must fail loudly, not misroute
+    val in = tmp() + "/in"
+    writeInput(in)
+    val first = new java.io.File(in).listFiles()
+      .filter(_.getName.endsWith(".parquet")).head
+    Files.copy(first.toPath, Paths.get(in, "a b.parquet"))
+    Files.copy(first.toPath, Paths.get(in, "a%20b.parquet"))
+    val out = tmp()
+    val ex = intercept[IllegalArgumentException] {
+      Checkpoint.runValidation(spark, in, schema, s"$out/v", s"$out/manifest.jsonl")
+    }
+    ex.getMessage should include("ambiguous unit paths")
+  }
+
   it should "handle a batch size far above the unit count (lookup map stays O(1))" in {
     val in = tmp() + "/in"
     writeInput(in)

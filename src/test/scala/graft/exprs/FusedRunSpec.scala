@@ -68,6 +68,25 @@ class FusedRunSpec extends AnyFlatSpec with Matchers {
     r.approxDistinct("conv_id") shouldBe 1L
   }
 
+  it should "omit size stats (not fabricate zeros) for an all-null container column" in {
+    import spark.implicits._
+    val df = Seq(
+      ("c1", 0, null.asInstanceOf[Seq[String]]),
+      ("c1", 1, null.asInstanceOf[Seq[String]])
+    ).toDF("conv_id", "turn_idx", "tags")
+    val s = TableSchemaCompiler.compileString("""
+      { "type": "object", "required": ["conv_id", "turn_idx"],
+        "properties": { "conv_id": { "type": "string" },
+                        "turn_idx": { "type": "integer" },
+                        "tags": { "type": "array" } } }""").toOption.get
+    val obs = Observation()
+    FusedRun.violationsWithStats(df, s, Seq("conv_id", "turn_idx"), obs).count()
+    val r = FusedRun.result(df, obs)
+    r.nullCounts("tags") shouldBe 2L
+    // null min/p50/max must not unbox to SizeStats(0, 0.0, 0)
+    r.containerSizes.get("tags") shouldBe None
+  }
+
   "Integrity.integrityReport" should "find dups and orphans from one full-data shuffle" in {
     val df = TranscriptGen.generate(spark, 100, 5,
       TranscriptGen.Defects(duplicates = true, orphans = true)).cache()

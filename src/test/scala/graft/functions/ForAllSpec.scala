@@ -46,6 +46,7 @@ class ForAllSpec extends AnyFlatSpec with Matchers {
 
   it should "match forall() in interpreted mode (codegen disabled)" in {
     val prev = spark.conf.get("spark.sql.codegen.wholeStage", "true")
+    val prevFactory = spark.conf.get("spark.sql.codegen.factoryMode", "FALLBACK")
     spark.conf.set("spark.sql.codegen.wholeStage", "false")
     spark.conf.set("spark.sql.codegen.factoryMode", "NO_CODEGEN")
     try {
@@ -60,8 +61,11 @@ class ForAllSpec extends AnyFlatSpec with Matchers {
           withClue(s"id=${r.getLong(0)}: ")(r.getBoolean(2) shouldBe r.getBoolean(1))
       }
     } finally {
+      // restore the PRIOR values — the session is a shared singleton, and
+      // leaving CODEGEN_ONLY behind would turn later suites' codegen
+      // fallbacks into order-dependent failures
       spark.conf.set("spark.sql.codegen.wholeStage", prev)
-      spark.conf.set("spark.sql.codegen.factoryMode", "CODEGEN_ONLY")
+      spark.conf.set("spark.sql.codegen.factoryMode", prevFactory)
     }
   }
 
