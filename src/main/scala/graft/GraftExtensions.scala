@@ -13,8 +13,12 @@ import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo}
   *   GraftExtensions.install(spark)                 (live session route)
   *
   * Functions:
-  *  - `rolling_hash(str)`       -> bigint  ([[graft.functions.RollingHash]])
-  *  - `float_vec_dot(a, b)`     -> double  ([[graft.functions.FloatVecDot]])
+  *  - `rolling_hash(str)`            -> bigint  ([[graft.functions.RollingHash]])
+  *  - `float_vec_dot(a, b)`          -> double  ([[graft.functions.FloatVecDot]])
+  *  - `simple_pattern(str, pattern)` -> boolean ([[graft.functions.SimplePatternMatch]];
+  *    pattern must be a literal the fast path supports — unsupported
+  *    shapes are rejected at registration with a clear message, so SQL
+  *    users fall back to `rlike` consciously rather than silently)
   */
 class GraftExtensions extends (SparkSessionExtensions => Unit) {
   override def apply(ext: SparkSessionExtensions): Unit =
@@ -40,7 +44,18 @@ object GraftExtensions {
     one("rolling_hash", "rolling_hash(str) - Rabin-Karp byte polynomial mod 1e9+7", 1,
       args => graft.functions.RollingHash(args.head)),
     one("float_vec_dot", "float_vec_dot(a, b) - double-precision dot product of two float arrays", 2,
-      args => graft.functions.FloatVecDot(args(0), args(1))))
+      args => graft.functions.FloatVecDot(args(0), args(1))),
+    one("simple_pattern", "simple_pattern(str, pattern) - codegen byte-loop anchored pattern match", 2,
+      args => {
+        val pattern = args(1) match {
+          case org.apache.spark.sql.catalyst.expressions.Literal(s, _) if s != null => s.toString
+          case other => throw new IllegalArgumentException(
+            s"simple_pattern requires a literal pattern, got $other")
+        }
+        require(graft.functions.SimplePattern.compile(pattern).isDefined,
+          s"pattern not supported by the simple_pattern fast path (use rlike): $pattern")
+        graft.functions.SimplePatternMatch(args.head, pattern)
+      }))
 
   /** Register into an already-running session (extensions configs only
     * apply at session construction).

@@ -62,8 +62,9 @@ object Dedup {
     * aggregations (seeds are baked literals — deterministic across runs
     * and cluster sizes).
     */
-  def minhashSigTable(df: DataFrame, textCol: String, idCol: String, k: Int): DataFrame =
-    df.select(col(idCol).as("id"), explode(shingles(col(textCol))).as("s"))
+  def minhashSigTable(df: DataFrame, textCol: String, idCol: String, k: Int,
+                      shingleN: Int = 3): DataFrame =
+    df.select(col(idCol).as("id"), explode(shingles(col(textCol), shingleN)).as("s"))
       .groupBy("id")
       .agg(
         min(xxhash64(col("s"), lit(0))).as("m0"),
@@ -101,10 +102,10 @@ object Dedup {
     */
   def minhashPairs(df: DataFrame, textCol: String = "text", idCol: String = "doc_id",
                    k: Int = 16, bands: Int = 4, threshold: Double = 0.7,
-                   maxBucket: Int = 4096): DataFrame = {
+                   maxBucket: Int = 4096, shingleN: Int = 3): DataFrame = {
     require(k % bands == 0)
     val rowsPerBand = k / bands
-    val sig = minhashSigTable(df, textCol, idCol, k)
+    val sig = minhashSigTable(df, textCol, idCol, k, shingleN)
 
     // band bucket keys only — no payload travels through the pair join
     val bandHashes = (0 until bands).map { b =>
@@ -124,7 +125,8 @@ object Dedup {
     val docsA = df.select(col(idCol).as("id_a"), col(textCol).as("text_a"))
     val docsB = df.select(col(idCol).as("id_b"), col(textCol).as("text_b"))
     candidates.join(docsA, "id_a").join(docsB, "id_b")
-      .withColumn("jaccard", jaccard(shingles(col("text_a")), shingles(col("text_b"))))
+      .withColumn("jaccard",
+        jaccard(shingles(col("text_a"), shingleN), shingles(col("text_b"), shingleN)))
       .filter(col("jaccard") >= threshold)
       .select("id_a", "id_b", "jaccard")
   }
@@ -140,7 +142,7 @@ object Dedup {
     */
   def minhashPairsDeduped(df: DataFrame, textCol: String = "text", idCol: String = "doc_id",
                           k: Int = 16, bands: Int = 4, threshold: Double = 0.7,
-                          maxBucket: Int = 4096): (DataFrame, DataFrame) = {
+                          maxBucket: Int = 4096, shingleN: Int = 3): (DataFrame, DataFrame) = {
     // ONE grouped pass yields both the representative rows and the group
     // index; the member map (doc -> representative) is a narrow hash join
     // against it, and being a lazy DataFrame it costs nothing unless the
@@ -151,7 +153,7 @@ object Dedup {
     val members = df.select(col(idCol), md5(col(textCol)).as("content_hash"))
       .join(groups.select("content_hash", "keep_id"), "content_hash")
       .select(col(idCol), col("keep_id"))
-    (minhashPairs(reps, textCol, idCol, k, bands, threshold, maxBucket), members)
+    (minhashPairs(reps, textCol, idCol, k, bands, threshold, maxBucket, shingleN), members)
   }
 
   /** Exact n-gram Jaccard similarity of two shingle arrays. */

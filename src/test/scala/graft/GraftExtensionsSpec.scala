@@ -29,6 +29,22 @@ class GraftExtensionsSpec extends AnyFlatSpec with Matchers {
     d shouldBe 7.0
   }
 
+  it should "expose simple_pattern to spark.sql (literal patterns only)" in {
+    val rows = spark.sql(
+      "SELECT simple_pattern(x, '^c[0-9]+$') FROM VALUES ('c42'), ('x42'), (NULL) AS t(x)")
+      .collect()
+    rows(0).getBoolean(0) shouldBe true
+    rows(1).getBoolean(0) shouldBe false
+    rows(2).isNullAt(0) shouldBe true
+    // unsupported pattern shapes are rejected loudly, not silently slow
+    val e1 = intercept[Exception](
+      spark.sql("SELECT simple_pattern('a', 'no-anchors')").collect())
+    e1.getMessage should include("not supported")
+    val e2 = intercept[Exception](
+      spark.sql("SELECT simple_pattern('a', upper('^a$'))").collect())
+    e2.getMessage should include("literal")
+  }
+
   it should "reject wrong arity with a clear error" in {
     val e = intercept[Exception](spark.sql("SELECT rolling_hash('a', 'b')").collect())
     e.getMessage should include("argument")

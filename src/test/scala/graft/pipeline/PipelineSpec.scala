@@ -66,6 +66,19 @@ class PipelineSpec extends AnyFlatSpec with Matchers {
     exact.collect().map(_.getDouble(2)).foreach(_ shouldBe 1.0)
   }
 
+  it should "run end-to-end at a non-default shingle size" in {
+    val pool = graft.SparkEntry.dedupPool(spark, sfDir)
+    // exact duplicates have jaccard 1.0 at ANY n, so the planted pair set
+    // must survive a bigram pipeline too
+    val pairs = Dedup.minhashPairs(pool, threshold = 0.5, shingleN = 2)
+      .filter(col("id_a") < 1000000L && col("id_b") - col("id_a") === 1000000L)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val exactPlanted = docs.filter(col("doc_id") % 7 === 3)
+      .select("doc_id").collect().map(_.getLong(0))
+      .map(id => (id, id + 1000000L)).toSet
+    exactPlanted.diff(pairs) shouldBe empty
+  }
+
   "Dedup.simhashPairs" should "find exact duplicates at hamming 0 and respect the bound" in {
     val pool = graft.SparkEntry.dedupPool(spark, sfDir)
     val pairs = Dedup.simhashPairs(pool, maxHamming = 3).collect()
