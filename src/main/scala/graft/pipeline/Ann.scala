@@ -172,6 +172,37 @@ object Ann {
     df.select(col(idCol), col(embCol)).join(assignment, idCol)
   }
 
+  /** Lloyd's k-means over the embedding column — trains the centroid
+    * table [[ivfTopK]] consumes (cosine geometry: assignment maximizes
+    * cosine, the update is the element-wise mean, i.e. spherical k-means
+    * up to normalization, which cosine assignment ignores anyway).
+    *
+    * Scale shape: each iteration is ONE pass over the vectors — the
+    * broadcast-centroid argmin assignment from [[assignToCentroids]]
+    * (only (id, centroid) through the exchange) plus a (centroid, pos)
+    * mean over k*dim rows (tiny). Init is deterministic (the k
+    * lowest-id vectors), so trained centroids are reproducible across
+    * runs and cluster sizes. A cluster that loses all members drops out
+    * (standard Lloyd's behavior; callers needing exactly k can re-seed).
+    */
+  def kmeansCentroids(df: DataFrame, k: Int, iters: Int = 5,
+                      idCol: String = "vec_id", embCol: String = "embedding"): DataFrame = {
+    requireIntegralId(df, idCol)
+    var cents = df.select(col(idCol), col(embCol)).orderBy(col(idCol)).limit(k)
+    for (_ <- 1 to iters) {
+      val assigned = assignToCentroids(df, cents, idCol, embCol)
+      val means = assigned
+        .select(col("centroid_id"), posexplode(col(embCol)).as(Seq("pos", "v")))
+        .groupBy("centroid_id", "pos")
+        .agg(avg(col("v")).as("m"))
+      cents = means.groupBy("centroid_id")
+        .agg(array_sort(collect_list(struct(col("pos"), col("m")))).as("pm"))
+        .select(col("centroid_id").as(idCol),
+          transform(col("pm"), p => p.getField("m").cast("float")).as(embCol))
+    }
+    cents
+  }
+
   /** IVF search: probe the query's nearest `nprobe` centroid buckets
     * only. Deterministic centroids make this reproducible; recall vs
     * [[bruteForceTopK]] is asserted in tests. Both rankings (probe

@@ -219,6 +219,35 @@ class PipelineSpec extends AnyFlatSpec with Matchers {
     srp.subsetOf(bf) shouldBe true // exact verify: precision is 1 by construction
   }
 
+  "Ann.kmeansCentroids" should "train centroids that tighten clusters and serve IVF" in {
+    val vecs = embeddings.filter(col("vec_id") >= 8).cache()
+    try {
+      def avgBestCos(cents: org.apache.spark.sql.DataFrame): Double =
+        Ann.assignToCentroids(vecs, cents)
+          .join(cents.select(col("vec_id").as("centroid_id"), col("embedding").as("ce")),
+            "centroid_id")
+          .select(Ann.cosine(col("embedding"), col("ce")).as("c"))
+          .agg(avg("c")).collect()(0).getDouble(0)
+      val init = vecs.orderBy("vec_id").limit(8)
+      val trained = Ann.kmeansCentroids(vecs, k = 8, iters = 4).cache()
+      try {
+        val n = trained.count()
+        n should be > 0L
+        n should be <= 8L
+        // Lloyd's iterations must not make the assignment looser
+        avgBestCos(trained) should be >= avgBestCos(init) - 1e-9
+        // deterministic: same input + init -> identical centroids
+        val again = Ann.kmeansCentroids(vecs, k = 8, iters = 4)
+          .collect().map(_.toString).sorted
+        trained.collect().map(_.toString).sorted shouldBe again
+        // end-to-end: the trained table drives ivfTopK
+        val q = embeddings.filter(col("vec_id") < 8)
+        val ivf = Ann.ivfTopK(q, vecs, trained, k = 10, nprobe = 3)
+        ivf.count() shouldBe 80
+      } finally trained.unpersist()
+    } finally vecs.unpersist()
+  }
+
   "Ann.bruteForceTopK" should "return k deterministic rows per query" in {
     val q = embeddings.filter(col("vec_id") < 8)
     val c = embeddings.filter(col("vec_id") >= 8)
