@@ -165,24 +165,31 @@ object SparkEntry {
     }),
 
     "drift_role_klpsi" -> ((s, dir) => {
-      // ONE scan: both halves' histograms in a single conditional agg;
-      // totals via window over the tiny histogram (<= 6 rows)
+      // ONE scan, provably: both halves' histograms in a single
+      // conditional agg, then the tiny (<= 6-row) histogram collapses to
+      // one row via collect_list and KL/PSI run as array-aggregate HOFs
+      // over it — no second scan branch, no join, no single-partition
+      // window. array_sort makes the float summation order deterministic.
       val t = TranscriptDerive.fromLineitem(s, dir)
         .withColumn("okey", substring(col("conv_id"), 2, 30).cast("long"))
       val hist = t.groupBy(coalesce(col("role"), lit("<null>")).as("bucket"))
         .agg(
           sum(when(col("okey") % 2 === 0, 1L).otherwise(0L)).as("pc"),
           sum(when(col("okey") % 2 === 1, 1L).otherwise(0L)).as("qc"))
-      val wAll = org.apache.spark.sql.expressions.Window
-        .partitionBy().rowsBetween(Long.MinValue, Long.MaxValue)
-      val withTot = hist
-        .withColumn("pt", sum("pc").over(wAll))
-        .withColumn("qt", sum("qc").over(wAll))
-      val pi = greatest(col("pc").cast("double") / col("pt"), lit(1e-9))
-      val qi = greatest(col("qc").cast("double") / col("qt"), lit(1e-9))
-      withTot.agg(
-        round(sum(pi * log(pi / qi)), 6).as("kl"),
-        round(sum((pi - qi) * log(pi / qi)), 6).as("psi"))
+      val packed = hist.agg(array_sort(
+        collect_list(struct(col("bucket"), col("pc"), col("qc")))).as("h"))
+      val withTot = packed.select(col("h"),
+        aggregate(col("h"), lit(0L), (a, x) => a + x.getField("pc")).as("pt"),
+        aggregate(col("h"), lit(0L), (a, x) => a + x.getField("qc")).as("qt"))
+      def pi(x: org.apache.spark.sql.Column) =
+        greatest(x.getField("pc").cast("double") / col("pt"), lit(1e-9))
+      def qi(x: org.apache.spark.sql.Column) =
+        greatest(x.getField("qc").cast("double") / col("qt"), lit(1e-9))
+      withTot.select(
+        round(aggregate(col("h"), lit(0.0d),
+          (a, x) => a + pi(x) * log(pi(x) / qi(x))), 6).as("kl"),
+        round(aggregate(col("h"), lit(0.0d),
+          (a, x) => a + (pi(x) - qi(x)) * log(pi(x) / qi(x))), 6).as("psi"))
     }),
 
     // operational rollup: violation counts by constraint and column
