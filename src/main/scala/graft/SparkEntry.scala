@@ -5,7 +5,7 @@ import org.apache.spark.sql.functions._
 import graft.compile.TableSchemaCompiler
 import graft.exprs.Validator
 import graft.integrity.Integrity
-import graft.pipeline.{Ann, Dedup, TextOps, Multimodal}
+import graft.pipeline.{Ann, Dedup, Multimodal, Sampling, TextOps}
 import graft.sources.{DirtyDerive, TranscriptDerive}
 import graft.stats.Stats
 
@@ -46,6 +46,38 @@ object SparkEntry {
       |  UNION ALL SELECT doc_id + 1000000, text FROM documents WHERE doc_id % 7 = 3
       |  UNION ALL SELECT doc_id + 2000000, text || ' qq zz' FROM documents WHERE doc_id % 11 = 5
       |)""".stripMargin
+
+  /** Exact all-pairs 3-shingle Jaccard over [[poolCte]] — the ground
+    * truth the LSH pair queries compare against (shared CTE fragment).
+    */
+  private val shPairsCte: String =
+    """sh AS (
+      |  SELECT doc_id,
+      |    CASE WHEN len(toks) < 3 THEN [array_to_string(toks, ' ')]
+      |         ELSE list_transform(range(1, len(toks) - 1),
+      |                i -> toks[i] || ' ' || toks[i+1] || ' ' || toks[i+2]) END AS sh
+      |  FROM (SELECT doc_id, regexp_split_to_array(trim(lower(text)), '\s+') AS toks FROM pool)),
+      |pairs AS (
+      |  SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+      |    CAST(len(list_intersect(list_distinct(a.sh), list_distinct(b.sh))) AS DOUBLE)
+      |      / len(list_distinct(list_concat(a.sh, b.sh))) AS j
+      |  FROM sh a JOIN sh b ON a.doc_id < b.doc_id)""".stripMargin
+
+  /** Connected components of the >= 0.5 Jaccard pair graph as a
+    * recursive transitive closure (component = min reachable id) —
+    * replays [[graft.pipeline.Dedup.connectedComponents]].
+    */
+  private val componentsCte: String =
+    s"""$shPairsCte,
+       |p AS (SELECT id_a, id_b FROM pairs WHERE j >= 0.5),
+       |-- MATERIALIZED is load-bearing: without it DuckDB re-inlines the
+       |-- whole all-pairs subtree into EVERY recursion step
+       |edges AS MATERIALIZED (SELECT id_a AS u, id_b AS v FROM p UNION SELECT id_b, id_a FROM p),
+       |reach(u, v) AS (
+       |  SELECT u, v FROM edges
+       |  UNION
+       |  SELECT r.u, e.v FROM reach r JOIN edges e ON r.v = e.u WHERE e.v <> r.u),
+       |comp AS (SELECT u AS node, LEAST(u, MIN(v)) AS component FROM reach GROUP BY u)""".stripMargin
 
   /** Embedding pool with planted exact copies (+1,000,000) and perturbed
     * near-copies (+2,000,000). The perturbation weights 17/16 and 15/16
@@ -464,6 +496,34 @@ object SparkEntry {
       Dedup.minhashPairs(dedupPool(s, dir), k = 24, bands = 12, threshold = 0.5)
         .select(col("id_a"), col("id_b"), round(col("jaccard"), 6).as("jaccard"))),
 
+    // near-dup CLUSTERS: LSH pairs -> connected components (min-id
+    // label propagation). Oracle replays the transitive closure with a
+    // recursive CTE over the exact all-pairs Jaccard ground truth.
+    "neardup_components" -> ((s, dir) =>
+      Dedup.connectedComponents(
+        Dedup.minhashPairs(dedupPool(s, dir), k = 24, bands = 12, threshold = 0.5))
+        .select(col("id").cast("long").as("doc_id"),
+          col("comp").cast("long").as("component"))),
+
+    // the end state of the 100-TB near-dup recipe: one canonical doc
+    // per component survives, all unpaired docs pass through
+    "neardup_survivors" -> ((s, dir) =>
+      Dedup.nearDupSurvivors(dedupPool(s, dir), k = 24, bands = 12, threshold = 0.5)
+        .select(col("doc_id").cast("long").as("doc_id"))),
+
+    // deterministic hash sampling (md5-replayable variant so the oracle
+    // recomputes membership bit-for-bit; the xxhash64 production variant
+    // is equivalence-tested in PipelineSpec)
+    "sample_docs" -> ((s, dir) =>
+      Sampling.hashSampleMd5(docs(s, dir), 0.2, "doc_id")
+        .select(col("doc_id").cast("long").as("doc_id"))),
+
+    // data-mixing: per-language rates, unlisted languages at 5%
+    "sample_stratified" -> ((s, dir) =>
+      Sampling.stratifiedSampleMd5(docs(s, dir), "doc_id", "lang",
+        Map("en" -> 0.5, "zh" -> 0.25), defaultRate = 0.05, salt = "mix1")
+        .select(col("doc_id").cast("long").as("doc_id"), col("lang"))),
+
     // SimHash pairs restricted to the exact-duplicate ground truth:
     // identical text => identical signature => all bands collide and
     // hamming = 0, so the pair set is provably the md5 self-join
@@ -700,18 +760,34 @@ object SparkEntry {
     // EQUAL it: the corpus has no pairs near the 0.5 boundary)
     "minhash_pairs" ->
       s"""WITH $poolCte,
-         |sh AS (
-         |  SELECT doc_id,
-         |    CASE WHEN len(toks) < 3 THEN [array_to_string(toks, ' ')]
-         |         ELSE list_transform(range(1, len(toks) - 1),
-         |                i -> toks[i] || ' ' || toks[i+1] || ' ' || toks[i+2]) END AS sh
-         |  FROM (SELECT doc_id, regexp_split_to_array(trim(lower(text)), '\\s+') AS toks FROM pool)),
-         |pairs AS (
-         |  SELECT a.doc_id AS id_a, b.doc_id AS id_b,
-         |    CAST(len(list_intersect(list_distinct(a.sh), list_distinct(b.sh))) AS DOUBLE)
-         |      / len(list_distinct(list_concat(a.sh, b.sh))) AS j
-         |  FROM sh a JOIN sh b ON a.doc_id < b.doc_id)
+         |$shPairsCte
          |SELECT id_a, id_b, ROUND(j, 6) AS jaccard FROM pairs WHERE j >= 0.5""".stripMargin,
+
+    "neardup_components" ->
+      s"""WITH RECURSIVE $poolCte,
+         |$componentsCte
+         |SELECT CAST(node AS BIGINT) AS doc_id, CAST(component AS BIGINT) AS component
+         |FROM comp""".stripMargin,
+
+    "neardup_survivors" ->
+      s"""WITH RECURSIVE $poolCte,
+         |$componentsCte
+         |SELECT CAST(doc_id AS BIGINT) AS doc_id FROM pool
+         |WHERE doc_id NOT IN (SELECT node FROM comp WHERE component < node)""".stripMargin,
+
+    // membership bucket = low 60 bits of md5(key || salt) mod 1e6 — the
+    // exact rule Sampling.bucketMd5 compiles (Spark: conv(hex,16,10);
+    // DuckDB: '0x' || hex cast)
+    "sample_docs" ->
+      """SELECT CAST(doc_id AS BIGINT) AS doc_id FROM documents
+        |WHERE CAST(('0x' || substring(md5(CAST(doc_id AS VARCHAR)), 1, 15)) AS BIGINT)
+        |      % 1000000 < 200000""".stripMargin,
+
+    "sample_stratified" ->
+      """SELECT CAST(doc_id AS BIGINT) AS doc_id, lang FROM documents
+        |WHERE CAST(('0x' || substring(md5(CAST(doc_id AS VARCHAR) || 'mix1'), 1, 15)) AS BIGINT)
+        |      % 1000000
+        |      < CASE lang WHEN 'en' THEN 500000 WHEN 'zh' THEN 250000 ELSE 50000 END""".stripMargin,
 
     "simhash_dup_pairs" ->
       s"""WITH $poolCte

@@ -156,6 +156,68 @@ object Dedup {
     (minhashPairs(reps, textCol, idCol, k, bands, threshold, maxBucket, shingleN), members)
   }
 
+  /** Connected components over an undirected candidate-pair graph —
+    * the step between near-dup PAIRS and dedup CLUSTERS. Near-dup
+    * similarity is not transitive, so a corpus-scale pipeline clusters
+    * the pair graph and keeps one canonical member per component.
+    *
+    * Algorithm: iterative min-label propagation. Every round each node
+    * takes the min of its own label and its neighbors' labels, until a
+    * fixpoint (bounded by `maxIters`). Each round is one join + one
+    * aggregation over (node, label) rows — O(E) through each exchange,
+    * never anything quadratic — and rounds needed equal the graph
+    * diameter. LSH dup clusters are near-cliques (every member shares a
+    * band bucket with the rest), so 2-3 rounds close them; a deep-chain
+    * graph would call for the O(log n) large-star/small-star variant
+    * (Kiveris et al.), which this API could swap in without changing
+    * callers. localCheckpoint() truncates the growing plan each round —
+    * otherwise lineage doubles per iteration and the DRIVER becomes the
+    * bottleneck long before the data does.
+    *
+    * Returns (id, comp) for every node appearing in `pairs`, where comp
+    * is the smallest id reachable (deterministic).
+    */
+  def connectedComponents(pairs: DataFrame, aCol: String = "id_a", bCol: String = "id_b",
+                          maxIters: Int = 50): DataFrame = {
+    val edges = pairs.select(col(aCol).as("u"), col(bCol).as("v"))
+      .union(pairs.select(col(bCol).as("u"), col(aCol).as("v")))
+      .distinct()
+      .localCheckpoint()
+    var labels = edges.select(col("u").as("id")).distinct()
+      .select(col("id"), col("id").as("comp"))
+      .localCheckpoint()
+    var changed = 1L
+    var it = 0
+    while (changed > 0 && it < maxIters) {
+      val viaNeighbor = edges
+        .join(labels.select(col("id").as("v"), col("comp")), "v")
+        .select(col("u").as("id"), col("comp"))
+      val next = viaNeighbor.union(labels.select("id", "comp"))
+        .groupBy("id").agg(min("comp").as("comp"))
+        .localCheckpoint()
+      changed = next.join(labels.select(col("id"), col("comp").as("prev")), "id")
+        .filter(col("comp") =!= col("prev")).count()
+      labels = next
+      it += 1
+    }
+    labels
+  }
+
+  /** Near-duplicate survivors: LSH pairs -> connected components ->
+    * keep each component's min-id member plus every unpaired document.
+    * Document payloads never enter the component iteration (ids only);
+    * the final step is a left-anti hash join of the corpus against the
+    * non-canonical ids.
+    */
+  def nearDupSurvivors(df: DataFrame, textCol: String = "text", idCol: String = "doc_id",
+                       k: Int = 16, bands: Int = 4, threshold: Double = 0.7,
+                       maxBucket: Int = 4096, shingleN: Int = 3): DataFrame = {
+    val comps = connectedComponents(
+      minhashPairs(df, textCol, idCol, k, bands, threshold, maxBucket, shingleN))
+    val losers = comps.filter(col("id") =!= col("comp")).select(col("id").as(idCol))
+    df.join(losers, Seq(idCol), "left_anti")
+  }
+
   /** Exact n-gram Jaccard similarity of two shingle arrays. */
   def jaccard(a: Column, b: Column): Column = {
     val inter = size(array_intersect(array_distinct(a), array_distinct(b))).cast("double")

@@ -1,0 +1,82 @@
+package graft.pipeline
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Deterministic hash-based sampling for training-data pipelines.
+  *
+  * `df.sample()` is seed-stable only for a fixed partitioning — repartition
+  * the input (or rescale the cluster) and the sampled SET changes. These
+  * operators decide membership from a content hash of a stable key, so the
+  * sample is a pure function of the data: identical across runs, partition
+  * layouts and cluster sizes, and any row's membership can be re-derived
+  * (and audited) after the fact. Sampling is a narrow map-side filter —
+  * no shuffle, no state, scales linearly.
+  *
+  * Two hash variants, same contract as [[Dedup.simhashTable]] vs
+  * [[Dedup.simhashTableMd5]]:
+  *  - xxhash64 (production): codegen, cheap, well mixed.
+  *  - md5-derived (replayable): every stage reproducible in another SQL
+  *    engine, so an external oracle can replay membership exactly.
+  *
+  * Buckets are PER-MILLION: a key lands in [0, 1e6) and survives when
+  * bucket < rate * 1e6 — rates are exact to 1e-6, which also makes nested
+  * samples monotone (rate 0.1 of a key set is a subset of rate 0.2 with
+  * the same salt).
+  */
+object Sampling {
+
+  private val Buckets = 1000000L
+
+  private def rateToBucket(rate: Double): Long = {
+    require(rate >= 0.0 && rate <= 1.0, s"sample rate must be in [0,1], got $rate")
+    math.round(rate * Buckets)
+  }
+
+  /** Per-million bucket from xxhash64(key, salt) — production path. */
+  def bucketXx(key: Column, salt: String): Column =
+    pmod(xxhash64(key.cast("string"), lit(salt)), lit(Buckets))
+
+  /** Per-million bucket from the first 15 hex chars of md5(key || salt)
+    * (60 bits, uniform) — replayable in any engine with md5.
+    */
+  def bucketMd5(key: Column, salt: String): Column =
+    conv(substring(md5(concat(key.cast("string"), lit(salt))), 1, 15), 16, 10)
+      .cast("long") % Buckets
+
+  /** Fixed-rate deterministic sample: keep a row iff its key's bucket
+    * falls under `rate`. Same (key, salt) -> same decision, everywhere.
+    */
+  def hashSample(df: DataFrame, rate: Double, keyCol: String,
+                 salt: String = ""): DataFrame =
+    df.filter(bucketXx(col(keyCol), salt) < rateToBucket(rate))
+
+  /** [[hashSample]] with the md5 bucket (external-oracle replayable). */
+  def hashSampleMd5(df: DataFrame, rate: Double, keyCol: String,
+                    salt: String = ""): DataFrame =
+    df.filter(bucketMd5(col(keyCol), salt) < rateToBucket(rate))
+
+  /** Stratified deterministic sample — the data-mixing primitive: each
+    * stratum (domain, language, quality band, ...) keeps its own rate,
+    * unlisted strata keep `defaultRate`. The rate lookup compiles to a
+    * literal CASE chain (strata maps are small by nature); membership
+    * stays a per-row filter with no shuffle.
+    */
+  def stratifiedSample(df: DataFrame, keyCol: String, stratumCol: String,
+                       rates: Map[String, Double], defaultRate: Double = 0.0,
+                       salt: String = ""): DataFrame =
+    df.filter(bucketXx(col(keyCol), salt) < rateCase(stratumCol, rates, defaultRate))
+
+  /** [[stratifiedSample]] with the md5 bucket (replayable). */
+  def stratifiedSampleMd5(df: DataFrame, keyCol: String, stratumCol: String,
+                          rates: Map[String, Double], defaultRate: Double = 0.0,
+                          salt: String = ""): DataFrame =
+    df.filter(bucketMd5(col(keyCol), salt) < rateCase(stratumCol, rates, defaultRate))
+
+  private def rateCase(stratumCol: String, rates: Map[String, Double],
+                       defaultRate: Double): Column =
+    rates.toSeq.sortBy(_._1).foldLeft(lit(rateToBucket(defaultRate))) {
+      case (acc, (stratum, rate)) =>
+        when(col(stratumCol) === stratum, lit(rateToBucket(rate))).otherwise(acc)
+    }
+}

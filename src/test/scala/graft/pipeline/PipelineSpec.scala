@@ -38,6 +38,81 @@ class PipelineSpec extends AnyFlatSpec with Matchers {
     } finally pool.unpersist()
   }
 
+  "Dedup.connectedComponents" should "label components by min id, beyond one hop" in {
+    import spark.implicits._
+    // two components: a 5-node CHAIN (needs several propagation rounds,
+    // diameter 4) and a triangle; plus determinism across runs
+    val pairs = Seq(
+      (10L, 11L), (11L, 12L), (12L, 13L), (13L, 14L), // chain
+      (20L, 21L), (21L, 22L), (20L, 22L) // triangle
+    ).toDF("id_a", "id_b")
+    def run() = Dedup.connectedComponents(pairs)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val comp = run()
+    comp shouldBe Map(
+      10L -> 10L, 11L -> 10L, 12L -> 10L, 13L -> 10L, 14L -> 10L,
+      20L -> 20L, 21L -> 20L, 22L -> 20L)
+    run() shouldBe comp
+  }
+
+  "Dedup.nearDupSurvivors" should "keep exactly one doc per near-dup cluster" in {
+    val pool = graft.SparkEntry.dedupPool(spark, sfDir).cache()
+    try {
+      val pairs = Dedup.minhashPairs(pool, k = 24, bands = 12, threshold = 0.5)
+      val comps = Dedup.connectedComponents(pairs).cache()
+      try {
+        val survivors = Dedup.nearDupSurvivors(pool, k = 24, bands = 12, threshold = 0.5)
+          .select("doc_id").collect().map(_.getLong(0)).toSet
+        val byComp = comps.collect().map(r => (r.getLong(0), r.getLong(1)))
+          .groupBy(_._2).view.mapValues(_.map(_._1).toSet).toMap
+        // each cluster contributes exactly its min id
+        byComp.foreach { case (c, members) =>
+          withClue(s"component $c: ") {
+            members.intersect(survivors) shouldBe Set(members.min)
+          }
+        }
+        // unpaired docs all pass through
+        val paired = byComp.values.flatten.toSet
+        val all = pool.select("doc_id").collect().map(_.getLong(0)).toSet
+        survivors shouldBe all.diff(paired) ++ byComp.values.map(_.min)
+      } finally comps.unpersist()
+    } finally pool.unpersist()
+  }
+
+  "Sampling" should "be a pure function of (key, salt): partition-layout invariant, monotone, on-rate" in {
+    import spark.implicits._
+    val keys = (0L until 20000L).toDF("k")
+    def ids(df: org.apache.spark.sql.DataFrame): Set[Long] =
+      df.select("k").collect().map(_.getLong(0)).toSet
+    for (variant <- Seq("xx", "md5")) {
+      def sample(df: org.apache.spark.sql.DataFrame, rate: Double, salt: String = "") =
+        if (variant == "xx") Sampling.hashSample(df, rate, "k", salt)
+        else Sampling.hashSampleMd5(df, rate, "k", salt)
+      withClue(s"variant=$variant: ") {
+        val s30 = ids(sample(keys, 0.3))
+        // partition layout must not change membership
+        ids(sample(keys.repartition(7), 0.3)) shouldBe s30
+        // nested rates are monotone under the same salt
+        ids(sample(keys, 0.1)).subsetOf(s30) shouldBe true
+        // observed rate close to target (20k keys, ~3 sigma)
+        s30.size.toDouble / 20000 shouldBe 0.3 +- 0.01
+        // a different salt draws a different (but same-rate) sample
+        ids(sample(keys, 0.3, "other")) should not be s30
+      }
+    }
+  }
+
+  it should "hold per-stratum rates and the default for unlisted strata" in {
+    import spark.implicits._
+    val rows = (0L until 30000L).map(i => (i, s"s${i % 3}")).toDF("k", "g")
+    val got = Sampling.stratifiedSample(rows, "k", "g",
+      Map("s0" -> 0.5, "s1" -> 0.1), defaultRate = 0.02)
+      .groupBy("g").count().collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    got("s0").toDouble / 10000 shouldBe 0.5 +- 0.02
+    got("s1").toDouble / 10000 shouldBe 0.1 +- 0.02
+    got.getOrElse("s2", 0L).toDouble / 10000 shouldBe 0.02 +- 0.01
+  }
+
   "Dedup.shingles" should "match a slow reference implementation for n in {1,2,3,5}" in {
     import spark.implicits._
     def slowShingles(text: String, n: Int): Seq[String] = {
