@@ -524,6 +524,34 @@ object SparkEntry {
         Map("en" -> 0.5, "zh" -> 0.25), defaultRate = 0.05, salt = "mix1")
         .select(col("doc_id").cast("long").as("doc_id"), col("lang"))),
 
+    // repetition quality signals: Gopher-style duplicate-3-gram ratio
+    // (per-row array arithmetic) + top-token share (explode + two
+    // map-side-combining aggs)
+    "text_repetition" -> ((s, dir) => {
+      val d = docs(s, dir)
+      d.select(col("doc_id"),
+          TextOps.dupNgramRatio(col("text"), 3).as("dup_3gram_ratio"))
+        .join(TextOps.topTokenShare(d), "doc_id")
+    }),
+
+    // PII redaction over deterministically planted email/SSN/phone
+    // (real docs carry none); output hashed so the gate compares the
+    // full redacted text without shipping it
+    "pii_redact" -> ((s, dir) =>
+      docs(s, dir).select(col("doc_id"),
+        md5(TextOps.redactPii(concat(
+          col("text"), lit(" contact user"), col("doc_id"),
+          lit("@example.com or 555-123-45"), col("doc_id"),
+          lit(" ssn 123-45-6789")))).as("redacted_md5"))),
+
+    // benchmark decontamination: docs sharing any 8-gram with the
+    // benchmark slice (doc_id % 13 == 1), counted per doc
+    "contamination" -> ((s, dir) => {
+      val d = docs(s, dir)
+      TextOps.contaminationHits(d, d.filter(col("doc_id") % 13 === 1), n = 8)
+        .select(col("doc_id"), col("n_hits").cast("long").as("n_hits"))
+    }),
+
     // SimHash pairs restricted to the exact-duplicate ground truth:
     // identical text => identical signature => all bands collide and
     // hamming = 0, so the pair set is provably the md5 self-join
@@ -788,6 +816,48 @@ object SparkEntry {
         |WHERE CAST(('0x' || substring(md5(CAST(doc_id AS VARCHAR) || 'mix1'), 1, 15)) AS BIGINT)
         |      % 1000000
         |      < CASE lang WHEN 'en' THEN 500000 WHEN 'zh' THEN 250000 ELSE 50000 END""".stripMargin,
+
+    "text_repetition" ->
+      """WITH sh AS (
+        |  SELECT doc_id, toks,
+        |    CASE WHEN len(toks) < 3 THEN [array_to_string(toks, ' ')]
+        |         ELSE list_transform(range(1, len(toks) - 1),
+        |                i -> toks[i] || ' ' || toks[i+1] || ' ' || toks[i+2]) END AS sh
+        |  FROM (SELECT doc_id, regexp_split_to_array(trim(lower(text)), '\s+') AS toks FROM documents)),
+        |rep AS (SELECT doc_id,
+        |    ROUND(1.0 - CAST(len(list_distinct(sh)) AS DOUBLE) / len(sh), 6) AS dup_3gram_ratio
+        |  FROM sh),
+        |cnt AS (SELECT doc_id, t, count(*) AS c
+        |  FROM (SELECT doc_id, unnest(toks) AS t FROM sh) GROUP BY doc_id, t),
+        |top AS (SELECT doc_id, ROUND(CAST(MAX(c) AS DOUBLE) / SUM(c), 6) AS top_token_share
+        |  FROM cnt GROUP BY doc_id)
+        |SELECT rep.doc_id, dup_3gram_ratio, top_token_share
+        |FROM rep JOIN top USING (doc_id)""".stripMargin,
+
+    "pii_redact" ->
+      """SELECT doc_id, md5(
+        |  regexp_replace(
+        |    regexp_replace(
+        |      regexp_replace(
+        |        text || ' contact user' || doc_id || '@example.com or 555-123-45' || doc_id || ' ssn 123-45-6789',
+        |        '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}', '<EMAIL>', 'g'),
+        |      '\b[0-9]{3}-[0-9]{2}-[0-9]{4}\b', '<ID>', 'g'),
+        |    '\+?[0-9][0-9() .-]{7,}[0-9]', '<PHONE>', 'g')) AS redacted_md5
+        |FROM documents""".stripMargin,
+
+    "contamination" ->
+      """WITH sh8 AS (
+        |  SELECT doc_id,
+        |    CASE WHEN len(toks) < 8 THEN [array_to_string(toks, ' ')]
+        |         ELSE list_transform(range(1, len(toks) - 6),
+        |                i -> toks[i] || ' ' || toks[i+1] || ' ' || toks[i+2] || ' ' || toks[i+3]
+        |                     || ' ' || toks[i+4] || ' ' || toks[i+5] || ' ' || toks[i+6] || ' ' || toks[i+7]) END AS sh
+        |  FROM (SELECT doc_id, regexp_split_to_array(trim(lower(text)), '\s+') AS toks FROM documents)),
+        |bg AS (SELECT DISTINCT unnest(sh) AS g FROM sh8 WHERE doc_id % 13 = 1),
+        |dg AS (SELECT doc_id, unnest(sh) AS g FROM sh8)
+        |SELECT dg.doc_id, CAST(COUNT(DISTINCT dg.g) AS BIGINT) AS n_hits
+        |FROM dg JOIN bg ON dg.g = bg.g
+        |GROUP BY dg.doc_id""".stripMargin,
 
     "simhash_dup_pairs" ->
       s"""WITH $poolCte

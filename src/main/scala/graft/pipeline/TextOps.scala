@@ -1,6 +1,6 @@
 package graft.pipeline
 
-import org.apache.spark.sql.Column
+import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.functions._
 
 /** Text-analysis operators for a training-data pipeline: token counting,
@@ -74,6 +74,67 @@ object TextOps {
       "stop_density" -> round(stopDensity, 6),
       "quality_score" -> round(
         alpha * 0.5 + (lit(1.0) - digit) * 0.2 + stopDensity * 0.3, 6))
+  }
+
+  /** Duplicate n-gram ratio — the Gopher-style repetition signal: the
+    * fraction of a document's word n-grams that are repeats
+    * (1 - distinct/total). Per-row array arithmetic over the SAME
+    * shingle rule as dedup ([[Dedup.shingles]]), no shuffle; shingles
+    * always yield >= 1 element so the ratio is total-safe.
+    */
+  def dupNgramRatio(c: Column, n: Int = 3): Column = {
+    val sh = Dedup.shingles(c, n)
+    round(lit(1.0) -
+      size(array_distinct(sh)).cast("double") / size(sh).cast("double"), 6)
+  }
+
+  /** Share of the most frequent token per document — the companion
+    * repetition signal (a doc whose top token is 30% of its tokens is
+    * boilerplate). Explode + two hash aggregations, both map-side
+    * combining on (id, token) then id; nothing quadratic, no windows.
+    */
+  def topTokenShare(df: DataFrame, textCol: String = "text",
+                    idCol: String = "doc_id"): DataFrame =
+    df.select(col(idCol),
+        explode(split(trim(lower(col(textCol))), "\\s+")).as("t"))
+      .groupBy(col(idCol), col("t")).agg(count(lit(1)).as("c"))
+      .groupBy(col(idCol))
+      .agg(round(max(col("c")).cast("double") / sum(col("c")), 6)
+        .as("top_token_share"))
+
+  /** PII redaction: emails, US-SSN-shaped ids, then long digit runs
+    * (phones) replaced by typed placeholders, in that order — the SSN
+    * rule must fire before the phone rule would swallow it. Patterns
+    * are RE2-safe (no lookaround) so any RE2-based engine replays the
+    * redaction byte-for-byte.
+    */
+  val emailPattern = "[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}"
+  val ssnPattern = "\\b[0-9]{3}-[0-9]{2}-[0-9]{4}\\b"
+  val phonePattern = "\\+?[0-9][0-9() .-]{7,}[0-9]"
+
+  def redactPii(c: Column): Column = {
+    val noEmail = regexp_replace(coalesce(c, lit("")), emailPattern, "<EMAIL>")
+    val noSsn = regexp_replace(noEmail, ssnPattern, "<ID>")
+    regexp_replace(noSsn, phonePattern, "<PHONE>")
+  }
+
+  /** Benchmark decontamination: documents sharing any word n-gram with
+    * the benchmark set, with the count of distinct shared grams.
+    * The benchmark side collapses to its distinct grams and BROADCASTS
+    * (benchmark suites are tiny next to a corpus — this is the shape
+    * that holds at 100 TB: the corpus-side explode streams map-side
+    * through the broadcast hash join, no corpus shuffle before the
+    * per-doc count). Same shingle rule as dedup.
+    */
+  def contaminationHits(docs: DataFrame, bench: DataFrame, n: Int = 8,
+                        textCol: String = "text", idCol: String = "doc_id",
+                        benchTextCol: String = "text"): DataFrame = {
+    val benchGrams = bench
+      .select(explode(Dedup.shingles(col(benchTextCol), n)).as("g")).distinct()
+    docs.select(col(idCol), explode(Dedup.shingles(col(textCol), n)).as("g"))
+      .join(broadcast(benchGrams), "g")
+      .groupBy(col(idCol))
+      .agg(countDistinct(col("g")).as("n_hits"))
   }
 
   /** Language-ID marker families (stopword heuristic). The synthetic

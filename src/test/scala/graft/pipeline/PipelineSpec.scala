@@ -410,6 +410,53 @@ class PipelineSpec extends AnyFlatSpec with Matchers {
     } finally feats.unpersist()
   }
 
+  "TextOps.redactPii" should "redact emails, SSN-shaped ids, then phones, in that order" in {
+    import spark.implicits._
+    val got = Seq(
+      "mail me at john.doe+x@sub.example.org today",
+      "ssn 123-45-6789 phone +1 (555) 123-4567 end",
+      "order 12 costs 34 dollars",
+      "id 555-123-4571234"
+    ).toDF("text").select(TextOps.redactPii(col("text"))).as[String].collect()
+    got(0) shouldBe "mail me at <EMAIL> today"
+    got(1) shouldBe "ssn <ID> phone <PHONE> end"
+    got(2) shouldBe "order 12 costs 34 dollars"
+    got(3) shouldBe "id <PHONE>"
+  }
+
+  "TextOps.dupNgramRatio" should "measure the repeated-gram fraction" in {
+    import spark.implicits._
+    val got = Seq(
+      "a b c a b c a b c", // 7 3-grams, 3 distinct -> 1 - 3/7
+      "all words unique here now", // 3 distinct 3-grams of 3
+      "tiny" // < n tokens: single whole-text shingle, ratio 0
+    ).toDF("text").select(TextOps.dupNgramRatio(col("text"), 3)).as[Double].collect()
+    got(0) shouldBe 0.571429 +- 1e-9
+    got(1) shouldBe 0.0
+    got(2) shouldBe 0.0
+  }
+
+  "TextOps.topTokenShare" should "report the modal token share per doc" in {
+    import spark.implicits._
+    val df = Seq((1L, "a a a b"), (2L, "x y")).toDF("doc_id", "text")
+    val got = TextOps.topTokenShare(df).collect()
+      .map(r => r.getLong(0) -> r.getDouble(1)).toMap
+    got(1L) shouldBe 0.75 +- 1e-9
+    got(2L) shouldBe 0.5 +- 1e-9
+  }
+
+  "TextOps.contaminationHits" should "flag docs sharing an 8-gram with the benchmark" in {
+    import spark.implicits._
+    val docs = Seq(
+      (1L, "one two three four five six seven eight nine"),
+      (2L, "totally different words in this row with zero overlap whatsoever"),
+      (3L, "two three four five six seven eight nine")
+    ).toDF("doc_id", "text")
+    val hits = TextOps.contaminationHits(docs, docs.filter(col("doc_id") === 3), n = 8)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    hits shouldBe Map(1L -> 1L, 3L -> 1L) // doc1 shares bench's only gram; bench self-hits
+  }
+
   "TextOps" should "count tokens robustly at the edges" in {
     import spark.implicits._
     val df = Seq("", "  ", "one", " a  b\tc ", null.asInstanceOf[String]).toDF("text")
