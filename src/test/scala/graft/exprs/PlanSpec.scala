@@ -110,6 +110,40 @@ class PlanSpec extends AnyFlatSpec with Matchers {
     assigned.columns.toSet shouldBe Set("vec_id", "embedding", "centroid_id")
   }
 
+  "deterministic sampling" should "be a pure scan-filter: no exchange, no join" in {
+    val d = spark.read.parquet(s"$sfDir/documents.parquet")
+    for (df <- Seq(
+      graft.pipeline.Sampling.hashSample(d, 0.2, "doc_id"),
+      graft.pipeline.Sampling.stratifiedSample(d, "doc_id", "lang",
+        Map("en" -> 0.5), defaultRate = 0.05))) {
+      shuffleCount(df) shouldBe 0
+      formatted(df) should not include "Join"
+    }
+  }
+
+  "benchmark decontamination" should "broadcast the benchmark grams, not shuffle the corpus" in {
+    val d = spark.read.parquet(s"$sfDir/documents.parquet")
+    val df = graft.pipeline.TextOps.contaminationHits(
+      d, d.filter(col("doc_id") % 13 === 1), n = 8)
+    val plan = formatted(df)
+    plan should include("BroadcastHashJoin")
+    plan should not include "SortMergeJoin"
+    // three exchanges, none over corpus grams: the benchmark distinct
+    // (tiny), then the two-phase count-distinct rewrite on (doc, gram)
+    // and doc — both AFTER the broadcast join has filtered the corpus
+    // side down to benchmark-matching grams only
+    shuffleCount(df) shouldBe 3
+  }
+
+  "top-token share" should "partially aggregate both levels before their exchanges" in {
+    val d = spark.read.parquet(s"$sfDir/documents.parquet")
+    val df = graft.pipeline.TextOps.topTokenShare(d)
+    val plan = formatted(df)
+    plan should include("HashAggregate")
+    plan should not include "Window"
+    shuffleCount(df) shouldBe 2 // (id, token) then id
+  }
+
   "whole-stage codegen" should "cover the validator projection" in {
     val t = graft.sources.TranscriptDerive.fromLineitem(spark, sfDir)
     val exec = Validator.validateTranscripts(t, schema).toDF().queryExecution.executedPlan
