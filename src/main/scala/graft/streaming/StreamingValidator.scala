@@ -51,6 +51,23 @@ object StreamingValidator {
         sum(when(anyViolation, 1L).otherwise(0L)).as("violating_rows"))
   }
 
+  /** Streaming exact dedup: keep only the FIRST document seen per
+    * content fingerprint, with state bounded by the watermark horizon
+    * (`dropDuplicatesWithinWatermark` evicts a fingerprint once the
+    * watermark passes its event time). Exact-within-horizon is the
+    * honest streaming trade — unbounded-history exact dedup is the
+    * batch job ([[graft.pipeline.Dedup.exactSurvivors]]); a pipeline
+    * runs this on the live stream and reconciles with the batch
+    * survivors at compaction time.
+    */
+  def firstSeenByContent(stream: DataFrame, textCol: String = "text",
+                         tsCol: String = "ts",
+                         watermark: String = "10 minutes"): DataFrame =
+    stream
+      .withColumn("content_hash", md5(col(textCol)))
+      .withWatermark(tsCol, watermark)
+      .dropDuplicatesWithinWatermark("content_hash")
+
   final case class ConvState(maxTurnIdx: Int, seenCount: Long)
   final case class OrderViolation(conv_id: String, turn_idx: Int, kind: String)
 

@@ -86,4 +86,28 @@ class StreamingSpec extends AnyFlatSpec with Matchers {
         OrderViolation("c1", 0, "out_of_order"))
     } finally q.stop()
   }
+
+  it should "emit only the first-seen document per content hash across micro-batches" in {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val input = MemoryStream[Turn]
+    val q = StreamingValidator.firstSeenByContent(input.toDF())
+      .writeStream.format("memory").queryName("sdedup").outputMode("append").start()
+    try {
+      input.addData(
+        Turn("c1", 0, "user", "same text", null, ts(0)),
+        Turn("c1", 1, "user", "unique one", null, ts(1)))
+      q.processAllAvailable()
+      input.addData(
+        Turn("c2", 0, "user", "same text", null, ts(2)), // dup within watermark
+        Turn("c2", 1, "user", "unique two", null, ts(3)))
+      q.processAllAvailable()
+      val got = spark.sql("SELECT conv_id, turn_idx, text FROM sdedup").collect()
+        .map(r => (r.getString(0), r.getInt(1), r.getString(2))).toSet
+      got shouldBe Set(
+        ("c1", 0, "same text"),
+        ("c1", 1, "unique one"),
+        ("c2", 1, "unique two"))
+    } finally q.stop()
+  }
 }
