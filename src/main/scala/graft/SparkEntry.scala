@@ -5,7 +5,7 @@ import org.apache.spark.sql.functions._
 import graft.compile.TableSchemaCompiler
 import graft.exprs.Validator
 import graft.integrity.Integrity
-import graft.pipeline.{Ann, Dedup, Multimodal, Sampling, TextOps}
+import graft.pipeline.{Ann, Dedup, Multimodal, Packing, Sampling, TextOps}
 import graft.sources.{DirtyDerive, TranscriptDerive}
 import graft.stats.Stats
 
@@ -552,6 +552,12 @@ object SparkEntry {
         .select(col("doc_id"), col("n_hits").cast("long").as("n_hits"))
     }),
 
+    // sequence packing (concat-and-chunk): global token offsets via the
+    // scalable prefix sum — range repartition + partitioned window +
+    // broadcast partition prefixes, never a single-partition window
+    "pack_chunks" -> ((s, dir) =>
+      Packing.packChunks(docs(s, dir), budget = 512)),
+
     // SimHash pairs restricted to the exact-duplicate ground truth:
     // identical text => identical signature => all bands collide and
     // hamming = 0, so the pair set is provably the md5 self-join
@@ -844,6 +850,22 @@ object SparkEntry {
         |      '\b[0-9]{3}-[0-9]{2}-[0-9]{4}\b', '<ID>', 'g'),
         |    '\+?[0-9][0-9() .-]{7,}[0-9]', '<PHONE>', 'g')) AS redacted_md5
         |FROM documents""".stripMargin,
+
+    "pack_chunks" ->
+      """WITH tok AS (
+        |  SELECT doc_id,
+        |    CAST(CASE WHEN trim(text) = '' THEN 0
+        |         ELSE length(regexp_split_to_array(trim(text), '\s+')) END AS BIGINT) AS n_tokens
+        |  FROM documents),
+        |cum AS (
+        |  SELECT doc_id, n_tokens,
+        |    CAST(COALESCE(SUM(n_tokens) OVER (ORDER BY doc_id
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS BIGINT) AS start_offset
+        |  FROM tok)
+        |SELECT doc_id, n_tokens, start_offset,
+        |  CAST(start_offset // 512 AS BIGINT) AS first_chunk,
+        |  CAST((start_offset + GREATEST(n_tokens, 1) - 1) // 512 AS BIGINT) AS last_chunk
+        |FROM cum""".stripMargin,
 
     "contamination" ->
       """WITH sh8 AS (

@@ -457,6 +457,25 @@ class PipelineSpec extends AnyFlatSpec with Matchers {
     hits shouldBe Map(1L -> 1L, 3L -> 1L) // doc1 shares bench's only gram; bench self-hits
   }
 
+  "Packing.packChunks" should "assign contiguous global offsets regardless of input partitioning" in {
+    import spark.implicits._
+    val df = Seq((1L, "a b c"), (2L, ""), (3L, "d e"), (4L, "f g h i"), (5L, "j"))
+      .toDF("doc_id", "text")
+    def run(d: org.apache.spark.sql.DataFrame) = Packing.packChunks(d, budget = 4)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4)))
+      .sortBy(_._1).toSeq
+    val got = run(df)
+    got shouldBe Seq(
+      (1L, 3L, 0L, 0L, 0L), // tokens [0,3) in chunk 0
+      (2L, 0L, 3L, 0L, 0L), // empty doc collapses to its start chunk
+      (3L, 2L, 3L, 0L, 1L), // tokens [3,5) straddle the chunk-0/1 boundary
+      (4L, 4L, 5L, 1L, 2L), // tokens [5,9) straddle 1/2
+      (5L, 1L, 9L, 2L, 2L))
+    // the prefix-sum machinery must be layout-invariant
+    run(df.repartition(7)) shouldBe got
+    run(df.coalesce(1)) shouldBe got
+  }
+
   "TextOps" should "count tokens robustly at the edges" in {
     import spark.implicits._
     val df = Seq("", "  ", "one", " a  b\tc ", null.asInstanceOf[String]).toDF("text")
