@@ -200,6 +200,15 @@ object Dedup {
       labels = next
       it += 1
     }
+    // fail loud: silently-unconverged labels would split clusters and
+    // under-deduplicate with no trace (same policy as checkpoint lineage
+    // mismatches). maxIters bounds the graph DIAMETER, which for a dup
+    // graph is far below 50; hitting it means the input is not the
+    // near-clique pair graph this propagation variant is for.
+    if (changed > 0)
+      throw new IllegalStateException(
+        s"connectedComponents did not converge in $maxIters rounds " +
+          s"($changed labels still changing); use a log-rounds variant for deep-chain graphs")
     labels
   }
 

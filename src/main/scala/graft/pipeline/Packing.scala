@@ -28,6 +28,11 @@ object Packing {
     * id-ordered token stream cut into `budget`-token chunks. Empty
     * documents occupy zero tokens: their chunk span collapses to the
     * chunk containing their start offset.
+    *
+    * Precondition: ids are unique (the corpus's primary key). Duplicate
+    * ids would leave their relative order — and so their two offsets —
+    * tie-broken arbitrarily; run [[Dedup.exactSurvivors]]-style keying
+    * first if the input can carry duplicates.
     */
   def packChunks(df: DataFrame, budget: Long, textCol: String = "text",
                  idCol: String = "doc_id"): DataFrame = {
