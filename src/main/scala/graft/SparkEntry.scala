@@ -558,6 +558,13 @@ object SparkEntry {
     "pack_chunks" -> ((s, dir) =>
       Packing.packChunks(docs(s, dir), budget = 512)),
 
+    // corpus vocabulary: top-100 tokens by total frequency with doc
+    // frequency; deterministic (tf desc, token asc) total order
+    "vocab_topk" -> ((s, dir) =>
+      TextOps.vocabulary(docs(s, dir), topN = 100)
+        .select(col("token"), col("tf").cast("long").as("tf"),
+          col("df").cast("long").as("df"))),
+
     // SimHash pairs restricted to the exact-duplicate ground truth:
     // identical text => identical signature => all bands collide and
     // hamming = 0, so the pair set is provably the md5 self-join
@@ -850,6 +857,16 @@ object SparkEntry {
         |      '\b[0-9]{3}-[0-9]{2}-[0-9]{4}\b', '<ID>', 'g'),
         |    '\+?[0-9][0-9() .-]{7,}[0-9]', '<PHONE>', 'g')) AS redacted_md5
         |FROM documents""".stripMargin,
+
+    "vocab_topk" ->
+      """WITH tok AS (
+        |  SELECT doc_id, unnest(regexp_split_to_array(trim(lower(text)), '\s+')) AS token
+        |  FROM documents)
+        |SELECT token, CAST(COUNT(*) AS BIGINT) AS tf,
+        |       CAST(COUNT(DISTINCT doc_id) AS BIGINT) AS df
+        |FROM tok GROUP BY token
+        |ORDER BY tf DESC, token ASC
+        |LIMIT 100""".stripMargin,
 
     "pack_chunks" ->
       """WITH tok AS (

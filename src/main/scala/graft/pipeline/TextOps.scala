@@ -137,6 +137,23 @@ object TextOps {
       .agg(countDistinct(col("g")).as("n_hits"))
   }
 
+  /** Corpus vocabulary: the `topN` tokens by total frequency, with
+    * document frequency alongside (the tokenizer-training / IDF
+    * primitive). One explode + one hash aggregation (map-side combining
+    * on token; doc frequency via count-distinct's two-phase rewrite),
+    * then TakeOrdered for the top-N — no global sort materializes, the
+    * limit pushes into the shuffle read. Ties break by token so the
+    * result is a deterministic set, not an arbitrary LIMIT slice.
+    */
+  def vocabulary(df: DataFrame, topN: Int, textCol: String = "text",
+                 idCol: String = "doc_id"): DataFrame =
+    df.select(col(idCol),
+        explode(split(trim(lower(col(textCol))), "\\s+")).as("token"))
+      .groupBy(col("token"))
+      .agg(count(lit(1)).as("tf"), countDistinct(col(idCol)).as("df"))
+      .orderBy(col("tf").desc, col("token").asc)
+      .limit(topN)
+
   /** Language-ID marker families (stopword heuristic). The synthetic
     * corpus is English-salad for every label, so this scores marker hits
     * per family and predicts argmax with a deterministic tie order —

@@ -457,6 +457,17 @@ class PipelineSpec extends AnyFlatSpec with Matchers {
     hits shouldBe Map(1L -> 1L, 3L -> 1L) // doc1 shares bench's only gram; bench self-hits
   }
 
+  "TextOps.vocabulary" should "rank tokens by corpus frequency with deterministic ties" in {
+    import spark.implicits._
+    val df = Seq((1L, "b a a"), (2L, "a b c"), (3L, "c b")).toDF("doc_id", "text")
+    val got = TextOps.vocabulary(df, topN = 3).collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2))).toSeq
+    got shouldBe Seq( // a and b tie at tf=3 -> token order breaks the tie
+      ("a", 3L, 2L),
+      ("b", 3L, 3L),
+      ("c", 2L, 2L))
+  }
+
   "Packing.packChunks" should "assign contiguous global offsets regardless of input partitioning" in {
     import spark.implicits._
     val df = Seq((1L, "a b c"), (2L, ""), (3L, "d e"), (4L, "f g h i"), (5L, "j"))
