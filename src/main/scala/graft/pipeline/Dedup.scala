@@ -191,13 +191,18 @@ object Dedup {
     while (changed > 0 && it < maxIters) {
       val viaNeighbor = edges
         .join(labels.select(col("id").as("v"), col("comp")), "v")
-        .select(col("u").as("id"), col("comp"))
-      val next = viaNeighbor.union(labels.select("id", "comp"))
-        .groupBy("id").agg(min("comp").as("comp"))
+        .select(col("u").as("id"), col("comp"), lit(false).as("self"))
+      // carry the node's own previous label through the same aggregation
+      // (each id has exactly ONE self row), so the convergence check is
+      // a scan of the checkpointed result — no extra join job per round
+      val merged = viaNeighbor
+        .union(labels.select(col("id"), col("comp"), lit(true).as("self")))
+        .groupBy("id")
+        .agg(min(col("comp")).as("comp"),
+          min(when(col("self"), col("comp"))).as("prev"))
         .localCheckpoint()
-      changed = next.join(labels.select(col("id"), col("comp").as("prev")), "id")
-        .filter(col("comp") =!= col("prev")).count()
-      labels = next
+      changed = merged.filter(col("comp") < col("prev")).count()
+      labels = merged.select("id", "comp")
       it += 1
     }
     // fail loud: silently-unconverged labels would split clusters and
