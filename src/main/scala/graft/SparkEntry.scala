@@ -565,6 +565,17 @@ object SparkEntry {
         .select(col("token"), col("tf").cast("long").as("tf"),
           col("df").cast("long").as("df"))),
 
+    // TF-IDF over the top-20 vocabulary (broadcast vocab join)
+    "tfidf_topvocab" -> ((s, dir) =>
+      TextOps.tfidf(docs(s, dir), vocabSize = 20)
+        .select(col("doc_id"), col("token"), col("weight"))),
+
+    // quality cutoff: docs at or above the corpus median length —
+    // exact-percentile threshold broadcast into a map-side filter
+    "quality_filter" -> ((s, dir) =>
+      Stats.aboveQuantile(docs(s, dir), "n_chars", 0.5)
+        .select(col("doc_id"), col("n_chars"))),
+
     // SimHash pairs restricted to the exact-duplicate ground truth:
     // identical text => identical signature => all bands collide and
     // hamming = 0, so the pair set is provably the md5 self-join
@@ -867,6 +878,23 @@ object SparkEntry {
         |FROM tok GROUP BY token
         |ORDER BY tf DESC, token ASC
         |LIMIT 100""".stripMargin,
+
+    "tfidf_topvocab" ->
+      """WITH tok AS (
+        |  SELECT doc_id, unnest(regexp_split_to_array(trim(lower(text)), '\s+')) AS token
+        |  FROM documents),
+        |v AS (
+        |  SELECT token, COUNT(*) AS tf_all, COUNT(DISTINCT doc_id) AS dfreq
+        |  FROM tok GROUP BY token ORDER BY tf_all DESC, token ASC LIMIT 20),
+        |tf AS (SELECT doc_id, token, CAST(COUNT(*) AS BIGINT) AS tf FROM tok GROUP BY doc_id, token)
+        |SELECT tf.doc_id, tf.token,
+        |  ROUND(tf.tf * ln(CAST((SELECT COUNT(*) FROM documents) AS DOUBLE) / dfreq), 6) AS weight
+        |FROM tf JOIN v USING (token)""".stripMargin,
+
+    "quality_filter" ->
+      """SELECT doc_id, n_chars FROM documents
+        |WHERE CAST(n_chars AS DOUBLE) >=
+        |  (SELECT quantile_cont(CAST(n_chars AS DOUBLE), 0.5) FROM documents)""".stripMargin,
 
     "pack_chunks" ->
       """WITH tok AS (

@@ -154,6 +154,25 @@ object TextOps {
       .orderBy(col("tf").desc, col("token").asc)
       .limit(topN)
 
+  /** TF-IDF weights restricted to the top-`vocabSize` [[vocabulary]]:
+    * (doc, token, tf * ln(N / df)) rows. Per-doc term frequencies are
+    * one map-side-combining aggregation; the vocabulary (tiny by
+    * construction) broadcasts into the join, so the corpus-side rows
+    * shuffle once, keyed (doc, token). The corpus count N is a single
+    * driver-side scalar.
+    */
+  def tfidf(df: DataFrame, vocabSize: Int, textCol: String = "text",
+            idCol: String = "doc_id"): DataFrame = {
+    val n = df.count()
+    val vocab = vocabulary(df, vocabSize, textCol, idCol).select("token", "df")
+    df.select(col(idCol),
+        explode(split(trim(lower(col(textCol))), "\\s+")).as("token"))
+      .groupBy(col(idCol), col("token")).agg(count(lit(1)).as("tf"))
+      .join(broadcast(vocab), "token")
+      .select(col(idCol), col("token"),
+        round(col("tf") * log(lit(n.toDouble) / col("df")), 6).as("weight"))
+  }
+
   /** Language-ID marker families (stopword heuristic). The synthetic
     * corpus is English-salad for every label, so this scores marker hits
     * per family and predicts argmax with a deterministic tie order —

@@ -105,6 +105,22 @@ object Stats {
     df.agg(aggs.head, aggs.tail: _*)
   }
 
+  /** Rows whose `valueExpr` (any SQL expression over the row) reaches
+    * the corpus's exact q-quantile — the quality-cutoff primitive
+    * ("keep docs above the median quality score"). The threshold comes
+    * from ONE exact-percentile aggregation (interpolated; equal to
+    * quantile_cont, as the stats_quantiles gate proves) attached by a
+    * broadcast cross-join of a single row, so the filter itself stays
+    * a map-side scan.
+    */
+  def aboveQuantile(df: DataFrame, valueExpr: String, q: Double): DataFrame = {
+    require(q >= 0.0 && q <= 1.0, s"quantile must be in [0,1], got $q")
+    val thr = df.agg(expr(s"percentile($valueExpr, $q)").as("__thr"))
+    df.crossJoin(broadcast(thr))
+      .filter(expr(valueExpr).cast("double") >= col("__thr"))
+      .drop("__thr")
+  }
+
   /** Long-format profile: (column, count, null_count, min, max,
     * approx_distinct) — one row per column, all from the single agg row.
     */

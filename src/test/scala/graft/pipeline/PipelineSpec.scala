@@ -468,6 +468,21 @@ class PipelineSpec extends AnyFlatSpec with Matchers {
       ("c", 2L, 2L))
   }
 
+  "TextOps.tfidf" should "weight tokens by tf * ln(N/df) over the top vocabulary" in {
+    import spark.implicits._
+    val df = Seq((1L, "a a b"), (2L, "a c"), (3L, "c c c")).toDF("doc_id", "text")
+    val got = TextOps.tfidf(df, vocabSize = 2) // vocab: a (tf 3) and c (tf 4... )
+      .collect().map(r => (r.getLong(0), r.getString(1), r.getDouble(2))).toSet
+    // vocab by (tf desc, token asc): c(4), a(3); N=3, df(a)=2, df(c)=2
+    val w = (tf: Int, df0: Int) =>
+      math.round(tf * math.log(3.0 / df0) * 1e6) / 1e6
+    got shouldBe Set(
+      (1L, "a", w(2, 2)),
+      (2L, "a", w(1, 2)),
+      (2L, "c", w(1, 2)),
+      (3L, "c", w(3, 2)))
+  }
+
   "Packing.packChunks" should "assign contiguous global offsets regardless of input partitioning" in {
     import spark.implicits._
     val df = Seq((1L, "a b c"), (2L, ""), (3L, "d e"), (4L, "f g h i"), (5L, "j"))

@@ -79,4 +79,15 @@ class StatsSpec extends AnyFlatSpec with Matchers {
     val (klSame, _) = Drift.textLengthDrift(a, a)
     klSame shouldBe 0.0 +- 1e-12
   }
+
+  "Stats.aboveQuantile" should "cut at the exact interpolated quantile" in {
+    import spark.implicits._
+    val df = (1 to 10).toDF("v")
+    // quantile_cont semantics: the 0.5-quantile of 1..10 is 5.5
+    val kept = Stats.aboveQuantile(df, "v", 0.5)
+      .collect().map(_.getInt(0)).sorted
+    kept shouldBe Array(6, 7, 8, 9, 10)
+    // q=0 keeps everything; an expression (not a bare column) works too
+    Stats.aboveQuantile(df, "v * 2", 0.0).count() shouldBe 10
+  }
 }
