@@ -576,6 +576,18 @@ object SparkEntry {
       Stats.aboveQuantile(docs(s, dir), "n_chars", 0.5)
         .select(col("doc_id"), col("n_chars"))),
 
+    // the whole recipe end to end: exact dedup -> quality cutoff ->
+    // deterministic sample -> sequence packing. Every stage is the
+    // production operator; the oracle replays the full chain.
+    "pipeline_endtoend" -> ((s, dir) => {
+      val d = docs(s, dir)
+      val survivors = d.join(
+        Dedup.exactSurvivors(d).select(col("keep_id").as("doc_id")), "doc_id")
+      val filtered = Stats.aboveQuantile(survivors, "n_chars", 0.25)
+      val sampled = Sampling.hashSampleMd5(filtered, 0.5, "doc_id", salt = "e2e")
+      Packing.packChunks(sampled, budget = 256)
+    }),
+
     // SimHash pairs restricted to the exact-duplicate ground truth:
     // identical text => identical signature => all bands collide and
     // hamming = 0, so the pair set is provably the md5 self-join
@@ -895,6 +907,33 @@ object SparkEntry {
       """SELECT doc_id, n_chars FROM documents
         |WHERE CAST(n_chars AS DOUBLE) >=
         |  (SELECT quantile_cont(CAST(n_chars AS DOUBLE), 0.5) FROM documents)""".stripMargin,
+
+    "pipeline_endtoend" ->
+      """WITH surv AS (
+        |  SELECT d.* FROM documents d
+        |  JOIN (SELECT MIN(doc_id) AS doc_id FROM documents GROUP BY md5(text)) k USING (doc_id)),
+        |filt AS (
+        |  SELECT * FROM surv
+        |  WHERE CAST(n_chars AS DOUBLE) >=
+        |    (SELECT quantile_cont(CAST(n_chars AS DOUBLE), 0.25) FROM surv)),
+        |samp AS (
+        |  SELECT * FROM filt
+        |  WHERE CAST(('0x' || substring(md5(CAST(doc_id AS VARCHAR) || 'e2e'), 1, 15)) AS BIGINT)
+        |        % 1000000 < 500000),
+        |tok AS (
+        |  SELECT doc_id,
+        |    CAST(CASE WHEN trim(text) = '' THEN 0
+        |         ELSE length(regexp_split_to_array(trim(text), '\s+')) END AS BIGINT) AS n_tokens
+        |  FROM samp),
+        |cum AS (
+        |  SELECT doc_id, n_tokens,
+        |    CAST(COALESCE(SUM(n_tokens) OVER (ORDER BY doc_id
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS BIGINT) AS start_offset
+        |  FROM tok)
+        |SELECT doc_id, n_tokens, start_offset,
+        |  CAST(start_offset // 256 AS BIGINT) AS first_chunk,
+        |  CAST((start_offset + GREATEST(n_tokens, 1) - 1) // 256 AS BIGINT) AS last_chunk
+        |FROM cum""".stripMargin,
 
     "pack_chunks" ->
       """WITH tok AS (
