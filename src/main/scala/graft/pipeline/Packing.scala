@@ -1,7 +1,7 @@
 package graft.pipeline
 
+import org.apache.spark.TaskContext
 import org.apache.spark.sql.DataFrame
-import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 /** Sequence packing for LLM pretraining: documents ordered by id form
@@ -13,14 +13,21 @@ import org.apache.spark.sql.functions._
   * scalable shape:
   *
   *  1. range-repartition by id (ascending id ranges land in ascending
-  *     partition ids);
-  *  2. per-partition running totals through a PARTITIONED window;
-  *  3. per-partition totals (one tiny row each) collect to the driver,
-  *     scan into prefix offsets, and rejoin as a broadcast map lookup.
+  *     partition ids) and sort within partitions — the ONLY full
+  *     shuffle in the plan;
+  *  2. per-partition running totals imperatively in `mapPartitions`
+  *     (a window partitioned by partition-id would not satisfy the
+  *     range distribution and would force a second full exchange);
+  *  3. the result is localCheckpoint()ed BEFORE per-partition totals
+  *     are collected — range bounds are sample-based and not
+  *     guaranteed identical across executions, so totals and output
+  *     must come from the same materialized execution;
+  *  4. per-partition totals (one tiny row each) scan into prefix
+  *     offsets on the driver and rejoin as a broadcast map lookup.
   *
-  * Every shuffled row is (id, n_tokens); the only driver-side data is
-  * one row per partition. Deterministic: offsets are a pure function
-  * of (id order, token counts).
+  * The only driver-side data is one row per partition. Deterministic:
+  * offsets are a pure function of (id order, token counts), whatever
+  * partition bounds the range sampler picks.
   */
 object Packing {
 
@@ -29,21 +36,28 @@ object Packing {
     * documents occupy zero tokens: their chunk span collapses to the
     * chunk containing their start offset.
     *
-    * Precondition: ids are unique (the corpus's primary key). Duplicate
-    * ids would leave their relative order — and so their two offsets —
-    * tie-broken arbitrarily; run [[Dedup.exactSurvivors]]-style keying
-    * first if the input can carry duplicates.
+    * Preconditions: ids are unique (the corpus's primary key — a
+    * duplicate id would leave its two offsets tie-broken arbitrarily)
+    * and castable to long.
     */
   def packChunks(df: DataFrame, budget: Long, textCol: String = "text",
                  idCol: String = "doc_id"): DataFrame = {
     require(budget > 0, s"chunk budget must be positive, got $budget")
-    val toks = df
-      .select(col(idCol), TextOps.tokenCount(col(textCol)).cast("long").as("n_tokens"))
-      .repartitionByRange(col(idCol))
-      .withColumn("pid", spark_partition_id())
-    val w = Window.partitionBy("pid").orderBy(idCol)
-      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
-    val local = toks.withColumn("local_end", sum(col("n_tokens")).over(w))
+    val spark = df.sparkSession
+    import spark.implicits._
+    val local = df
+      .select(col(idCol).cast("long").as("id"),
+        TextOps.tokenCount(col(textCol)).cast("long").as("n_tokens"))
+      .as[(Long, Long)]
+      .repartitionByRange(col("id"))
+      .sortWithinPartitions("id")
+      .mapPartitions { it =>
+        val pid = TaskContext.getPartitionId()
+        var acc = 0L
+        it.map { case (id, n) => acc += n; (id, n, pid, acc) }
+      }
+      .toDF("id", "n_tokens", "pid", "local_end")
+      .localCheckpoint() // freeze ONE execution; see scaladoc point 3
 
     // one row per partition -> driver scan -> broadcast literal map.
     // (Deliberate driver step: #partitions rows, not data rows.)
@@ -52,10 +66,12 @@ object Packing {
     val prefix: Map[Int, Long] =
       totals.map(_._1).zip(totals.scanLeft(0L)(_ + _._2).dropRight(1)).toMap
 
+    // the map covers every pid of the checkpointed data by
+    // construction; coalesce only backstops the empty-input case
     val start = col("local_end") - col("n_tokens") +
       coalesce(element_at(typedLit(prefix), col("pid")), lit(0L))
     // integer `div` (exact at any offset; no double rounding)
-    local.select(col(idCol), col("n_tokens"), start.as("start_offset"))
+    local.select(col("id").as(idCol), col("n_tokens"), start.as("start_offset"))
       .select(col(idCol), col("n_tokens"), col("start_offset"),
         expr(s"start_offset div $budget").as("first_chunk"),
         expr(s"(start_offset + greatest(n_tokens, 1L) - 1) div $budget")

@@ -154,21 +154,30 @@ object TextOps {
       .orderBy(col("tf").desc, col("token").asc)
       .limit(topN)
 
-  /** TF-IDF weights restricted to the top-`vocabSize` [[vocabulary]]:
-    * (doc, token, tf * ln(N / df)) rows. Per-doc term frequencies are
-    * one map-side-combining aggregation; the vocabulary (tiny by
-    * construction) broadcasts into the join, so the corpus-side rows
-    * shuffle once, keyed (doc, token). The corpus count N is a single
-    * driver-side scalar.
+  /** TF-IDF weights restricted to the top-`vocabSize` vocabulary:
+    * (doc, token, tf * ln(N / df)) rows. ONE tokenization pass: the
+    * per-doc tf aggregation is computed once, and BOTH the vocabulary
+    * (tf_all = sum tf, df = row count per token — same numbers
+    * [[vocabulary]] derives from raw tokens) and the weighting join
+    * consume it, so Catalyst's exchange reuse shares the (doc, token)
+    * shuffle between the two branches. The vocabulary is tiny by
+    * construction and broadcasts into the join. The corpus count N is
+    * one driver-side scalar (computed EAGERLY at call time — a
+    * metadata-only parquet count, but callers wanting a fully lazy
+    * plan should pass their own pipeline around this).
     */
   def tfidf(df: DataFrame, vocabSize: Int, textCol: String = "text",
             idCol: String = "doc_id"): DataFrame = {
     val n = df.count()
-    val vocab = vocabulary(df, vocabSize, textCol, idCol).select("token", "df")
-    df.select(col(idCol),
+    val tf = df.select(col(idCol),
         explode(split(trim(lower(col(textCol))), "\\s+")).as("token"))
       .groupBy(col(idCol), col("token")).agg(count(lit(1)).as("tf"))
-      .join(broadcast(vocab), "token")
+    val vocab = tf.groupBy(col("token"))
+      .agg(sum(col("tf")).as("tf_all"), count(lit(1)).as("df"))
+      .orderBy(col("tf_all").desc, col("token").asc)
+      .limit(vocabSize)
+      .select("token", "df")
+    tf.join(broadcast(vocab), "token")
       .select(col(idCol), col("token"),
         round(col("tf") * log(lit(n.toDouble) / col("df")), 6).as("weight"))
   }

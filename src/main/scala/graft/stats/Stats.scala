@@ -112,12 +112,21 @@ object Stats {
     * quantile_cont, as the stats_quantiles gate proves) attached by a
     * broadcast cross-join of a single row, so the filter itself stays
     * a map-side scan.
+    *
+    * Scale note: the exact form (`approx = false`, the oracle-exact
+    * default) buffers one entry per DISTINCT value of `valueExpr` on
+    * the final reducer — fine for low-cardinality measures (lengths,
+    * counts, bucketed scores), wrong for a continuous score over a
+    * 100-TB corpus. Pass `approx = true` there: approx_percentile is
+    * a bounded-memory mergeable sketch with the same plan shape.
     */
-  def aboveQuantile(df: DataFrame, valueExpr: String, q: Double): DataFrame = {
+  def aboveQuantile(df: DataFrame, valueExpr: String, q: Double,
+                    approx: Boolean = false): DataFrame = {
     require(q >= 0.0 && q <= 1.0, s"quantile must be in [0,1], got $q")
-    val thr = df.agg(expr(s"percentile($valueExpr, $q)").as("__thr"))
+    val fn = if (approx) "approx_percentile" else "percentile"
+    val thr = df.agg(expr(s"$fn($valueExpr, $q)").as("__thr"))
     df.crossJoin(broadcast(thr))
-      .filter(expr(valueExpr).cast("double") >= col("__thr"))
+      .filter(expr(valueExpr).cast("double") >= col("__thr").cast("double"))
       .drop("__thr")
   }
 

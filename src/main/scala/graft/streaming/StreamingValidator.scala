@@ -64,9 +64,11 @@ object StreamingValidator {
                          tsCol: String = "ts",
                          watermark: String = "10 minutes"): DataFrame =
     stream
-      .withColumn("content_hash", md5(col(textCol)))
+      .withColumn("__content_hash", md5(col(textCol)))
       .withWatermark(tsCol, watermark)
-      .dropDuplicatesWithinWatermark("content_hash")
+      .dropDuplicatesWithinWatermark("__content_hash")
+      .drop("__content_hash") // output schema == input schema, so the
+      // survivors union cleanly with batch exactSurvivors output
 
   final case class ConvState(maxTurnIdx: Int, seenCount: Long)
   final case class OrderViolation(conv_id: String, turn_idx: Int, kind: String)
