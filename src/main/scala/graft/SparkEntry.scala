@@ -864,7 +864,8 @@ object SparkEntry {
         |    ROUND(1.0 - CAST(len(list_distinct(sh)) AS DOUBLE) / len(sh), 6) AS dup_3gram_ratio
         |  FROM sh),
         |cnt AS (SELECT doc_id, t, count(*) AS c
-        |  FROM (SELECT doc_id, unnest(toks) AS t FROM sh) GROUP BY doc_id, t),
+        |  FROM (SELECT doc_id, unnest(toks) AS t FROM sh)
+        |  WHERE t <> '' GROUP BY doc_id, t),
         |top AS (SELECT doc_id, ROUND(CAST(MAX(c) AS DOUBLE) / SUM(c), 6) AS top_token_share
         |  FROM cnt GROUP BY doc_id)
         |SELECT rep.doc_id, dup_3gram_ratio, top_token_share
@@ -883,8 +884,9 @@ object SparkEntry {
 
     "vocab_topk" ->
       """WITH tok AS (
-        |  SELECT doc_id, unnest(regexp_split_to_array(trim(lower(text)), '\s+')) AS token
-        |  FROM documents)
+        |  SELECT doc_id, token FROM (
+        |    SELECT doc_id, unnest(regexp_split_to_array(trim(lower(text)), '\s+')) AS token
+        |    FROM documents) WHERE token <> '')
         |SELECT token, CAST(COUNT(*) AS BIGINT) AS tf,
         |       CAST(COUNT(DISTINCT doc_id) AS BIGINT) AS df
         |FROM tok GROUP BY token
@@ -893,8 +895,9 @@ object SparkEntry {
 
     "tfidf_topvocab" ->
       """WITH tok AS (
-        |  SELECT doc_id, unnest(regexp_split_to_array(trim(lower(text)), '\s+')) AS token
-        |  FROM documents),
+        |  SELECT doc_id, token FROM (
+        |    SELECT doc_id, unnest(regexp_split_to_array(trim(lower(text)), '\s+')) AS token
+        |    FROM documents) WHERE token <> ''),
         |v AS (
         |  SELECT token, COUNT(*) AS tf_all, COUNT(DISTINCT doc_id) AS dfreq
         |  FROM tok GROUP BY token ORDER BY tf_all DESC, token ASC LIMIT 20),

@@ -41,7 +41,7 @@ object Ann {
   def l2Norm(a: Column): Column = sqrt(dot(a, a))
 
   def cosine(a: Column, b: Column): Column =
-    dot(a, b) / (l2Norm(a) * l2Norm(b))
+    try_divide(dot(a, b), l2Norm(a) * l2Norm(b))
 
   /** The bounded-heap aggregator carries ids as long; reject id columns
     * that a long cast would silently null/corrupt (plan-time error
@@ -78,11 +78,12 @@ object Ann {
       l2Norm(col(embCol)).as("c_norm"))
     val scored = c.crossJoin(broadcast(q))
       .select(col("query_id"), col("cand_id"),
-        round(dot(col("q_emb"), col("c_emb")) / (col("q_norm") * col("c_norm")), 6).as("sim"))
-      // a null embedding yields a null sim, which the aggregator's
-      // non-nullable (Double, Long) tuple encoder would throw on — a
-      // null-embedding candidate is simply never a neighbor
-      .filter(col("sim").isNotNull)
+        round(try_divide(dot(col("q_emb"), col("c_emb")), col("q_norm") * col("c_norm")), 6).as("sim"))
+      // a null embedding yields a null sim (encoder would throw), and a
+      // ZERO-NORM embedding yields 0/0 = NaN, which Spark's ordering
+      // ranks above every real score — either would flood the top-k, so
+      // neither is ever a neighbor
+      .filter(col("sim").isNotNull && !isnan(col("sim")))
     explodeRanked(
       scored.groupBy("query_id")
         .agg(topK(k)(col("sim"), col("cand_id").cast("long")).as("top")),
@@ -101,8 +102,10 @@ object Ann {
     val b = df.select(col(idCol).as("id_b"), col(embCol).as("b_emb"), l2Norm(col(embCol)).as("b_nrm"))
     a.join(b, col("id_a") < col("id_b"))
       .select(col("id_a"), col("id_b"),
-        (dot(col("a_emb"), col("b_emb")) / (col("a_nrm") * col("b_nrm"))).as("cos"))
-      .filter(col("cos") >= tau)
+        (try_divide(dot(col("a_emb"), col("b_emb")), col("a_nrm") * col("b_nrm"))).as("cos"))
+      // Spark evaluates NaN >= tau as TRUE (NaN sorts above all), so a
+      // zero-norm vector would pair with every document without this
+      .filter(!isnan(col("cos")) && col("cos") >= tau)
       .select(col("id_a"), col("id_b"), round(col("cos"), 6).as("cos"))
   }
 
@@ -121,6 +124,13 @@ object Ann {
                       maxBucket: Int = 4096,
                       idCol: String = "vec_id", embCol: String = "embedding"): DataFrame = {
     require(planes % bands == 0, "planes must divide into bands")
+    // FloatVecDot dots over min(length) — a wrong `dim` would silently
+    // project onto a prefix subspace and lose recall with no error, so
+    // check it against the data (one-row job; skipped on empty input)
+    df.select(size(col(embCol))).limit(1).collect().headOption.foreach { r =>
+      require(r.getInt(0) == dim,
+        s"dim=$dim but $embCol has ${r.getInt(0)} elements")
+    }
     val rnd = new scala.util.Random(seed)
     val hyper = Seq.fill(planes)(Array.fill(dim)(rnd.nextGaussian().toFloat).toSeq)
     val base = df.select(col(idCol).as("id"), col(embCol).as("emb"),
@@ -142,8 +152,8 @@ object Ann {
     val b = base.select(col("id").as("id_b"), col("emb").as("b_emb"), col("nrm").as("b_nrm"))
     candidates.join(a, "id_a").join(b, "id_b")
       .select(col("id_a"), col("id_b"),
-        (dot(col("a_emb"), col("b_emb")) / (col("a_nrm") * col("b_nrm"))).as("cos"))
-      .filter(col("cos") >= tau)
+        (try_divide(dot(col("a_emb"), col("b_emb")), col("a_nrm") * col("b_nrm"))).as("cos"))
+      .filter(!isnan(col("cos")) && col("cos") >= tau) // NaN >= tau is TRUE in Spark
       .select(col("id_a"), col("id_b"), round(col("cos"), 6).as("cos"))
   }
 
@@ -163,9 +173,9 @@ object Ann {
       .crossJoin(broadcast(cents))
       .select(col(idCol),
         struct(
-          (-round(dot(col(embCol), col("cent_emb")) / (col("__norm") * col("cent_norm")), 9)).as("d"),
+          (-round(try_divide(dot(col(embCol), col("cent_emb")), col("__norm") * col("cent_norm")), 9)).as("d"),
           col("centroid_id")).as("cand"))
-      .filter(col("cand.d").isNotNull) // null embedding -> no assignment (see bruteForceTopK)
+      .filter(col("cand.d").isNotNull && !isnan(col("cand.d"))) // null/zero-norm embedding -> no assignment (see bruteForceTopK)
       .groupBy(col(idCol))
       .agg(min(col("cand")).as("best"))
       .select(col(idCol), col("best.centroid_id").as("centroid_id"))
@@ -189,16 +199,23 @@ object Ann {
                       idCol: String = "vec_id", embCol: String = "embedding"): DataFrame = {
     requireIntegralId(df, idCol)
     var cents = df.select(col(idCol), col(embCol)).orderBy(col(idCol)).limit(k)
+      .localCheckpoint()
     for (_ <- 1 to iters) {
       val assigned = assignToCentroids(df, cents, idCol, embCol)
       val means = assigned
         .select(col("centroid_id"), posexplode(col(embCol)).as(Seq("pos", "v")))
         .groupBy("centroid_id", "pos")
         .agg(avg(col("v")).as("m"))
+      // localCheckpoint each round (k rows): without it the lazy plan
+      // nests one full assignment pass per iteration and every reuse
+      // re-executes the whole cascade — and avg() over doubles is not
+      // bitwise-reproducible across shuffle-merge orders, so a
+      // re-execution could even train DIFFERENT centroids
       cents = means.groupBy("centroid_id")
         .agg(array_sort(collect_list(struct(col("pos"), col("m")))).as("pm"))
         .select(col("centroid_id").as(idCol),
           transform(col("pm"), p => p.getField("m").cast("float")).as(embCol))
+        .localCheckpoint()
     }
     cents
   }
@@ -214,9 +231,13 @@ object Ann {
               idCol: String = "vec_id", embCol: String = "embedding"): DataFrame = {
     requireIntegralId(candidates, idCol)
     requireIntegralId(centroids, idCol)
-    val cents = centroids.select(col(idCol).as("centroid_id"), col(embCol).as("cent_emb"),
+    // the centroid plan is consumed twice (bucket assignment + probe
+    // selection); freeze ONE execution so a non-trivial upstream plan
+    // (e.g. an uncheckpointed trainer) can't run twice or diverge
+    val centsFrozen = centroids.select(col(idCol), col(embCol)).localCheckpoint()
+    val cents = centsFrozen.select(col(idCol).as("centroid_id"), col(embCol).as("cent_emb"),
       l2Norm(col(embCol)).as("cent_norm"))
-    val bucketed = assignToCentroids(candidates, centroids, idCol, embCol)
+    val bucketed = assignToCentroids(candidates, centsFrozen, idCol, embCol)
       .select(col(idCol).as("cand_id"), col(embCol).as("c_emb"),
         l2Norm(col(embCol)).as("c_norm"), col("centroid_id"))
 
@@ -227,9 +248,9 @@ object Ann {
         l2Norm(col(embCol)).as("q_norm"))
       .crossJoin(broadcast(cents))
       .select(col("query_id"), col("q_emb"), col("q_norm"),
-        round(dot(col("q_emb"), col("cent_emb")) / (col("q_norm") * col("cent_norm")), 9).as("sim"),
+        round(try_divide(dot(col("q_emb"), col("cent_emb")), col("q_norm") * col("cent_norm")), 9).as("sim"),
         col("centroid_id"))
-      .filter(col("sim").isNotNull) // null query/centroid embedding (see bruteForceTopK)
+      .filter(col("sim").isNotNull && !isnan(col("sim"))) // null/zero-norm query or centroid (see bruteForceTopK)
       .groupBy("query_id")
       .agg(first(col("q_emb")).as("q_emb"), first(col("q_norm")).as("q_norm"),
         topK(nprobe)(col("sim"), col("centroid_id").cast("long")).as("top"))
@@ -240,8 +261,8 @@ object Ann {
     val scored = bucketed.join(broadcast(probes),
         bucketed("centroid_id") === probes("centroid_id"))
       .select(col("query_id"), col("cand_id"),
-        round(dot(col("q_emb"), col("c_emb")) / (col("q_norm") * col("c_norm")), 6).as("sim"))
-      .filter(col("sim").isNotNull) // null candidate embedding (see bruteForceTopK)
+        round(try_divide(dot(col("q_emb"), col("c_emb")), col("q_norm") * col("c_norm")), 6).as("sim"))
+      .filter(col("sim").isNotNull && !isnan(col("sim"))) // null/zero-norm candidate (see bruteForceTopK)
     explodeRanked(
       scored.groupBy("query_id")
         .agg(topK(k)(col("sim"), col("cand_id").cast("long")).as("top")),

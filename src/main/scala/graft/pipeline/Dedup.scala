@@ -81,14 +81,19 @@ object Dedup {
     * (band, bucket) key the self-join needs, so AQE can reuse the
     * exchange.
     */
+  // observe() names must be unique per query, or composing two capped
+  // operators (e.g. minhashPairs.union(simhashPairs)) fails analysis
+  // with "Multiple definitions of observed metrics"
+  private val bucketCapMetricSeq = new java.util.concurrent.atomic.AtomicLong(0)
+
   private[pipeline] def capBuckets(banded: DataFrame, keys: Seq[String], maxBucket: Int): DataFrame = {
     // observe() makes a cap-induced divergence self-explaining (visible
-    // in the UI / QueryExecutionListener metrics as `lsh_bucket_caps`)
+    // in the UI / QueryExecutionListener metrics as `lsh_bucket_caps_N`)
     // at zero extra passes: a silent drop of an oversized bucket would
     // otherwise under-report pairs with no trace of why
     val counts = banded.groupBy(keys.map(col): _*)
       .agg(count(lit(1)).as("__bucket_n"))
-      .observe("lsh_bucket_caps",
+      .observe(s"lsh_bucket_caps_${bucketCapMetricSeq.incrementAndGet()}",
         sum(when(col("__bucket_n") > maxBucket, 1L).otherwise(0L)).as("dropped_buckets"),
         sum(when(col("__bucket_n") > maxBucket, col("__bucket_n")).otherwise(0L)).as("dropped_rows"))
       .filter(col("__bucket_n") <= maxBucket)
@@ -336,7 +341,9 @@ object Dedup {
       .filter(col("id_a") < col("id_b"))
       .select(col("id_a"), col("id_b"),
         bit_count(col("sim_a").bitwiseXOR(col("sim_b"))).as("hamming"))
-      .distinct()
+      // hamming BEFORE distinct: a duplicate pair has the same hamming,
+      // so dedup only shuffles the pairs that survive the bound
       .filter(col("hamming") <= maxHamming)
+      .distinct()
   }
 }

@@ -23,6 +23,11 @@ import org.apache.spark.sql.functions._
   * bucket < rate * 1e6 — rates are exact to 1e-6, which also makes nested
   * samples monotone (rate 0.1 of a key set is a subset of rate 0.2 with
   * the same salt).
+  *
+  * Null keys have no identity to hash: every null-keyed row shares one
+  * bucket and is kept all-or-nothing per salt. Sample on a non-null key
+  * (a primary key, a content hash) — filter or backfill nulls first if
+  * the key column can carry them.
   */
 object Sampling {
 

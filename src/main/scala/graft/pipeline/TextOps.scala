@@ -47,6 +47,13 @@ object TextOps {
 
   /** Non-overlapping occurrence count of `needle` in `hay` via
     * length-delta (exact, portable to any SQL engine).
+    *
+    * Known limitation, kept deliberately: space-padded needles share
+    * their delimiter space with an adjacent repeat (" a a a a " counts
+    * " a " twice, not four times), so stopword-RUN density undercounts
+    * ~2x. The DuckDB oracle replays the identical rule, and changing it
+    * would change every lang_id/text_quality golden; treat the outputs
+    * as the signal definition, not literal counts.
     */
   def occurrences(hay: Column, needle: String): Column =
     ((length(hay) - length(regexp_replace(hay, java.util.regex.Pattern.quote(needle), ""))) /
@@ -88,15 +95,29 @@ object TextOps {
       size(array_distinct(sh)).cast("double") / size(sh).cast("double"), 6)
   }
 
+  /** One (id, token) row per normalized whitespace token — the shared
+    * tokenization for the corpus-level stats below. Spark's
+    * `split("", "\\s+")` returns `[""]`, so the post-explode filter
+    * drops that phantom token: blank documents contribute NO tokens,
+    * consistent with [[tokenCount]]'s 0-for-blank rule. (Dedup keeps
+    * its own deliberately different rule — a short doc's whole text as
+    * one shingle — documented at [[Dedup.shingles]].)
+    */
+  private def tokenRows(df: DataFrame, textCol: String, idCol: String,
+                        tokenName: String): DataFrame =
+    df.select(col(idCol),
+        explode(split(trim(lower(col(textCol))), "\\s+")).as(tokenName))
+      .filter(col(tokenName) =!= "")
+
   /** Share of the most frequent token per document — the companion
     * repetition signal (a doc whose top token is 30% of its tokens is
     * boilerplate). Explode + two hash aggregations, both map-side
     * combining on (id, token) then id; nothing quadratic, no windows.
+    * Blank documents (no tokens) are absent from the output.
     */
   def topTokenShare(df: DataFrame, textCol: String = "text",
                     idCol: String = "doc_id"): DataFrame =
-    df.select(col(idCol),
-        explode(split(trim(lower(col(textCol))), "\\s+")).as("t"))
+    tokenRows(df, textCol, idCol, "t")
       .groupBy(col(idCol), col("t")).agg(count(lit(1)).as("c"))
       .groupBy(col(idCol))
       .agg(round(max(col("c")).cast("double") / sum(col("c")), 6)
@@ -147,8 +168,7 @@ object TextOps {
     */
   def vocabulary(df: DataFrame, topN: Int, textCol: String = "text",
                  idCol: String = "doc_id"): DataFrame =
-    df.select(col(idCol),
-        explode(split(trim(lower(col(textCol))), "\\s+")).as("token"))
+    tokenRows(df, textCol, idCol, "token")
       .groupBy(col("token"))
       .agg(count(lit(1)).as("tf"), countDistinct(col(idCol)).as("df"))
       .orderBy(col("tf").desc, col("token").asc)
@@ -169,8 +189,7 @@ object TextOps {
   def tfidf(df: DataFrame, vocabSize: Int, textCol: String = "text",
             idCol: String = "doc_id"): DataFrame = {
     val n = df.count()
-    val tf = df.select(col(idCol),
-        explode(split(trim(lower(col(textCol))), "\\s+")).as("token"))
+    val tf = tokenRows(df, textCol, idCol, "token")
       .groupBy(col(idCol), col("token")).agg(count(lit(1)).as("tf"))
     val vocab = tf.groupBy(col("token"))
       .agg(sum(col("tf")).as("tf_all"), count(lit(1)).as("df"))

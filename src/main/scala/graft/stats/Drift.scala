@@ -57,7 +57,10 @@ object Drift {
   }
 
   def collectHistogram(h: DataFrame): Map[String, Long] =
-    h.collect().map(r => r.get(0).toString -> r.getLong(1)).toMap
+    // a null bucket (nulls in the histogrammed column) becomes its own
+    // "<null>" key instead of NPEing the driver
+    h.collect().map(r =>
+      Option(r.get(0)).map(_.toString).getOrElse("<null>") -> r.getLong(1)).toMap
 
   /** End-to-end drift between two snapshots on a categorical column. */
   def categoricalDrift(current: DataFrame, reference: DataFrame, column: String): (Double, Double) =

@@ -468,6 +468,45 @@ class PipelineSpec extends AnyFlatSpec with Matchers {
       ("c", 2L, 2L))
   }
 
+  "Ann" should "never rank a zero-norm embedding (NaN cosine) as a neighbor or near-dup" in {
+    import spark.implicits._
+    val dim = 4
+    val rows = Seq(
+      (0L, Array(1f, 0f, 0f, 0f)), // query
+      (1L, Array(0.9f, 0.1f, 0f, 0f)),
+      (2L, Array(0f, 0f, 0f, 0f)), // zero norm -> cosine NaN
+      (3L, Array(0.8f, 0.2f, 0f, 0f))
+    ).toDF("vec_id", "embedding")
+    val topIds = Ann.bruteForceTopK(rows.filter(col("vec_id") === 0),
+        rows.filter(col("vec_id") > 0), k = 3)
+      .select("cand_id").collect().map(_.getLong(0)).toSet
+    topIds should not contain 2L
+    // NaN >= tau evaluates TRUE in Spark ordering semantics — the pair
+    // path must exclude it explicitly
+    val pairIds = Ann.cosineNearDupPairs(rows, tau = 0.5)
+      .collect().flatMap(r => Seq(r.getLong(0), r.getLong(1))).toSet
+    pairIds should not contain 2L
+    val srpIds = Ann.srpNearDupPairs(rows, tau = 0.5, dim = dim)
+      .collect().flatMap(r => Seq(r.getLong(0), r.getLong(1))).toSet
+    srpIds should not contain 2L
+    // and the declared dim is validated against the data
+    an[IllegalArgumentException] should be thrownBy
+      Ann.srpNearDupPairs(rows, tau = 0.5, dim = 16)
+  }
+
+  "TextOps tokenization" should "give blank docs zero tokens, consistently with tokenCount" in {
+    import spark.implicits._
+    val df = Seq((1L, "a b a"), (2L, "   "), (3L, "")).toDF("doc_id", "text")
+    // blank docs absent, no phantom "" token anywhere
+    TextOps.topTokenShare(df).select("doc_id").collect()
+      .map(_.getLong(0)).toSet shouldBe Set(1L)
+    val vocab = TextOps.vocabulary(df, 10).collect()
+      .map(r => (r.getString(0), r.getLong(1))).toMap
+    vocab shouldBe Map("a" -> 2L, "b" -> 1L)
+    TextOps.tfidf(df, 10).select("token").collect()
+      .map(_.getString(0)).toSet should not contain ""
+  }
+
   "TextOps.tfidf" should "weight tokens by tf * ln(N/df) over the top vocabulary" in {
     import spark.implicits._
     val df = Seq((1L, "a a b"), (2L, "a c"), (3L, "c c c")).toDF("doc_id", "text")
