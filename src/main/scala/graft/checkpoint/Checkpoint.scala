@@ -59,11 +59,11 @@ object Checkpoint {
     m.findFirstMatchIn(line).map(_.group(1).replace("\\\"", "\"").replace("\\\\", "\\"))
   }
 
-  def completedUnits(manifestPath: String): Set[String] = {
-    val p = Paths.get(manifestPath)
-    if (!Files.exists(p)) Set.empty
-    else Files.readAllLines(p).asScala.flatMap(parseLine).toSet
-  }
+  // a unit counts as completed only if its manifest line parsed FULLY
+  // (same torn-write rule as completedMetrics — a unit that resume would
+  // skip must also contribute its metrics to the verdict)
+  def completedUnits(manifestPath: String): Set[String] =
+    completedMetrics(manifestPath).map(_._1).toSet
 
   private val vioField = """"violations":(\d+)""".r
   private val rowsField = """"rows":(\d+)""".r
@@ -78,10 +78,15 @@ object Checkpoint {
     val p = Paths.get(manifestPath)
     if (!Files.exists(p)) Nil
     else Files.readAllLines(p).asScala.toSeq.flatMap { line =>
-      parseLine(line).map { unit =>
-        val rows = rowsField.findFirstMatchIn(line).map(_.group(1).toLong).getOrElse(0L)
-        val vios = vioField.findFirstMatchIn(line).map(_.group(1).toLong).getOrElse(0L)
-        (unit, rows, vios)
+      parseLine(line).flatMap { unit =>
+        // a line with a unit but no metric fields is a torn write (crash
+        // mid-append): treating it as 0 violations would under-count the
+        // verdict, so treat the unit as NOT completed — resume
+        // re-validates it (idempotent via dynamic partition overwrite)
+        for {
+          rows <- rowsField.findFirstMatchIn(line).map(_.group(1).toLong)
+          vios <- vioField.findFirstMatchIn(line).map(_.group(1).toLong)
+        } yield (unit, rows, vios)
       }
     }
   }
@@ -102,14 +107,26 @@ object Checkpoint {
   /** Stable directory name for a unit. */
   def unitDirName(unit: String): String = s"unit=${unitKey(unit)}"
 
-  /** List the parquet data files of a table directory (the unit set). */
+  /** List the parquet data files of a table directory (the unit set).
+    * Recursive: a Hive-partitioned layout (date=.../part-0.parquet)
+    * previously yielded ZERO units, so the run validated nothing and
+    * printed "valid table". Zero units is now a hard error for the same
+    * reason — an empty unit set must never read as a clean verdict.
+    */
   def listUnits(spark: SparkSession, inputDir: String): Seq[String] = {
+    def walk(f: java.io.File): Seq[java.io.File] =
+      if (f.isDirectory)
+        Option(f.listFiles()).map(_.toSeq).getOrElse(Nil)
+          .filterNot(c => c.getName.startsWith("_") || c.getName.startsWith("."))
+          .flatMap(walk)
+      else Seq(f)
     val d = new java.io.File(inputDir)
     val files =
       if (d.isDirectory)
-        d.listFiles().filter(f => f.getName.endsWith(".parquet") && !f.getName.startsWith("_") && !f.getName.startsWith("."))
-          .map(_.getAbsolutePath).toSeq
+        walk(d).filter(_.getName.endsWith(".parquet")).map(_.getAbsolutePath)
       else Seq(inputDir)
+    require(files.nonEmpty,
+      s"no parquet units found under $inputDir — refusing to treat an empty unit set as a valid table")
     files.sorted
   }
 
@@ -243,9 +260,14 @@ object Checkpoint {
              unitByKey(r.getString(0)) -> statCols.map(c => c -> r.getAs[Long](s"__nulls_$c")).toMap
            }.toMap)
       }
-      // all-clean units write no partition dir at all — count only what exists
+      // all-clean units write no partition dir at all — count only what
+      // exists. Existence goes through the Hadoop FileSystem of outDir's
+      // scheme: java.io.File was false for every hdfs://-or-s3a:// path,
+      // which silently zeroed violations and passed dirty tables
+      val outFs = new org.apache.hadoop.fs.Path(outDir)
+        .getFileSystem(spark.sparkContext.hadoopConfiguration)
       val writtenDirs = batch.map(u => s"$outDir/${unitDirName(u)}")
-        .filter(p => new java.io.File(p).isDirectory)
+        .filter(p => outFs.exists(new org.apache.hadoop.fs.Path(p)))
       val viosByKey =
         if (writtenDirs.isEmpty) Map.empty[String, Long]
         else spark.read.parquet(writtenDirs: _*)

@@ -105,7 +105,12 @@ object ConstraintCompiler {
         // Catalyst doesn't widen an integral column to double (better
         // codegen + parquet pushdown when the filter form is used)
         def boundLit(v: BigDecimal): Column = dt match {
-          case t if v.isWhole && isIntegral(t) => lit(v.toLong)
+          case t if v.isWhole && v.isValidLong && isIntegral(t) => lit(v.toLong)
+          // beyond-long or fractional bound on an integral column:
+          // compare in decimal (Catalyst widens the column) — v.toLong
+          // would WRAP (minimum: 2^63 silently became Long.MinValue and
+          // passed everything)
+          case t if isIntegral(t) => lit(v.underlying())
           // decimal columns compare in exact decimal arithmetic (same
           // guarantee as the multipleOf path below) — lowering to double
           // would lose precision on high-scale bounds
@@ -126,10 +131,19 @@ object ConstraintCompiler {
             // integral columns stay in integer arithmetic, fractional
             // columns go through DecimalType to avoid float remainder
             val pred = dt match {
-              case t if isIntegral(t) && k.isWhole =>
+              case t if isIntegral(t) && k.isWhole && k.isValidLong =>
                 c % lit(k.toLong) === lit(0L)
               case _ =>
-                c.cast(DecimalType(38, 12)) % lit(k.underlying()) === lit(BigDecimal(0).underlying())
+                // try_cast: under ANSI (Spark 4 default) a plain cast
+                // THROWS on magnitudes beyond decimal(38,12)'s 26
+                // integral digits, killing the scan on garbage data a
+                // validator exists to classify. Overflowing values fall
+                // back to a double remainder — approximate at >=1e26,
+                // but classified instead of crashed.
+                val dec = c.try_cast(DecimalType(38, 12))
+                when(dec.isNotNull,
+                  dec % lit(k.underlying()) === lit(BigDecimal(0).underlying()))
+                  .otherwise(pmod(c.cast("double"), lit(k.toDouble)) === lit(0.0))
             }
             Check(name, "multipleOf", ok(pred), actualStr)
           }
@@ -375,6 +389,14 @@ object ConstraintCompiler {
     else {
       if (!typesCompatible(doc, dt))
         Left(s"column $name: declared types ${doc.types.mkString(",")} incompatible with physical type ${dt.simpleString}")
+      else if (doc.types == Set(SimpleType.jsonNull))
+        // draft-4 type:"null": the ONLY valid instance is null. Without
+        // a runtime check this compiled to zero checks — a bare
+        // {type:"null"} schema passed every value, and a oneOf branch
+        // {type:"null"} evaluated true for every non-null value,
+        // mis-counting the ubiquitous nullable idiom oneOf:[T, "null"]
+        Right(Seq(Check(name, "type:null", c.isNull,
+          coalesce(c.cast("string"), lit("null")))))
       else if (doc.types.contains(SimpleType.integer) && !isIntegral(dt) &&
                dt.isInstanceOf[NumericType])
         // integer declared over a fractional physical column -> runtime integrality check
@@ -388,35 +410,46 @@ object ConstraintCompiler {
     if (doc.enums.isEmpty) Right(Nil)
     else
       enumLiterals(doc.enums, dt).map { vals =>
-        // isin -> Catalyst In/InSet (hash set at runtime for large enums)
-        Seq(Check(name, "enum", c.isNull || c.isin(vals: _*),
+        // isin -> Catalyst In/InSet (hash set at runtime for large
+        // enums). An empty set (every literal dropped as unrepresentable
+        // in this column) means no non-null value can ever match.
+        val pred = if (vals.isEmpty) lit(false) else c.isin(vals: _*)
+        Seq(Check(name, "enum", c.isNull || pred,
           coalesce(c.cast("string"), lit("null"))))
       }.left.map(e => s"column $name: $e")
   }
 
   /** Heterogeneous `enums: Set[JValue]` restricted to the column's
-    * physical type (SURVEY §7 hard parts): mismatch = compile error.
+    * physical type (SURVEY §7 hard parts): a literal of a DIFFERENT
+    * json kind is a compile error; a literal of the right kind that the
+    * column's type cannot REPRESENT (1.5 or 2^63 against an integral
+    * column) simply matches nothing and is dropped — truncating it (the
+    * old bd.toLong) made enum:[1.5] accept the value 1. A null literal
+    * is dropped too: null values already pass every value check.
     */
   private def enumLiterals(enums: Set[JValue], dt: DataType): Either[String, Seq[Any]] = {
-    val converted = enums.toSeq.map { j =>
+    val converted: Seq[Either[String, Option[Any]]] = enums.toSeq.map { j =>
       (j, dt) match {
-        case (JString(s), StringType) => Right(s)
-        case (JBool(b), BooleanType)  => Right(b)
+        case (org.json4s.JNull, _)    => Right(None)
+        case (JString(s), StringType) => Right(Some(s))
+        case (JBool(b), BooleanType)  => Right(Some(b))
         case (jn, _: NumericType) =>
           graft.compile.Js.asNumber(jn).map { bd =>
             dt match {
-              case t if isIntegral(t) => bd.toLong
-              case FloatType       => bd.toFloat
-              case DoubleType      => bd.toDouble
-              case _: DecimalType  => bd
-              case _               => bd.toDouble
+              case t if isIntegral(t) =>
+                if (bd.isWhole && bd.isValidLong) Some(bd.toLong) else None
+              case FloatType       => Some(bd.toFloat)
+              case DoubleType      => Some(bd.toDouble)
+              case _: DecimalType  => Some(bd)
+              case _               => Some(bd.toDouble)
             }
           }.toRight(s"enum value ${graft.compile.Js.compact(jn)} is not numeric (column type ${dt.simpleString})")
         case (jv, _) =>
           Left(s"enum value ${graft.compile.Js.compact(jv)} incompatible with column type ${dt.simpleString}")
       }
     }
-    converted.collectFirst { case Left(e) => e }.toLeft(converted.collect { case Right(v) => v })
+    converted.collectFirst { case Left(e) => e }
+      .toLeft(converted.collect { case Right(Some(v)) => v })
   }
 
   /** Per-format predicate library (reference stores format as a free
@@ -577,7 +610,13 @@ object Validator {
     */
   def violationsForChecks(df: DataFrame, checks: Seq[Check], keyCols: Seq[String],
                           carryCols: Seq[String] = Nil): DataFrame = {
-    require(checks.nonEmpty, "no checks compiled")
+    val passthrough0 = keyCols ++ carryCols
+    if (checks.isEmpty)
+      // an all-permissive schema compiles to zero checks: nothing can
+      // violate — emit the empty violations relation (same schema), not
+      // an exception before any row is scanned
+      return df.filter(lit(false)).select(passthrough0.map(col) :+
+        lit("").as("pointer") :+ lit("").as("constraint") :+ lit("").as("actual"): _*)
     val vioStructs = checks.map { ch =>
       when(!ch.ok, struct(
         pointerCol(keyCols, ch.column).as("pointer"),

@@ -41,7 +41,9 @@ object FusedRun {
     import org.apache.spark.sql.types.{ArrayType, MapType, StructType}
     val checks = ConstraintCompiler.compile(schema, df.schema)
       .fold(e => throw new IllegalArgumentException(e), identity)
-    val anyViolation = !checks.map(_.ok).reduce(_ && _)
+    // reduceOption: a schema that compiles to ZERO checks (all-permissive
+    // properties) must profile cleanly, not throw empty.reduceLeft
+    val anyViolation = !checks.map(_.ok).reduceOption(_ && _).getOrElse(lit(true))
     val statCols = df.schema.fields.toSeq.flatMap { f =>
       val n = f.name
       val c = col(n)

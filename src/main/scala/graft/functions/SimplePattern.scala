@@ -121,7 +121,27 @@ object SimplePattern {
       }
       rest = rest.tail
     }
-    pos == n
+    endsAtInput(bytes, pos, n)
+  }
+
+  /** java.util.regex `$` (no MULTILINE) matches at the end of input OR
+    * just before a single FINAL line terminator (LF, CR, CRLF,
+    * NEL U+0085, LS U+2028, PS U+2029). The rlike fallback inherits that, so the fast path
+    * must too or "c1\n" would flip between paths. UTF-8 bytes:
+    * 0A | 0D | 0D 0A | C2 85 | E2 80 A8 | E2 80 A9.
+    */
+  def endsAtInput(bytes: Array[Byte], pos: Int, n: Int): Boolean = (n - pos) match {
+    case 0 => true
+    case 1 =>
+      val b = bytes(pos) & 0xff; b == 0x0A || b == 0x0D
+    case 2 =>
+      val b0 = bytes(pos) & 0xff; val b1 = bytes(pos + 1) & 0xff
+      (b0 == 0x0D && b1 == 0x0A) || (b0 == 0xC2 && b1 == 0x85)
+    case 3 =>
+      val b0 = bytes(pos) & 0xff; val b1 = bytes(pos + 1) & 0xff
+      val b2 = bytes(pos + 2) & 0xff
+      b0 == 0xE2 && b1 == 0x80 && (b2 == 0xA8 || b2 == 0xA9)
+    case _ => false
   }
 }
 
@@ -200,7 +220,7 @@ case class SimplePatternMatch(child: Expression, pattern: String)
          |    while ($pos < $nb && ($bytes[$pos] & 0xff) < 128 && $bitmapsName[$t][$bytes[$pos] & 0xff]) $pos++;
          |  }
          |}
-         |${ev.value} = $ok && $pos == $nb;
+         |${ev.value} = $ok && graft.functions.SimplePattern.endsAtInput($bytes, $pos, $nb);
        """.stripMargin
     })
   }

@@ -100,8 +100,13 @@ object Integrity {
   final case class IntegrityReport(duplicateKeys: DataFrame, orphanConvs: DataFrame)
 
   def integrityReport(df: DataFrame): IntegrityReport = {
+    // persisted: both report members derive from this reduced keyspace,
+    // and separate downstream ACTIONS would otherwise re-plan — and
+    // re-run — the full-table scan+shuffle once each (Spark does not
+    // reuse shuffle stages across separately submitted jobs)
     val keyCounts = df.groupBy(col("conv_id"), col("turn_idx"))
       .agg(count(lit(1)).as("dup_count"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val dups = keyCounts.filter(col("dup_count") > 1)
     val convs = keyCounts.groupBy("conv_id")
       .agg(max(when(col("turn_idx") === 0, 1).otherwise(0)).as("has_root"))

@@ -28,6 +28,24 @@ class CheckpointSpec extends AnyFlatSpec with Matchers {
     spark.read.parquet(s"$outDir/*")
       .collect().map(_.toString).sorted.toSeq
 
+  "Checkpoint.listUnits" should "discover units recursively and refuse an empty unit set" in {
+    // Hive-partitioned layout: parquet files live in subdirectories —
+    // the old top-level listing returned ZERO units and the run printed
+    // "valid table" without validating a row
+    val in = tmp() + "/in"
+    TranscriptGen.generate(spark, 10, 4).write.parquet(s"$in/date=a")
+    TranscriptGen.generate(spark, 10, 4).write.parquet(s"$in/date=b")
+    val units = Checkpoint.listUnits(spark, in)
+    units should not be empty
+    all(units) should endWith(".parquet")
+    units.exists(_.contains("date=a")) shouldBe true
+    units.exists(_.contains("date=b")) shouldBe true
+    // an empty directory must be a loud error, never a clean verdict
+    val emptyDir = tmp() + "/empty"
+    Files.createDirectories(java.nio.file.Paths.get(emptyDir))
+    an[IllegalArgumentException] should be thrownBy Checkpoint.listUnits(spark, emptyDir)
+  }
+
   "Checkpoint" should "record one manifest entry per unit with metrics" in {
     val in = tmp() + "/in"; val out = tmp()
     writeInput(in)

@@ -159,4 +159,87 @@ class CompilerEdgeSpec extends AnyFlatSpec with Matchers {
     }"""
     validate(schema, df) shouldBe Set((0, "maximum"))
   }
+
+  """type:"null"""" should "make the nullable oneOf idiom work and flag non-null values standalone" in {
+    import spark.implicits._
+    val df = Seq(
+      ("c1", 0, Some("short")),
+      ("c1", 1, None: Option[String]),
+      ("c1", 2, Some("definitely too long"))
+    ).toDF("conv_id", "turn_idx", "v")
+    // oneOf [string(maxLength), null]: null row passes, short passes,
+    // long fails — previously EVERY non-null row matched both branches
+    val nullable = """
+    {
+      "type": "object", "required": ["conv_id", "turn_idx"],
+      "properties": {
+        "conv_id": { "type": "string" }, "turn_idx": { "type": "integer" },
+        "v": { "oneOf": [ { "type": "string", "maxLength": 8 }, { "type": "null" } ] }
+      }
+    }"""
+    validate(nullable, df) shouldBe Set((2, "oneOf"))
+    // bare type:"null": every NON-null value violates (was fail-open)
+    val nullOnly = """
+    {
+      "type": "object", "required": ["conv_id", "turn_idx"],
+      "properties": {
+        "conv_id": { "type": "string" }, "turn_idx": { "type": "integer" },
+        "v": { "type": "null" }
+      }
+    }"""
+    validate(nullOnly, df) shouldBe Set((0, "type:null"), (2, "type:null"))
+  }
+
+  "integral literals beyond the column's range" should "match nothing instead of truncating" in {
+    import spark.implicits._
+    val df = Seq(("c1", 0, 1L), ("c1", 1, 2L)).toDF("conv_id", "turn_idx", "v")
+    // enum:[1.5] on a long column: NO long equals 1.5 -> both rows
+    // violate (bd.toLong used to truncate 1.5 to 1 and accept row 0)
+    val enumFrac = """
+    {
+      "type": "object", "required": ["conv_id", "turn_idx"],
+      "properties": {
+        "conv_id": { "type": "string" }, "turn_idx": { "type": "integer" },
+        "v": { "enum": [1.5] }
+      }
+    }"""
+    validate(enumFrac, df) shouldBe Set((0, "enum"), (1, "enum"))
+    // enum may carry null (draft-4): dropped, nulls pass anyway
+    val enumNull = """
+    {
+      "type": "object", "required": ["conv_id", "turn_idx"],
+      "properties": {
+        "conv_id": { "type": "string" }, "turn_idx": { "type": "integer" },
+        "v": { "enum": [1, null] }
+      }
+    }"""
+    validate(enumNull, df) shouldBe Set((1, "enum"))
+    // minimum 2^63 (beyond Long): EVERY long violates (used to wrap to
+    // Long.MinValue and pass everything)
+    val bigMin = """
+    {
+      "type": "object", "required": ["conv_id", "turn_idx"],
+      "properties": {
+        "conv_id": { "type": "string" }, "turn_idx": { "type": "integer" },
+        "v": { "type": "integer", "minimum": 9223372036854775808 }
+      }
+    }"""
+    validate(bigMin, df) shouldBe Set((0, "minimum"), (1, "minimum"))
+  }
+
+  "multipleOf on a double column" should "classify out-of-decimal-range values instead of crashing (ANSI)" in {
+    import spark.implicits._
+    val df = Seq(("c1", 0, 1.0e30), ("c1", 1, 0.3)).toDF("conv_id", "turn_idx", "v")
+    val schema = """
+    {
+      "type": "object", "required": ["conv_id", "turn_idx"],
+      "properties": {
+        "conv_id": { "type": "string" }, "turn_idx": { "type": "integer" },
+        "v": { "type": "number", "multipleOf": 0.5 }
+      }
+    }"""
+    // 1e30 overflows decimal(38,12): falls back to double remainder
+    // (it IS a multiple of 0.5) instead of an ANSI CAST_OVERFLOW crash
+    validate(schema, df) shouldBe Set((1, "multipleOf"))
+  }
 }

@@ -17,6 +17,17 @@ class FusedRunSpec extends AnyFlatSpec with Matchers {
   private val schema = TableSchemaCompiler
     .compileString(graft.compile.Fixtures.flagshipSchema).toOption.get
 
+  it should "profile cleanly when the schema compiles to zero checks" in {
+    // an all-permissive schema used to throw empty.reduceLeft before
+    // any row was scanned
+    val df = graft.sources.TranscriptGen.generate(spark, 5, 4)
+    val permissive = TableSchemaCompiler
+      .compileString("""{"type":"object","properties":{"text":{}}}""").toOption.get
+    val obs = Observation()
+    FusedRun.violationsWithStats(df, permissive, Seq("conv_id", "turn_idx"), obs)
+      .count() shouldBe 0L
+  }
+
   "FusedRun" should "deliver violations and stats from one scan" in {
     val df = TranscriptGen.generate(spark, 20, 10,
       TranscriptGen.Defects(badEnumRole = true, nullRole = true))

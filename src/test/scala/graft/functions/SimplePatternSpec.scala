@@ -47,10 +47,27 @@ class SimplePatternSpec extends AnyFlatSpec with Matchers {
     }
   }
 
+  it should "agree with java regex on trailing line terminators ($ before a final terminator)" in {
+    // java.util.regex '$' (no MULTILINE) also matches just before one
+    // FINAL terminator; the fast path must not flip "c1\n" to false
+    val cases = Seq("c1\n", "c1\r", "c1\r\n", "c1", "c1\u0085", "c1\u2028",
+      "c1\u2029", "c1\n\n", "c1\nx", "c1x\n", "\n", "c\n1")
+    val p = "^c[0-9]+$"
+    val toks = SimplePattern.compile(p).get
+    val re = p.r
+    cases.foreach { s =>
+      withClue(s"input=${s.map(c => f"\\u${c.toInt}%04x").mkString}: ") {
+        SimplePattern.matches(org.apache.spark.unsafe.types.UTF8String.fromString(s), toks) shouldBe
+          re.findFirstIn(s).isDefined
+      }
+    }
+  }
+
   it should "match exactly like rlike through codegen on a DataFrame" in {
     import spark.implicits._
     val strings = Seq("", "c", "c1", "c123456", "c12x", "z9", "operator", "a_b9", "A", "9",
-      "web_search", "Bad-Tool", "rogue_tool", "k_v", "k-v", "x3y", "x9y", "éc1")
+      "web_search", "Bad-Tool", "rogue_tool", "k_v", "k-v", "x3y", "x9y", "éc1",
+      "c1\n", "c1\r\n", "c12\n\n", "ok\n")
     val df = strings.toDF("s")
     supported.foreach { p =>
       val fast = df.select(SimplePatternMatch.tryColumn(col("s"), p).get.as("m")).collect().map(_.getBoolean(0))
