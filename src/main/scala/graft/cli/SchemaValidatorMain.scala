@@ -16,7 +16,14 @@ object SchemaValidatorMain {
 
   def main(args: Array[String]): Unit = {
     val (flags, positional) = args.partition(_.startsWith("--"))
+    val unknownFlags = flags.filterNot(_ == "--table")
     positional.toList match {
+      case _ if unknownFlags.nonEmpty =>
+        // a typo like --tables must not silently skip the table-binding
+        // check and report success
+        System.err.println(s"unknown flag(s): ${unknownFlags.mkString(", ")}")
+        System.err.println("usage: SchemaValidatorMain [--table] <schema-uri-or-file>")
+        System.exit(1)
       case addr :: Nil =>
         val parsed =
           parseAddr(addr).flatMap { doc =>
@@ -44,7 +51,10 @@ object SchemaValidatorMain {
     else
       // URI addresses resolve only for file: scheme offline
       graft.compile.Js.parseUri(addr) match {
-        case Right(u) if u.getScheme == "file" => SchemaParser.parseFile(new File(u.getPath))
+        // opaque file: URIs ("file:x.json") have a null path — guard it
+        // or new File(null) NPEs past the error protocol
+        case Right(u) if u.getScheme == "file" && u.getPath != null =>
+          SchemaParser.parseFile(new File(u.getPath))
         case _ => Left(s"cannot open $addr (not a file; no network in sandbox)")
       }
   }

@@ -51,7 +51,7 @@ object SchemaDecoder {
     "additionalItems", "items", "maxItems", "minItems", "uniqueItems",
     "maxProperties", "minProperties", "required", "additionalProperties",
     "definitions", "properties", "patternProperties", "dependencies",
-    "enum", "type", "allOf", "anyOf", "oneOf", "not")
+    "enum", "type", "allOf", "anyOf", "oneOf", "not", "format")
 
   def decode(parentId: URI, json: JValue): Either[String, SchemaDoc] =
     decodeNode(parentId, json, rootSchema = true)
@@ -161,14 +161,19 @@ object SchemaDecoder {
       }
       minItems <- nonNegInt(json, "minItems")
       maxItems <- nonNegInt(json, "maxItems")
-      items <- Js.field(json, "items") match {
-        case None               => Right(Nil)
+      itemsAndShape <- Js.field(json, "items") match {
+        case None               => Right((Nil, false))
         case Some(JArray(Nil))  => Left("items array must be non-empty")
-        case Some(JArray(list)) => sequence(list.map(decodeNode(scope, _, rootSchema = false)))
-        case Some(v)            => decodeNode(scope, v, rootSchema = false).map(List(_))
+        case Some(JArray(list)) =>
+          // tuple form even when length 1: [s] is positional, s is
+          // every-element — conflating them applied the positional
+          // schema to all elements and dropped additionalItems
+          sequence(list.map(decodeNode(scope, _, rootSchema = false))).map((_, true))
+        case Some(v) => decodeNode(scope, v, rootSchema = false).map(s => (List(s), false))
       }
       unique <- optBoolean(json, "uniqueItems")
-    } yield ArrayConstraint(items, additional, minItems.getOrElse(0), maxItems, unique.getOrElse(false))
+    } yield ArrayConstraint(itemsAndShape._1, additional, minItems.getOrElse(0), maxItems,
+      unique.getOrElse(false), tupleItems = itemsAndShape._2)
 
   private def decodeObject(scope: URI, json: JValue): Either[String, ObjectConstraint] =
     for {
@@ -182,7 +187,15 @@ object SchemaDecoder {
         case Some(v)            => decodeNode(scope, v, rootSchema = false).map(Some(_))
       }
       props <- orderedSchemaMap(scope, json, "properties")
-      patternProps <- orderedSchemaMap(scope, json, "patternProperties")
+      patternProps <- orderedSchemaMap(scope, json, "patternProperties").flatMap { pp =>
+        // same decode-time contract as `pattern`: an invalid regex is a
+        // compile error here, not a bind-time PatternSyntaxException or
+        // a per-batch executor failure in rlike
+        pp.collectFirst {
+          case (pat, _) if scala.util.Try(java.util.regex.Pattern.compile(pat)).isFailure =>
+            s"invalid patternProperties regex: $pat"
+        }.toLeft(pp)
+      }
       required <- decodeRequired(json)
     } yield ObjectConstraint(
       additional,

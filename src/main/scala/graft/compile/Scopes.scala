@@ -90,7 +90,13 @@ object ScopeDiscovery {
   private final case class S(scope: URI, scopes: Map[URI, JValue])
 
   def scopes(rootScope: URI, json: JValue): Either[String, Map[URI, JValue]] =
-    walk(S(rootScope, Map(rootScope -> json)), json).map(_.scopes)
+    // seed the root under BOTH the verbatim uri and its empty-fragment
+    // form: java.net.URI treats "s.json" and "s.json#" as unequal, and
+    // the resolver looks up reference.resolve("#") — without the alias
+    // an id-less in-hand document missed its own scope and fell through
+    // to (re)loading from SchemaSources
+    walk(S(rootScope, Map(rootScope -> json, rootScope.resolve("#") -> json)), json)
+      .map(_.scopes)
 
   private def walk(state: S, node: JValue): Either[String, S] = node match {
     case obj @ JObject(fields) =>

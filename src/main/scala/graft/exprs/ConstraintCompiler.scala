@@ -199,7 +199,9 @@ object ConstraintCompiler {
           else None).flatten
         val itemChecks: Either[String, Seq[Check]] = ac.items match {
           case Nil => Right(Nil)
-          case single :: Nil =>
+          case single :: Nil if !ac.tupleItems =>
+            // schema-form items: EVERY element must match. (A one-entry
+            // TUPLE form falls through to the positional branch below.)
             // compile the element predicate once (surfacing errors), then
             // instantiate it inside the forall lambda
             predicateFor(single, at.elementType, lit(null).cast(at.elementType)).map { _ =>
@@ -653,6 +655,8 @@ object Validator {
   def validFlag(df: DataFrame, schema: TableSchema): Column = {
     val checks = ConstraintCompiler.compile(schema, df.schema)
       .fold(e => throw new IllegalArgumentException(e), identity)
-    checks.map(_.ok).reduce(_ && _)
+    // reduceOption: zero compiled checks (all-permissive schema) means
+    // every row is valid
+    checks.map(_.ok).reduceOption(_ && _).getOrElse(lit(true))
   }
 }

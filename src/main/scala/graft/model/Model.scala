@@ -49,13 +49,20 @@ final case class StringConstraint(
 
 /** items / additionalItems / size bounds / uniqueItems
   * (reference `model.scala:59-63`).
+  *
+  * `tupleItems` records the JSON shape of `items`: `[s]` (tuple form,
+  * positional — element 0 constrained, the rest governed only by
+  * additionalItems) and `s` (schema form — EVERY element constrained)
+  * have different draft-4 semantics even when the list has one entry,
+  * and the list alone cannot distinguish them.
   */
 final case class ArrayConstraint(
     items: List[SchemaDoc],
     additionalItems: Option[Either[Boolean, SchemaDoc]],
     minItems: Int = 0,
     maxItems: Option[Int] = None,
-    uniqueItems: Boolean = false)
+    uniqueItems: Boolean = false,
+    tupleItems: Boolean = false)
 
 /** Per-field requiredness merged from the object-level `required` array
   * (reference `model.scala:53`, `JsonSchemaDecoder.scala:111-116`).

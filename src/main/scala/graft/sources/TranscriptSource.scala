@@ -46,10 +46,17 @@ object TranscriptSource {
   def fromConfig(conf: String): TranscriptSource =
     if (conf.startsWith("iceberg:")) {
       val spec = conf.stripPrefix("iceberg:")
-      spec.split("@") match {
-        case Array(t, snap) => IcebergTranscriptSource(t, Some(snap.toLong))
-        case Array(t)       => IcebergTranscriptSource(t)
-        case _              => throw new IllegalArgumentException(s"bad iceberg source: $conf")
+      // split with -1 keeps a trailing empty token, so "tbl@" is
+      // rejected instead of silently losing its snapshot pin; a
+      // non-numeric snapshot gets a contextual error, not a bare
+      // NumberFormatException
+      spec.split("@", -1) match {
+        case Array(t, snap) if t.nonEmpty =>
+          val id = snap.toLongOption.getOrElse(
+            throw new IllegalArgumentException(s"bad iceberg snapshot id in: $conf"))
+          IcebergTranscriptSource(t, Some(id))
+        case Array(t) if t.nonEmpty => IcebergTranscriptSource(t)
+        case _ => throw new IllegalArgumentException(s"bad iceberg source: $conf")
       }
     } else ParquetTranscriptSource(conf)
 }

@@ -39,10 +39,9 @@ object StreamingValidator {
   def violationRates(stream: DataFrame, schema: TableSchema,
                      windowLength: String = "1 minute",
                      watermark: String = "5 minutes"): DataFrame = {
-    val checks = graft.exprs.ConstraintCompiler
-      .compile(schema, stream.schema)
-      .fold(e => throw new IllegalArgumentException(e), identity)
-    val anyViolation = !checks.map(_.ok).reduce(_ && _)
+    // one definition of "row is valid" for batch and streaming — a
+    // divergence here would make the two planes disagree on the metric
+    val anyViolation = !Validator.validFlag(stream, schema)
     stream
       .withWatermark("ts", watermark)
       .groupBy(window(col("ts"), windowLength))
@@ -70,7 +69,12 @@ object StreamingValidator {
       .drop("__content_hash") // output schema == input schema, so the
       // survivors union cleanly with batch exactSurvivors output
 
-  final case class ConvState(maxTurnIdx: Int, seenCount: Long)
+  /** maxTsMillis is the conversation's event-time high-watermark: the
+    * state timeout must be anchored on it, not on the latest BATCH's
+    * max ts — a late-but-admitted row would otherwise REGRESS the
+    * timeout and expire state for a still-active conversation.
+    */
+  final case class ConvState(maxTurnIdx: Int, maxTsMillis: Long)
   final case class OrderViolation(conv_id: String, turn_idx: Int, kind: String)
 
   /** Stateful uniqueness/ordering: within each conversation, turn
@@ -94,7 +98,7 @@ object StreamingValidator {
             state.remove()
             Iterator.empty
           } else {
-            var st = state.getOption.getOrElse(ConvState(Int.MinValue, 0L))
+            var st = state.getOption.getOrElse(ConvState(Int.MinValue, Long.MinValue))
             val out = scala.collection.mutable.ArrayBuffer.empty[OrderViolation]
             val sorted = rows.toSeq.sortBy(t => (t.ts.getTime, t.turn_idx))
             sorted.foreach { t =>
@@ -102,13 +106,16 @@ object StreamingValidator {
                 out += OrderViolation(convId, t.turn_idx, "duplicate")
               else if (t.turn_idx < st.maxTurnIdx)
                 out += OrderViolation(convId, t.turn_idx, "out_of_order")
-              st = ConvState(math.max(st.maxTurnIdx, t.turn_idx), st.seenCount + 1)
+              st = ConvState(math.max(st.maxTurnIdx, t.turn_idx),
+                math.max(st.maxTsMillis, t.ts.getTime))
             }
             state.update(st)
-            // timeout anchored to the conversation's own event time — the
-            // first batches run with watermark 0 (epoch), which would
-            // otherwise expire every state immediately
-            state.setTimeoutTimestamp(sorted.last.ts.getTime + stateTimeoutMs)
+            // timeout anchored to the conversation's event-time
+            // HIGH-WATERMARK (monotone): the first batches run with
+            // watermark 0 (epoch), which would otherwise expire every
+            // state immediately, and a late-but-admitted row must not
+            // regress an already-later timeout
+            state.setTimeoutTimestamp(st.maxTsMillis + stateTimeoutMs)
             out.iterator
           }
         })

@@ -228,4 +228,26 @@ class SchemaParserSpec extends AnyFlatSpec with Matchers {
     ts.columns("tool").schema.string.get.pattern shouldBe Some("^[a-z][a-z0-9_]*$")
     ts.root.dependencies("tool") shouldBe Right(Set("role"))
   }
+
+  it should "resolve an internal $ref of an in-hand doc under a remote root uri, offline" in {
+    // java.net.URI: "s.json" != "s.json#"; the scope seed must alias the
+    // empty-fragment form or this falls through to (disabled) network
+    val doc = """{ "type": "object",
+      "properties": { "a": { "$ref": "#/definitions/d" } },
+      "definitions": { "d": { "type": "string" } } }"""
+    val r = SchemaParser.parseString(doc, rootUri = new java.net.URI("http://my.site/s.json"))
+    r.isRight shouldBe true
+    r.toOption.get.obj.get.properties("a").schema.types shouldBe Set(SimpleType.string)
+  }
+
+  it should "reject an invalid patternProperties regex at decode time" in {
+    val r = parse("""{ "type": "object", "patternProperties": { "[": { "type": "string" } } }""")
+    r.isLeft shouldBe true
+    r.left.toOption.get should include("patternProperties")
+  }
+
+  it should "not record decoded keywords like format as nested schemas" in {
+    val r = parse("""{ "type": "string", "format": "date-time" }""")
+    r.toOption.get.nestedSchemas shouldBe empty
+  }
 }

@@ -242,4 +242,34 @@ class CompilerEdgeSpec extends AnyFlatSpec with Matchers {
     // (it IS a multiple of 0.5) instead of an ANSI CAST_OVERFLOW crash
     validate(schema, df) shouldBe Set((1, "multipleOf"))
   }
+
+  "one-entry tuple items" should "constrain only element 0 and honor additionalItems" in {
+    import spark.implicits._
+    val df = Seq(
+      ("c1", 0, Seq("a1", "b2")),  // [schema] form: element 1 unconstrained
+      ("c1", 1, Seq("b2")),        // element 0 violates the positional schema
+      ("c1", 2, Seq("a1"))         // clean
+    ).toDF("conv_id", "turn_idx", "v")
+    val tupleOne = """
+    {
+      "type": "object", "required": ["conv_id", "turn_idx"],
+      "properties": {
+        "conv_id": { "type": "string" }, "turn_idx": { "type": "integer" },
+        "v": { "type": "array", "items": [ { "type": "string", "pattern": "^a" } ] }
+      }
+    }"""
+    // previously the [s] form compiled as schema-form and flagged "b2"
+    // in row 0 too
+    validate(tupleOne, df) shouldBe Set((1, "items[0]"))
+    val tupleNoExtra = """
+    {
+      "type": "object", "required": ["conv_id", "turn_idx"],
+      "properties": {
+        "conv_id": { "type": "string" }, "turn_idx": { "type": "integer" },
+        "v": { "type": "array", "items": [ { "type": "string", "pattern": "^a" } ], "additionalItems": false }
+      }
+    }"""
+    // ...and additionalItems:false was silently dropped for 1-entry tuples
+    validate(tupleNoExtra, df) shouldBe Set((0, "additionalItems"), (1, "items[0]"))
+  }
 }
