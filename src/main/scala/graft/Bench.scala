@@ -65,7 +65,7 @@ object Bench {
     val total = results.map(_._2).sum
     val errs = errors.map("\"" + _ + "\"").mkString("[", ",", "]")
     println(
-      s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"spread":$spreads,"errors":$errs,"sf":"$sfDir","turns":$nTurns,"validate_sec":$vSec,"turns_per_sec":${turnsPerSec.round}}""")
+      s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"spread":$spreads,"errors":$errs,"sf":"${sfDir.replace("\\", "\\\\").replace("\"", "\\\"")}","turns":$nTurns,"validate_sec":$vSec,"turns_per_sec":${turnsPerSec.round}}""")
     spark.stop()
   }
 }
@@ -79,10 +79,17 @@ object Bench {
 object ClusterScalingBench {
   def main(args: Array[String]): Unit = {
     val rows = sys.env.getOrElse("SPARK_GRAFT_SCALE_ROWS", "32000000").toLong
-    val input = sys.env.getOrElse("SPARK_GRAFT_SCALE_DIR", "/tmp/graft_scaling_input")
+    // default dir keyed by row count: the two scaling benches previously
+    // shared one dir with different default sizes, and the _SUCCESS check
+    // silently reused whichever input was generated first
+    val input = sys.env.getOrElse("SPARK_GRAFT_SCALE_DIR", s"/tmp/graft_scaling_input_$rows")
     val coresPerExec = sys.env.getOrElse("SPARK_GRAFT_EXEC_CORES", "4").toInt
     val execMemMb = sys.env.getOrElse("SPARK_GRAFT_EXEC_MEM_MB", "8192").toInt
-    val classesDir = new java.io.File("target/scala-2.13/classes").getAbsolutePath
+    // resolve from this class's own code source so the bench works from
+    // any CWD (a relative path gave executors an empty classpath)
+    val classesDir = Option(getClass.getProtectionDomain.getCodeSource)
+      .map(cs => new java.io.File(cs.getLocation.toURI).getAbsolutePath)
+      .getOrElse(new java.io.File("target/scala-2.13/classes").getAbsolutePath)
 
     def session(executors: Int): SparkSession = {
       val s = SparkSession.builder()
@@ -136,18 +143,15 @@ object ClusterScalingBench {
         val (n, sec) = run(executors)
         println(s"""{"metric":"cluster_scaling_single","executors":$executors,"cores_per_executor":$coresPerExec,"input_rows":$n,"sec":$sec,"turns_per_sec":${(n / sec).round}}""")
       case None =>
-        val trials = (1 to 3).map(_ => (run(1), run(4)))
-        val (nr1, t1) = trials.map(_._1).minBy(_._2)
-        val (nr4, t4) = trials.map(_._2).minBy(_._2)
-        require(nr1 == nr4)
-        val thr1 = nr1 / t1
-        val thr4 = nr4 / t4
-        val efficiency = thr4 / (4.0 * thr1)
-        println(
-          s"""{"metric":"cluster_scaling","executors_n":1,"cores_per_executor":$coresPerExec,""" +
-            s""""input_rows":$nr1,"n1_sec":$t1,"n4_sec":$t4,""" +
-            s""""n1_turns_per_sec":${thr1.round},"n4_turns_per_sec":${thr4.round},""" +
-            s""""speedup":${(thr4 / thr1 * 1000).round / 1000.0},"efficiency":${(efficiency * 1000).round / 1000.0}}""")
+        // refuse to measure multiple local-clusters in one JVM: a stopped
+        // local-cluster leaves master state that starves follow-up
+        // clusters in-process, so an all-in-one run would produce the
+        // inflated t4 this mode exists to avoid (BENCH.md methodology:
+        // one level per JVM, alternate 1/4 pairs, best-of per level)
+        System.err.println(
+          "usage: ClusterScalingBench <executors> -- one measurement per JVM; " +
+            "alternate `1` and `4` invocations and take best-of per level")
+        sys.exit(1)
     }
   }
 }
@@ -160,7 +164,7 @@ object ClusterScalingBench {
 object ScalingBench {
   def main(args: Array[String]): Unit = {
     val rows = sys.env.getOrElse("SPARK_GRAFT_SCALE_ROWS", "8000000").toLong
-    val input = sys.env.getOrElse("SPARK_GRAFT_SCALE_DIR", "/tmp/graft_scaling_input")
+    val input = sys.env.getOrElse("SPARK_GRAFT_SCALE_DIR", s"/tmp/graft_scaling_input_$rows")
 
     def session(threads: Int): SparkSession = {
       val s = SparkSession.builder()
@@ -175,19 +179,21 @@ object ScalingBench {
     }
 
     // generate the shared input once (128 files so both levels have
-    // enough splits; deterministic -> identical bytes either way)
-    val gen = session(32)
+    // enough splits; deterministic -> identical bytes either way).
+    // Session only when generation is needed — warm re-runs shouldn't
+    // pay a full SparkSession start/stop on a host-noise-sensitive bench
     if (!new java.io.File(s"$input/_SUCCESS").exists()) {
+      val gen = session(32)
       graft.sources.TranscriptGen
         .generate(gen, rows / 8, 8, graft.sources.TranscriptGen.all)
         .repartition(128)
         .write.mode("overwrite").parquet(input)
+      gen.stop()
+      SparkSession.clearActiveSession()
+      SparkSession.clearDefaultSession()
     }
     val schema = graft.compile.TableSchemaCompiler
       .compileString(SparkEntry.querySchema).toOption.get
-    gen.stop()
-    SparkSession.clearActiveSession()
-    SparkSession.clearDefaultSession()
 
     def run(threads: Int): (Long, Double) = {
       val s = session(threads)

@@ -21,8 +21,8 @@ object SimpleType extends Enumeration {
 }
 
 /** Open/closed numeric bound (reference `model.scala:25-45`).
-  * `above(v)` is true when this boundary admits values above-or-at v,
-  * i.e. for an Inclusive(x): v <= x passes a max bound of x.
+  * `admitsAsMax(v)` is true when v satisfies this as a maximum bound
+  * (Inclusive x: v <= x; Exclusive x: v < x); `admitsAsMin` mirrors it.
   */
 final case class Boundary(value: BigDecimal, exclusive: Boolean) {
   /** v satisfies this as a *maximum* bound. */
