@@ -63,6 +63,37 @@ object SparkEntry {
       |      / len(list_distinct(list_concat(a.sh, b.sh))) AS j
       |  FROM sh a JOIN sh b ON a.doc_id < b.doc_id)""".stripMargin
 
+  /** KL/PSI drift between the even/odd conversation halves over any
+    * bucket expression, in ONE scan, provably: both halves' histograms
+    * in a single conditional agg, then the tiny histogram collapses to
+    * one row via collect_list and KL/PSI run as array-aggregate HOFs
+    * over it — no second scan branch, no join, no single-partition
+    * window. array_sort makes the float summation order deterministic.
+    */
+  private def klPsiBetweenHalves(s: SparkSession, dir: String,
+                                 bucket: org.apache.spark.sql.Column): DataFrame = {
+    val t = TranscriptDerive.fromLineitem(s, dir)
+      .withColumn("okey", substring(col("conv_id"), 2, 30).cast("long"))
+    val hist = t.groupBy(bucket.as("bucket"))
+      .agg(
+        sum(when(col("okey") % 2 === 0, 1L).otherwise(0L)).as("pc"),
+        sum(when(col("okey") % 2 === 1, 1L).otherwise(0L)).as("qc"))
+    val packed = hist.agg(array_sort(
+      collect_list(struct(col("bucket"), col("pc"), col("qc")))).as("h"))
+    val withTot = packed.select(col("h"),
+      aggregate(col("h"), lit(0L), (a, x) => a + x.getField("pc")).as("pt"),
+      aggregate(col("h"), lit(0L), (a, x) => a + x.getField("qc")).as("qt"))
+    def pi(x: org.apache.spark.sql.Column) =
+      greatest(x.getField("pc").cast("double") / col("pt"), lit(1e-9))
+    def qi(x: org.apache.spark.sql.Column) =
+      greatest(x.getField("qc").cast("double") / col("qt"), lit(1e-9))
+    withTot.select(
+      round(aggregate(col("h"), lit(0.0d),
+        (a, x) => a + pi(x) * log(pi(x) / qi(x))), 6).as("kl"),
+      round(aggregate(col("h"), lit(0.0d),
+        (a, x) => a + (pi(x) - qi(x)) * log(pi(x) / qi(x))), 6).as("psi"))
+  }
+
   /** Connected components of the >= 0.5 Jaccard pair graph as a
     * recursive transitive closure (component = min reachable id) —
     * replays [[graft.pipeline.Dedup.connectedComponents]].
@@ -196,33 +227,15 @@ object SparkEntry {
       wide.select(explode(array(structs: _*)).as("s")).select(col("s.*"))
     }),
 
-    "drift_role_klpsi" -> ((s, dir) => {
-      // ONE scan, provably: both halves' histograms in a single
-      // conditional agg, then the tiny (<= 6-row) histogram collapses to
-      // one row via collect_list and KL/PSI run as array-aggregate HOFs
-      // over it — no second scan branch, no join, no single-partition
-      // window. array_sort makes the float summation order deterministic.
-      val t = TranscriptDerive.fromLineitem(s, dir)
-        .withColumn("okey", substring(col("conv_id"), 2, 30).cast("long"))
-      val hist = t.groupBy(coalesce(col("role"), lit("<null>")).as("bucket"))
-        .agg(
-          sum(when(col("okey") % 2 === 0, 1L).otherwise(0L)).as("pc"),
-          sum(when(col("okey") % 2 === 1, 1L).otherwise(0L)).as("qc"))
-      val packed = hist.agg(array_sort(
-        collect_list(struct(col("bucket"), col("pc"), col("qc")))).as("h"))
-      val withTot = packed.select(col("h"),
-        aggregate(col("h"), lit(0L), (a, x) => a + x.getField("pc")).as("pt"),
-        aggregate(col("h"), lit(0L), (a, x) => a + x.getField("qc")).as("qt"))
-      def pi(x: org.apache.spark.sql.Column) =
-        greatest(x.getField("pc").cast("double") / col("pt"), lit(1e-9))
-      def qi(x: org.apache.spark.sql.Column) =
-        greatest(x.getField("qc").cast("double") / col("qt"), lit(1e-9))
-      withTot.select(
-        round(aggregate(col("h"), lit(0.0d),
-          (a, x) => a + pi(x) * log(pi(x) / qi(x))), 6).as("kl"),
-        round(aggregate(col("h"), lit(0.0d),
-          (a, x) => a + (pi(x) - qi(x)) * log(pi(x) / qi(x))), 6).as("psi"))
-    }),
+    "drift_role_klpsi" -> ((s, dir) =>
+      klPsiBetweenHalves(s, dir, coalesce(col("role"), lit("<null>")))),
+
+    // numeric-drift path (banded text-length histogram) — same
+    // single-scan shape, bucket = least(floor(len/16), 63)
+    "drift_textlen_klpsi" -> ((s, dir) =>
+      klPsiBetweenHalves(s, dir,
+        least(floor(length(coalesce(col("text"), lit(""))) / 16), lit(63L))
+          .cast("long"))),
 
     // operational rollup: violation counts by constraint and column
     "v_violation_counts" -> ((s, dir) =>
@@ -667,6 +680,20 @@ object SparkEntry {
     "drift_role_klpsi" ->
       s"""WITH $tCte,
          |t2 AS (SELECT COALESCE(role,'<null>') AS bucket,
+         |              CAST(substr(conv_id,2) AS BIGINT) % 2 AS half FROM transcripts),
+         |p AS (SELECT bucket, COUNT(*) AS pc FROM t2 WHERE half = 0 GROUP BY bucket),
+         |q AS (SELECT bucket, COUNT(*) AS qc FROM t2 WHERE half = 1 GROUP BY bucket),
+         |j AS (SELECT COALESCE(pc,0) AS pc, COALESCE(qc,0) AS qc
+         |      FROM p FULL OUTER JOIN q USING (bucket)),
+         |tot AS (SELECT (SELECT SUM(pc) FROM p) AS pt, (SELECT SUM(qc) FROM q) AS qt),
+         |r AS (SELECT GREATEST(CAST(pc AS DOUBLE)/pt, 1e-9) AS pi,
+         |             GREATEST(CAST(qc AS DOUBLE)/qt, 1e-9) AS qi FROM j, tot)
+         |SELECT ROUND(SUM(pi*LN(pi/qi)), 6) AS kl,
+         |       ROUND(SUM((pi-qi)*LN(pi/qi)), 6) AS psi FROM r""".stripMargin,
+
+    "drift_textlen_klpsi" ->
+      s"""WITH $tCte,
+         |t2 AS (SELECT LEAST(CAST(FLOOR(length(COALESCE(text,'')) / 16.0) AS BIGINT), 63) AS bucket,
          |              CAST(substr(conv_id,2) AS BIGINT) % 2 AS half FROM transcripts),
          |p AS (SELECT bucket, COUNT(*) AS pc FROM t2 WHERE half = 0 GROUP BY bucket),
          |q AS (SELECT bucket, COUNT(*) AS qc FROM t2 WHERE half = 1 GROUP BY bucket),
