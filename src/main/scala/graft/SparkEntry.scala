@@ -5,7 +5,7 @@ import org.apache.spark.sql.functions._
 import graft.compile.TableSchemaCompiler
 import graft.exprs.Validator
 import graft.integrity.Integrity
-import graft.pipeline.{Ann, Dedup, Multimodal, Packing, Sampling, TextOps}
+import graft.pipeline.{Ann, Conversations, Dedup, Multimodal, Packing, Sampling, TextOps}
 import graft.sources.{DirtyDerive, TranscriptDerive}
 import graft.stats.Stats
 
@@ -236,6 +236,13 @@ object SparkEntry {
       klPsiBetweenHalves(s, dir,
         least(floor(length(coalesce(col("text"), lit(""))) / 16), lit(63L))
           .cast("long"))),
+
+    // conversation structure: 30-day-gap sessionization + role
+    // alternation quality. Conversation-partitioned windows; the
+    // per-conv aggregation reuses the window's hash partitioning
+    "conv_structure" -> ((s, dir) =>
+      Conversations.structureStats(
+        TranscriptDerive.fromLineitem(s, dir), maxGapSeconds = 30L * 24 * 3600)),
 
     // operational rollup: violation counts by constraint and column
     "v_violation_counts" -> ((s, dir) =>
@@ -704,6 +711,24 @@ object SparkEntry {
          |             GREATEST(CAST(qc AS DOUBLE)/qt, 1e-9) AS qi FROM j, tot)
          |SELECT ROUND(SUM(pi*LN(pi/qi)), 6) AS kl,
          |       ROUND(SUM((pi-qi)*LN(pi/qi)), 6) AS psi FROM r""".stripMargin,
+
+    "conv_structure" ->
+      s"""WITH $tCte,
+         |o AS (SELECT conv_id, role, epoch(ts) AS tsec,
+         |        ROW_NUMBER() OVER w AS rn,
+         |        LAG(epoch(ts)) OVER w AS prev_ts,
+         |        LAG(role) OVER w AS prev_role
+         |      FROM transcripts
+         |      WINDOW w AS (PARTITION BY conv_id ORDER BY turn_idx ASC NULLS FIRST,
+         |        ts ASC NULLS FIRST, role ASC NULLS FIRST, text ASC NULLS FIRST)),
+         |m AS (SELECT conv_id,
+         |        CASE WHEN prev_ts IS NULL OR tsec - prev_ts <= 2592000 THEN 0 ELSE 1 END AS ns,
+         |        CASE WHEN rn > 1 AND role IS NOT DISTINCT FROM prev_role THEN 1 ELSE 0 END AS rep
+         |      FROM o)
+         |SELECT conv_id, CAST(COUNT(*) AS BIGINT) AS n_turns,
+         |       CAST(SUM(ns) + 1 AS BIGINT) AS n_sessions,
+         |       ROUND(CAST(SUM(rep) AS DOUBLE) / GREATEST(COUNT(*) - 1, 1), 6) AS role_repeat_ratio
+         |FROM m GROUP BY conv_id""".stripMargin,
 
     "orders_ref_integrity" ->
       """SELECT CAST(COUNT(*) AS BIGINT) AS orphan_count FROM lineitem

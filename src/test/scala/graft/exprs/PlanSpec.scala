@@ -144,6 +144,15 @@ class PlanSpec extends AnyFlatSpec with Matchers {
     shuffleCount(df) shouldBe 2 // (id, token) then id
   }
 
+  "conversation structure" should "reuse the window's hash partitioning for the final agg" in {
+    val t = graft.sources.TranscriptDerive.fromLineitem(spark, sfDir)
+    val df = graft.pipeline.Conversations.structureStats(t, 30L * 24 * 3600)
+    // windows are conversation-partitioned (never single-partition) and
+    // the groupBy(conv_id) is satisfied by the window's exchange
+    formatted(df) should not include "SinglePartition"
+    shuffleCount(df) shouldBe 1
+  }
+
   "whole-stage codegen" should "cover the validator projection" in {
     val t = graft.sources.TranscriptDerive.fromLineitem(spark, sfDir)
     val exec = Validator.validateTranscripts(t, schema).toDF().queryExecution.executedPlan

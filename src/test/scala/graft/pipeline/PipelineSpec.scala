@@ -507,6 +507,28 @@ class PipelineSpec extends AnyFlatSpec with Matchers {
       .map(_.getString(0)).toSet should not contain ""
   }
 
+  "Conversations.structureStats" should "sessionize by gap and score role repetition" in {
+    import spark.implicits._
+    def ts(day: Int) = java.sql.Timestamp.valueOf(f"2024-01-$day%02d 00:00:00")
+    val df = Seq(
+      // c1: turns at day 1,2,40 (gap day2->day40 = 38d > 30d => 2 sessions);
+      // roles u,u,a => 1 repeat of 2 pairs
+      ("c1", 0, "user", "t0", ts(1)),
+      ("c1", 1, "user", "t1", ts(2)),
+      ("c1", 2, "assistant", "t2", java.sql.Timestamp.valueOf("2024-02-09 00:00:00")),
+      // c2: single turn => 1 session, ratio 0
+      ("c2", 0, "user", "t0", ts(5))
+    ).toDF("conv_id", "turn_idx", "role", "text", "ts")
+    val got = Conversations.structureStats(df, maxGapSeconds = 30L * 24 * 3600)
+      .collect().map(r => r.getString(0) -> (r.getLong(1), r.getLong(2), r.getDouble(3))).toMap
+    got("c1") shouldBe ((3L, 2L, 0.5))
+    got("c2") shouldBe ((1L, 1L, 0.0))
+    // sessionize agrees: c1 session indexes 0,0,1
+    Conversations.sessionize(df.filter(col("conv_id") === "c1"), 30L * 24 * 3600)
+      .orderBy("turn_idx").select("session_idx").collect()
+      .map(_.getLong(0)).toSeq shouldBe Seq(0L, 0L, 1L)
+  }
+
   "TextOps.tfidf" should "weight tokens by tf * ln(N/df) over the top vocabulary" in {
     import spark.implicits._
     val df = Seq((1L, "a a b"), (2L, "a c"), (3L, "c c c")).toDF("doc_id", "text")
