@@ -58,14 +58,20 @@ object Bench {
     val vSec = (System.nanoTime() - tV0) / 1e9
     val turnsPerSec = nTurns / vSec
 
-    val qs = results.map { case (k, v, _) => "\"" + k + "\":" + v }.mkString("{", ",", "}")
+    // the driver records only the last ~2000 chars of the log, so the
+    // metric line must be (a) LAST and (b) short enough to fit there
+    // whole: per-query secs rounded to 3 decimals, and the diagnostic
+    // spread map on its own earlier line (fine if the tail clips it)
+    def r3(v: Double): String = f"$v%.3f"
+    val qs = results.map { case (k, v, _) => "\"" + k + "\":" + r3(v) }.mkString("{", ",", "}")
     val spreads = results.map { case (k, _, s) =>
       "\"" + k + "\":" + (math.round(s * 100) / 100.0)
     }.mkString("{", ",", "}")
     val total = results.map(_._2).sum
     val errs = errors.map("\"" + _ + "\"").mkString("[", ",", "]")
+    println(s"""{"spread":$spreads}""")
     println(
-      s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"spread":$spreads,"errors":$errs,"sf":"${sfDir.replace("\\", "\\\\").replace("\"", "\\\"")}","turns":$nTurns,"validate_sec":$vSec,"turns_per_sec":${turnsPerSec.round}}""")
+      s"""{"metric":"total","value":${r3(total)},"unit":"sec","queries":$qs,"errors":$errs,"sf":"${sfDir.replace("\\", "\\\\").replace("\"", "\\\"")}","turns":$nTurns,"validate_sec":${r3(vSec)},"turns_per_sec":${turnsPerSec.round}}""")
     spark.stop()
   }
 }

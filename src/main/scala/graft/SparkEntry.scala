@@ -51,17 +51,24 @@ object SparkEntry {
     * truth the LSH pair queries compare against (shared CTE fragment).
     */
   private val shPairsCte: String =
-    """sh AS (
+    """sh0 AS (
       |  SELECT doc_id,
       |    CASE WHEN len(toks) < 3 THEN [array_to_string(toks, ' ')]
       |         ELSE list_transform(range(1, len(toks) - 1),
       |                i -> toks[i] || ' ' || toks[i+1] || ' ' || toks[i+2]) END AS sh
       |  FROM (SELECT doc_id, regexp_split_to_array(trim(lower(text)), '\s+') AS toks FROM pool)),
-      |pairs AS (
-      |  SELECT a.doc_id AS id_a, b.doc_id AS id_b,
-      |    CAST(len(list_intersect(list_distinct(a.sh), list_distinct(b.sh))) AS DOUBLE)
-      |      / len(list_distinct(list_concat(a.sh, b.sh))) AS j
-      |  FROM sh a JOIN sh b ON a.doc_id < b.doc_id)""".stripMargin
+      |-- inverted-index form of the exact all-pairs Jaccard: co-occurring
+      |-- pairs only, |A inter B| = the co-occurrence group count, union by
+      |-- inclusion-exclusion. IDENTICAL output to the naive a-join-b form
+      |-- (every consumer filters j >= 0.5 > 0, and zero-shingle-overlap
+      |-- pairs are the only rows the index form omits) but ~300x cheaper --
+      |-- the naive form alone outgrew the driver's gate budget (r3 lesson)
+      |shd AS (SELECT doc_id, list_distinct(sh) AS sh FROM sh0),
+      |inv AS (SELECT doc_id, len(sh) AS n, unnest(sh) AS g FROM shd),
+      |co AS (SELECT a.doc_id AS id_a, b.doc_id AS id_b, a.n AS na, b.n AS nb, COUNT(*) AS inter
+      |       FROM inv a JOIN inv b ON a.g = b.g AND a.doc_id < b.doc_id
+      |       GROUP BY 1, 2, 3, 4),
+      |pairs AS (SELECT id_a, id_b, CAST(inter AS DOUBLE) / (na + nb - inter) AS j FROM co)""".stripMargin
 
   /** KL/PSI drift between the even/odd conversation halves over any
     * bucket expression, in ONE scan, provably: both halves' histograms
@@ -593,7 +600,7 @@ object SparkEntry {
     // quality cutoff: docs at or above the corpus median length —
     // exact-percentile threshold broadcast into a map-side filter
     "quality_filter" -> ((s, dir) =>
-      Stats.aboveQuantile(docs(s, dir), "n_chars", 0.5)
+      Stats.aboveQuantileExact(docs(s, dir), "n_chars", 0.5)
         .select(col("doc_id"), col("n_chars"))),
 
     // the whole recipe end to end: exact dedup -> quality cutoff ->
@@ -603,7 +610,7 @@ object SparkEntry {
       val d = docs(s, dir)
       val survivors = d.join(
         Dedup.exactSurvivors(d).select(col("keep_id").as("doc_id")), "doc_id")
-      val filtered = Stats.aboveQuantile(survivors, "n_chars", 0.25)
+      val filtered = Stats.aboveQuantileExact(survivors, "n_chars", 0.25)
       val sampled = Sampling.hashSampleMd5(filtered, 0.5, "doc_id", salt = "e2e")
       Packing.packChunks(sampled, budget = 256)
     }),
@@ -714,9 +721,12 @@ object SparkEntry {
 
     "conv_structure" ->
       s"""WITH $tCte,
-         |o AS (SELECT conv_id, role, epoch(ts) AS tsec,
+         |-- FLOOR + CAST pins DuckDB to whole seconds: epoch() returns
+         |-- fractional seconds, Spark's unix_timestamp truncates — a
+         |-- sub-second ts near a gap boundary would otherwise diverge
+         |o AS (SELECT conv_id, role, CAST(FLOOR(epoch(ts)) AS BIGINT) AS tsec,
          |        ROW_NUMBER() OVER w AS rn,
-         |        LAG(epoch(ts)) OVER w AS prev_ts,
+         |        LAG(CAST(FLOOR(epoch(ts)) AS BIGINT)) OVER w AS prev_ts,
          |        LAG(role) OVER w AS prev_role
          |      FROM transcripts
          |      WINDOW w AS (PARTITION BY conv_id ORDER BY turn_idx ASC NULLS FIRST,
@@ -1201,17 +1211,7 @@ object SparkEntry {
     // dedup-first composition: identical ground truth to minhash_pairs
     "minhash_pairs_dedup" ->
       s"""WITH $poolCte,
-         |sh AS (
-         |  SELECT doc_id,
-         |    CASE WHEN len(toks) < 3 THEN [array_to_string(toks, ' ')]
-         |         ELSE list_transform(range(1, len(toks) - 1),
-         |                i -> toks[i] || ' ' || toks[i+1] || ' ' || toks[i+2]) END AS sh
-         |  FROM (SELECT doc_id, regexp_split_to_array(trim(lower(text)), '\\s+') AS toks FROM pool)),
-         |pairs AS (
-         |  SELECT a.doc_id AS id_a, b.doc_id AS id_b,
-         |    CAST(len(list_intersect(list_distinct(a.sh), list_distinct(b.sh))) AS DOUBLE)
-         |      / len(list_distinct(list_concat(a.sh, b.sh))) AS j
-         |  FROM sh a JOIN sh b ON a.doc_id < b.doc_id)
+         |$shPairsCte
          |SELECT id_a, id_b, ROUND(j, 6) AS jaccard FROM pairs WHERE j >= 0.5""".stripMargin,
 
     "v_array_oneof" ->

@@ -46,6 +46,7 @@ object ValidateTableMain {
         report.duplicateKeys.write.mode("overwrite").parquet(s"$outDir/uniqueness_violations")
         Integrity.orphanRows(df, report.orphanConvs)
           .write.mode("overwrite").parquet(s"$outDir/referential_violations")
+        report.unpersist() // both members materialized above
         Stats.profileLong(df, df.columns.toSeq)
           .write.mode("overwrite").parquet(s"$outDir/stats")
 

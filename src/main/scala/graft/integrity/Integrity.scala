@@ -97,7 +97,14 @@ object Integrity {
     * Row-level orphan emission joins the (small) offending-conversation
     * set back via broadcast.
     */
-  final case class IntegrityReport(duplicateKeys: DataFrame, orphanConvs: DataFrame)
+  /** Both report members derive from one persisted reduced keyspace;
+    * call [[IntegrityReport.unpersist]] once both have been
+    * materialized, or the cached blocks live for the session.
+    */
+  final case class IntegrityReport(duplicateKeys: DataFrame, orphanConvs: DataFrame,
+                                   private val cachedKeyCounts: DataFrame) {
+    def unpersist(): Unit = { cachedKeyCounts.unpersist(); () }
+  }
 
   def integrityReport(df: DataFrame): IntegrityReport = {
     // persisted: both report members derive from this reduced keyspace,
@@ -111,7 +118,7 @@ object Integrity {
     val convs = keyCounts.groupBy("conv_id")
       .agg(max(when(col("turn_idx") === 0, 1).otherwise(0)).as("has_root"))
     val orphanConvs = convs.filter(col("has_root") === 0).select("conv_id")
-    IntegrityReport(dups, orphanConvs)
+    IntegrityReport(dups, orphanConvs, keyCounts)
   }
 
   /** Row-level orphan emission from a precomputed (small) orphan set. */

@@ -126,10 +126,16 @@ object Ann {
     require(planes % bands == 0, "planes must divide into bands")
     // FloatVecDot dots over min(length) — a wrong `dim` would silently
     // project onto a prefix subspace and lose recall with no error, so
-    // check it against the data (one-row job; skipped on empty input)
-    df.select(size(col(embCol))).limit(1).collect().headOption.foreach { r =>
-      require(r.getInt(0) == dim,
-        s"dim=$dim but $embCol has ${r.getInt(0)} elements")
+    // check it against the data. A bounded sample (not one arbitrary
+    // row: null embeddings would NPE, and ragged dims beyond that row
+    // would pass silently; not a full scan: this is a guard, not a job)
+    // is aggregated to min/max size — any disagreement fails loud.
+    val szs = df.select(size(col(embCol)).as("__sz"))
+      .filter(col("__sz").isNotNull).limit(1024)
+      .agg(min(col("__sz")).as("mn"), max(col("__sz")).as("mx")).collect()(0)
+    if (!szs.isNullAt(0)) {
+      require(szs.getInt(0) == dim && szs.getInt(1) == dim,
+        s"dim=$dim but $embCol sizes in sample span [${szs.getInt(0)}, ${szs.getInt(1)}]")
     }
     val rnd = new scala.util.Random(seed)
     val hyper = Seq.fill(planes)(Array.fill(dim)(rnd.nextGaussian().toFloat).toSeq)
@@ -211,11 +217,15 @@ object Ann {
       // re-executes the whole cascade — and avg() over doubles is not
       // bitwise-reproducible across shuffle-merge orders, so a
       // re-execution could even train DIFFERENT centroids
+      val prev = cents
       cents = means.groupBy("centroid_id")
         .agg(array_sort(collect_list(struct(col("pos"), col("m")))).as("pm"))
         .select(col("centroid_id").as(idCol),
           transform(col("pm"), p => p.getField("m").cast("float")).as(embCol))
         .localCheckpoint()
+      // round's checkpoint is materialized -> free the previous round's
+      // blocks (k rows each, but they'd otherwise accumulate per iter)
+      org.apache.spark.sql.GraftSqlBridge.unpersistCheckpoint(prev)
     }
     cents
   }

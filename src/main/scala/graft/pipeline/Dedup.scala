@@ -207,6 +207,9 @@ object Dedup {
           min(when(col("self"), col("comp"))).as("prev"))
         .localCheckpoint()
       changed = merged.filter(col("comp") < col("prev")).count()
+      // round N is materialized -> free round N-1's checkpoint blocks
+      // (they otherwise accumulate in the block manager per iteration)
+      org.apache.spark.sql.GraftSqlBridge.unpersistCheckpoint(labels)
       labels = merged.select("id", "comp")
       it += 1
     }
@@ -219,6 +222,9 @@ object Dedup {
       throw new IllegalStateException(
         s"connectedComponents did not converge in $maxIters rounds " +
           s"($changed labels still changing); use a log-rounds variant for deep-chain graphs")
+    // the returned labels depend only on the LAST round's checkpoint,
+    // so the internal edge cache can be released here
+    org.apache.spark.sql.GraftSqlBridge.unpersistCheckpoint(edges)
     labels
   }
 

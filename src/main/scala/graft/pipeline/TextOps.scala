@@ -182,13 +182,15 @@ object TextOps {
     * consume it, so Catalyst's exchange reuse shares the (doc, token)
     * shuffle between the two branches. The vocabulary is tiny by
     * construction and broadcasts into the join. The corpus count N is
-    * one driver-side scalar (computed EAGERLY at call time — a
-    * metadata-only parquet count, but callers wanting a fully lazy
-    * plan should pass their own pipeline around this).
+    * a broadcast one-row aggregate inside the plan — construction is
+    * fully lazy (no job until the caller acts; pinned in PipelineSpec).
     */
   def tfidf(df: DataFrame, vocabSize: Int, textCol: String = "text",
             idCol: String = "doc_id"): DataFrame = {
-    val n = df.count()
+    // corpus count N enters the plan as a broadcast one-row aggregate
+    // (NOT an eager df.count() at construction time — on a derived
+    // input that is a full job submitted before the caller even acts)
+    val nDf = df.agg(count(lit(1)).cast("double").as("__n"))
     val tf = tokenRows(df, textCol, idCol, "token")
       .groupBy(col(idCol), col("token")).agg(count(lit(1)).as("tf"))
     val vocab = tf.groupBy(col("token"))
@@ -197,8 +199,9 @@ object TextOps {
       .limit(vocabSize)
       .select("token", "df")
     tf.join(broadcast(vocab), "token")
+      .crossJoin(broadcast(nDf))
       .select(col(idCol), col("token"),
-        round(col("tf") * log(lit(n.toDouble) / col("df")), 6).as("weight"))
+        round(col("tf") * log(col("__n") / col("df")), 6).as("weight"))
   }
 
   /** Language-ID marker families (stopword heuristic). The synthetic

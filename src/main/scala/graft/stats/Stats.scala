@@ -113,18 +113,32 @@ object Stats {
     * broadcast cross-join of a single row, so the filter itself stays
     * a map-side scan.
     *
-    * Scale note: the exact form (`approx = false`, the oracle-exact
-    * default) buffers one entry per DISTINCT value of `valueExpr` on
+    * The caller chooses the threshold estimator explicitly — there is
+    * deliberately NO default (a scale-trap flagged in round 3): the
+    * exact form buffers one entry per DISTINCT value of `valueExpr` on
     * the final reducer — fine for low-cardinality measures (lengths,
-    * counts, bucketed scores), wrong for a continuous score over a
-    * 100-TB corpus. Pass `approx = true` there: approx_percentile is
-    * a bounded-memory mergeable sketch with the same plan shape.
+    * counts, bucketed scores) and for oracle replays, wrong for a
+    * continuous score over a 100-TB corpus. [[aboveQuantileApprox]] is
+    * the production form there: approx_percentile is a bounded-memory
+    * mergeable sketch with the identical plan shape.
     */
-  def aboveQuantile(df: DataFrame, valueExpr: String, q: Double,
-                    approx: Boolean = false): DataFrame = {
+  def aboveQuantileExact(df: DataFrame, valueExpr: String, q: Double): DataFrame =
+    aboveQuantileWith(df, valueExpr, s"percentile($valueExpr, $q)", q)
+
+  /** Scale-safe quantile cutoff: bounded-memory t-digest-style sketch
+    * threshold (`accuracy` trades memory for error, Spark default 10k).
+    * Same plan shape as [[aboveQuantileExact]]; the kept set can differ
+    * from exact only for rows between the true and sketched quantile
+    * (StatsSpec pins the band on a continuous score).
+    */
+  def aboveQuantileApprox(df: DataFrame, valueExpr: String, q: Double,
+                          accuracy: Int = 10000): DataFrame =
+    aboveQuantileWith(df, valueExpr, s"approx_percentile($valueExpr, $q, $accuracy)", q)
+
+  private def aboveQuantileWith(df: DataFrame, valueExpr: String,
+                                thrExpr: String, q: Double): DataFrame = {
     require(q >= 0.0 && q <= 1.0, s"quantile must be in [0,1], got $q")
-    val fn = if (approx) "approx_percentile" else "percentile"
-    val thr = df.agg(expr(s"$fn($valueExpr, $q)").as("__thr"))
+    val thr = df.agg(expr(thrExpr).as("__thr"))
     df.crossJoin(broadcast(thr))
       .filter(expr(valueExpr).cast("double") >= col("__thr").cast("double"))
       .drop("__thr")

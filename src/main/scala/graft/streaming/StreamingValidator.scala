@@ -61,13 +61,20 @@ object StreamingValidator {
     */
   def firstSeenByContent(stream: DataFrame, textCol: String = "text",
                          tsCol: String = "ts",
-                         watermark: String = "10 minutes"): DataFrame =
-    stream
+                         watermark: String = "10 minutes"): DataFrame = {
+    val wm = stream.withWatermark(tsCol, watermark)
+    val deduped = wm
+      .filter(col(textCol).isNotNull)
       .withColumn("__content_hash", md5(col(textCol)))
-      .withWatermark(tsCol, watermark)
       .dropDuplicatesWithinWatermark("__content_hash")
       .drop("__content_hash") // output schema == input schema, so the
       // survivors union cleanly with batch exactSurvivors output
+    // null text carries no content to deduplicate on — md5(null) is null,
+    // which would silently collapse EVERY null-text row onto the first
+    // one seen; such rows pass through instead (callers wanting them
+    // gone filter upstream)
+    deduped.unionByName(wm.filter(col(textCol).isNull))
+  }
 
   /** maxTsMillis is the conversation's event-time high-watermark: the
     * state timeout must be anchored on it, not on the latest BATCH's

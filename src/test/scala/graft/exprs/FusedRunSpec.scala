@@ -113,6 +113,7 @@ class FusedRunSpec extends AnyFlatSpec with Matchers {
       // row-level emission via broadcast join-back
       Integrity.orphanRows(df, report.orphanConvs).count() shouldBe
         Integrity.referentialViolations(df).count()
+      report.unpersist()
     } finally df.unpersist()
   }
 }

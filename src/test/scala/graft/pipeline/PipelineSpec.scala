@@ -544,6 +544,31 @@ class PipelineSpec extends AnyFlatSpec with Matchers {
       (3L, "c", w(3, 2)))
   }
 
+  it should "submit no Spark job at construction time" in {
+    import spark.implicits._
+    // round-3 finding: an eager df.count() inside the operator is a
+    // full job on a derived input before the caller even acts. Pin
+    // laziness with a job listener around construction only.
+    val started = new java.util.concurrent.atomic.AtomicInteger(0)
+    val listener = new org.apache.spark.scheduler.SparkListener {
+      override def onJobStart(js: org.apache.spark.scheduler.SparkListenerJobStart): Unit = {
+        started.incrementAndGet(); ()
+      }
+    }
+    spark.sparkContext.addSparkListener(listener)
+    try {
+      val df = Seq((1L, "a a b"), (2L, "a c")).toDF("doc_id", "text")
+        .filter(col("doc_id") > 0) // derived input: a count would be a real job
+      val plan = TextOps.tfidf(df, vocabSize = 2)
+      // listener bus dispatch is async; an eager count() inside tfidf
+      // would have BLOCKED until its job finished, so its start event
+      // is already posted — give dispatch a beat, then assert
+      Thread.sleep(500)
+      started.get() shouldBe 0
+      plan.count() should be > 0L // and the plan still executes
+    } finally spark.sparkContext.removeSparkListener(listener)
+  }
+
   "Packing.packChunks" should "assign contiguous global offsets regardless of input partitioning" in {
     import spark.implicits._
     val df = Seq((1L, "a b c"), (2L, ""), (3L, "d e"), (4L, "f g h i"), (5L, "j"))

@@ -80,14 +80,28 @@ class StatsSpec extends AnyFlatSpec with Matchers {
     klSame shouldBe 0.0 +- 1e-12
   }
 
-  "Stats.aboveQuantile" should "cut at the exact interpolated quantile" in {
+  "Stats.aboveQuantileExact" should "cut at the exact interpolated quantile" in {
     import spark.implicits._
     val df = (1 to 10).toDF("v")
     // quantile_cont semantics: the 0.5-quantile of 1..10 is 5.5
-    val kept = Stats.aboveQuantile(df, "v", 0.5)
+    val kept = Stats.aboveQuantileExact(df, "v", 0.5)
       .collect().map(_.getInt(0)).sorted
     kept shouldBe Array(6, 7, 8, 9, 10)
     // q=0 keeps everything; an expression (not a bare column) works too
-    Stats.aboveQuantile(df, "v * 2", 0.0).count() shouldBe 10
+    Stats.aboveQuantileExact(df, "v * 2", 0.0).count() shouldBe 10
+  }
+
+  "Stats.aboveQuantileApprox" should "keep a set within a band of exact on a continuous score" in {
+    import spark.implicits._
+    // continuous score with all-distinct values: the shape the exact
+    // form must NOT be used on at scale (one reducer entry per value)
+    val df = (1 to 5000).map(i => math.sin(i.toDouble) * 1000 + i * 0.001).toDF("score")
+    val exact = Stats.aboveQuantileExact(df, "score", 0.9).count()
+    val approx = Stats.aboveQuantileApprox(df, "score", 0.9).count()
+    // sketch error moves the cutoff only within a small rank band
+    math.abs(approx - exact).toDouble should be <= (0.01 * 5000)
+    // and at default accuracy on this size the sketch is rank-exact
+    // for the vast majority of draws; sanity: keeps roughly 10%
+    approx.toDouble shouldBe (500.0 +- 50.0)
   }
 }

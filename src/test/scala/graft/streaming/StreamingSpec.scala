@@ -100,14 +100,20 @@ class StreamingSpec extends AnyFlatSpec with Matchers {
       q.processAllAvailable()
       input.addData(
         Turn("c2", 0, "user", "same text", null, ts(2)), // dup within watermark
-        Turn("c2", 1, "user", "unique two", null, ts(3)))
+        Turn("c2", 1, "user", "unique two", null, ts(3)),
+        // null text has no content: must NOT collapse onto each other
+        // (md5(null)=null would keep only the first) — both pass through
+        Turn("c3", 0, "user", null, null, ts(4)),
+        Turn("c3", 1, "user", null, null, ts(5)))
       q.processAllAvailable()
       val got = spark.sql("SELECT conv_id, turn_idx, text FROM sdedup").collect()
         .map(r => (r.getString(0), r.getInt(1), r.getString(2))).toSet
       got shouldBe Set(
         ("c1", 0, "same text"),
         ("c1", 1, "unique one"),
-        ("c2", 1, "unique two"))
+        ("c2", 1, "unique two"),
+        ("c3", 0, null),
+        ("c3", 1, null))
     } finally q.stop()
   }
 }
