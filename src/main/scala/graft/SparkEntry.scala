@@ -422,7 +422,8 @@ object SparkEntry {
           "url":    { "type": "string", "format": "uri" },
           "dt_str": { "type": "string", "format": "date-time" },
           "host":   { "type": "string", "format": "hostname" },
-          "ip6":    { "type": "string", "format": "ipv6" }
+          "ip6":    { "type": "string", "format": "ipv6" },
+          "rgx":    { "type": "string", "format": "regex" }
         } }""")),
 
     "v_combinators" -> ((s, dir) => dirtyViolations(s, dir, s"""
@@ -634,6 +635,27 @@ object SparkEntry {
         e.filter(col("vec_id") < 8), e.filter(col("vec_id") >= 8),
         e.filter(col("vec_id") % 97 === 0), k = 10, nprobe = 2)
         .select(col("query_id"), col("cand_id"), col("sim"), col("rank").cast("long").as("rank"))
+    }),
+
+    // the TRAINED production path end to end: k-means centroids ->
+    // bucket assignment -> probe -> score -> rank. Queries are the
+    // planted perturbed near-copies (cos ~0.998 to their base vs a
+    // densest base pair of 0.605), so the true top-1 of every query is
+    // known from the plant rule and the oracle demands the trained
+    // index find ALL of them at rank 1 — if training degrades (bad
+    // centroids -> probes miss the base's bucket), found_at_1 drops
+    // and the gate goes red. Measured headroom: 100% found at k=8
+    // across sf0.001/0.01/0.1 and repeated trainings; nprobe=3 of 8
+    // buckets still prunes 5/8 of the scored candidates.
+    "ivf_trained_recall" -> ((s, dir) => {
+      val e = embeddings(s, dir)
+      val q = embPool(s, dir).filter(col("vec_id") >= 2000000)
+      val cents = Ann.kmeansCentroids(e, k = 8, iters = 4)
+      Ann.ivfTopK(q, e, cents, k = 10, nprobe = 3)
+        .agg(
+          countDistinct(col("query_id")).as("n_queries"),
+          sum(when(col("cand_id") === col("query_id") - 2000000 && col("rank") === 1, 1L)
+            .otherwise(0L)).as("found_at_1"))
     })
   )
 
@@ -783,7 +805,11 @@ object SparkEntry {
          |FROM dirty WHERE l_orderkey % 23 = 9
          |UNION ALL
          |SELECT l_orderkey, l_linenumber, ${kPtr("ip6")}, 'format:ipv6', ip6
-         |FROM dirty WHERE l_orderkey % 31 = 6""".stripMargin,
+         |FROM dirty WHERE l_orderkey % 31 = 6
+         |UNION ALL
+         |-- format:regex — the two planted non-compiling branches
+         |SELECT l_orderkey, l_linenumber, ${kPtr("rgx")}, 'format:regex', rgx
+         |FROM dirty WHERE l_orderkey % 37 IN (8, 9)""".stripMargin,
 
     "v_combinators" ->
       s"""WITH $dCte
@@ -1261,6 +1287,15 @@ object SparkEntry {
         |ranked AS (SELECT query_id, cand_id, sim,
         |    row_number() OVER (PARTITION BY query_id ORDER BY sim DESC, cand_id ASC) AS rank
         |  FROM scored)
-        |SELECT query_id, cand_id, sim, CAST(rank AS BIGINT) AS rank FROM ranked WHERE rank <= 10""".stripMargin
+        |SELECT query_id, cand_id, sim, CAST(rank AS BIGINT) AS rank FROM ranked WHERE rank <= 10""".stripMargin,
+
+    // trained-IVF gate: DuckDB cannot replay the float k-means means,
+    // but it CAN derive the demanded answer from the plant rule — the
+    // engine must find EVERY planted near-copy's base at rank 1
+    // through the trained index, so both counts equal the plant count
+    "ivf_trained_recall" ->
+      """SELECT CAST(COUNT(*) AS BIGINT) AS n_queries,
+        |       CAST(COUNT(*) AS BIGINT) AS found_at_1
+        |FROM embeddings WHERE vec_id % 11 = 5""".stripMargin
   )
 }

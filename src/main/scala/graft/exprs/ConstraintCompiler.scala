@@ -67,6 +67,22 @@ object ConstraintCompiler {
     st.fieldNames.toSeq.map(f => when(c.getField(f).isNotNull, 1).otherwise(0))
       .reduceOption(_ + _).getOrElse(lit(0))
 
+  /** Container `actual` renderer: the codegen [[graft.functions
+    * .JsonRender]] whenever the column's type tree supports it (byte-
+    * identical to to_json there — JsonRenderSpec parity + the v_* oracle
+    * gates), falling back to `to_json` (interpreted, CodegenFallback)
+    * only for exotic leaves. Violation plans over array/map/struct
+    * columns stay fully inside whole-stage codegen this way.
+    */
+  private def jsonActual(c: Column, dt: DataType): Column = {
+    val rendered =
+      if (graft.functions.JsonRender.supports(dt))
+        org.apache.spark.sql.GraftSqlBridge.column(
+          graft.functions.JsonRender(org.apache.spark.sql.GraftSqlBridge.expression(c)))
+      else to_json(c)
+    coalesce(rendered, lit("null"))
+  }
+
   def pointerCol(keyCols: Seq[String], column: String): Column = {
     val keyParts = keyCols.flatMap { k =>
       Seq(lit("/"), coalesce(pointerEscape(col(k).cast("string")), lit("null")))
@@ -190,7 +206,7 @@ object ConstraintCompiler {
     (doc.array, dt) match {
       case (Some(ac), at: ArrayType) =>
         def ok(pred: Column): Column = c.isNull || pred
-        val actualStr = coalesce(to_json(c), lit("null"))
+        val actualStr = jsonActual(c, at)
         val sizeChecks = Seq(
           if (ac.minItems > 0) Some(Check(name, "minItems", ok(size(c) >= lit(ac.minItems)), actualStr)) else None,
           ac.maxItems.map(m => Check(name, "maxItems", ok(size(c) <= lit(m)), actualStr)),
@@ -248,7 +264,7 @@ object ConstraintCompiler {
     (doc.obj, dt) match {
       case (Some(oc), mt: MapType) =>
         def ok(pred: Column): Column = c.isNull || pred
-        val actualStr = coalesce(to_json(c), lit("null"))
+        val actualStr = jsonActual(c, mt)
         val sizeChecks = Seq(
           if (oc.minProperties > 0)
             Some(Check(name, "minProperties", ok(size(map_keys(c)) >= lit(oc.minProperties)), actualStr))
@@ -309,7 +325,7 @@ object ConstraintCompiler {
       // and fail open (silently passing violations).
       case (Some(oc), st: StructType) =>
         def ok(pred: Column): Column = c.isNull || pred
-        val actualStr = coalesce(to_json(c), lit("null"))
+        val actualStr = jsonActual(c, st)
         def present(f: String): Column = c.getField(f).isNotNull
         // rlike is a regex *find* (unanchored); match that semantics when
         // deciding key-pattern membership at compile time
@@ -477,7 +493,12 @@ object ConstraintCompiler {
           case "ipv4"     => Some(c.rlike("^((25[0-5]|2[0-4][0-9]|[01]?[0-9][0-9]?)\\.){3}(25[0-5]|2[0-4][0-9]|[01]?[0-9][0-9]?)$"))
           case "ipv6"     => Some(c.rlike("^[0-9A-Fa-f:.]+$") && c.contains(":"))
           case "uri"      => Some(c.rlike("^[A-Za-z][A-Za-z0-9+.-]*:")) // absolute URI: scheme
-          case "regex"    => None // compile-time property of the value, not checkable vectorized
+          case "regex"    =>
+            // per-value try-compile through a codegen expression with a
+            // bounded per-thread pattern cache (graft.functions.RegexCompiles)
+            Some(org.apache.spark.sql.GraftSqlBridge.column(
+              graft.functions.RegexCompiles(
+                org.apache.spark.sql.GraftSqlBridge.expression(c.cast("string")))))
           case _          => None // unknown formats ignored (draft-4 semantics)
         }
         Right(pred.map(p => Check(name, s"format:$f", ok(p), actualStr)).toSeq)

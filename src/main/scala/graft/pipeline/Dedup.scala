@@ -172,10 +172,10 @@ object Dedup {
     * aggregation over (node, label) rows — O(E) through each exchange,
     * never anything quadratic — and rounds needed equal the graph
     * diameter. LSH dup clusters are near-cliques (every member shares a
-    * band bucket with the rest), so 2-3 rounds close them; a deep-chain
-    * graph would call for the O(log n) large-star/small-star variant
-    * (Kiveris et al.), which this API could swap in without changing
-    * callers. localCheckpoint() truncates the growing plan each round —
+    * band bucket with the rest), so 2-3 rounds close them; for
+    * deep-chain graphs use [[connectedComponentsAlternating]] (same
+    * API, O(log n) rounds). localCheckpoint() truncates the growing
+    * plan each round —
     * otherwise lineage doubles per iteration and the DRIVER becomes the
     * bottleneck long before the data does.
     *
@@ -226,6 +226,91 @@ object Dedup {
     // so the internal edge cache can be released here
     org.apache.spark.sql.GraftSqlBridge.unpersistCheckpoint(edges)
     labels
+  }
+
+  /** Connected components in O(log n) rounds — the large-star/small-star
+    * alternation of Kiveris et al., "Connected Components in MapReduce
+    * and Beyond" (2014). Same contract as [[connectedComponents]]
+    * ((id, comp) for every node in `pairs`, comp = component minimum),
+    * but round count is logarithmic in component size instead of linear
+    * in graph DIAMETER, so deep chains (pathological dup graphs,
+    * citation-like link chains) converge where min-label propagation
+    * fails loud at `maxIters`.
+    *
+    * Each half-round is one aggregation + one join over the edge set
+    * (O(E) per exchange, nothing quadratic):
+    *  - large-star: every node points its LARGER neighbors at the
+    *    minimum of its neighborhood (incl. itself);
+    *  - small-star: every node and its smaller neighbors re-hang off
+    *    that minimum.
+    * The edge set converges to a star forest whose centers are the
+    * component minima; convergence is detected by a (count, hash-sum)
+    * fingerprint of the canonicalized edge set — one tiny agg per
+    * round, no edge-set diff join.
+    */
+  def connectedComponentsAlternating(pairs: DataFrame, aCol: String = "id_a",
+                                     bCol: String = "id_b", maxIters: Int = 30): DataFrame = {
+    val bridge = org.apache.spark.sql.GraftSqlBridge
+    // canonical orientation (hi, lo): strictly hi > lo; self-loops drop
+    var edges = pairs
+      .select(greatest(col(aCol), col(bCol)).as("hi"), least(col(aCol), col(bCol)).as("lo"))
+      .filter(col("hi") =!= col("lo"))
+      .distinct()
+      .localCheckpoint()
+    // every input node must appear in the output even if its edges
+    // collapse away mid-iteration (a center keeps no outgoing edge);
+    // used once in the final join, so it stays a lazy plan
+    val nodes = pairs.select(col(aCol).as("id")).union(pairs.select(col(bCol).as("id")))
+      .distinct()
+
+    def fingerprint(e: DataFrame): (Long, Long) = {
+      // bit_xor: order-independent and cannot overflow (ANSI sum of
+      // hashes throws ARITHMETIC_OVERFLOW on real edge counts)
+      val r = e.agg(count(lit(1)), expr("bit_xor(xxhash64(hi, lo))")).collect()(0)
+      (r.getLong(0), if (r.isNullAt(1)) 0L else r.getLong(1))
+    }
+
+    var fp = fingerprint(edges)
+    var it = 0
+    var converged = false
+    while (!converged && it < maxIters) {
+      // ---- large-star: (v, m) for every neighbor v > u ----
+      val nbrs = edges.select(col("hi").as("u"), col("lo").as("v"))
+        .union(edges.select(col("lo").as("u"), col("hi").as("v")))
+      val mins = nbrs.groupBy("u")
+        .agg(min(col("v")).as("mv"))
+        .select(col("u"), least(col("mv"), col("u")).as("m"))
+      val large = nbrs.join(mins, "u")
+        .filter(col("v") > col("u"))
+        .select(col("v").as("hi"), col("m").as("lo"))
+        .filter(col("hi") =!= col("lo"))
+        .distinct()
+      // ---- small-star on the (hi, lo) orientation: hang u and its
+      // smaller neighbors off min(N_<(u) ∪ {u}) ----
+      val smins = large.groupBy("hi").agg(min(col("lo")).as("m"))
+      val small = large.join(smins, "hi")
+        .select(col("lo").as("a"), col("m").as("b"))
+        .union(smins.select(col("hi").as("a"), col("m").as("b")))
+        .filter(col("a") =!= col("b"))
+        .select(greatest(col("a"), col("b")).as("hi"), least(col("a"), col("b")).as("lo"))
+        .distinct()
+        .localCheckpoint()
+      val nfp = fingerprint(small)
+      bridge.unpersistCheckpoint(edges)
+      edges = small
+      converged = nfp == fp
+      fp = nfp
+      it += 1
+    }
+    if (!converged)
+      throw new IllegalStateException(
+        s"connectedComponentsAlternating did not converge in $maxIters rounds")
+    // star forest: every hi hangs directly off its component minimum;
+    // the final edge checkpoint stays persisted (the result reads it)
+    val labels = edges.select(col("hi").as("id"), col("lo").as("comp"))
+    nodes
+      .join(labels, Seq("id"), "left")
+      .select(col("id"), coalesce(col("comp"), col("id")).as("comp"))
   }
 
   /** Near-duplicate survivors: LSH pairs -> connected components ->

@@ -42,6 +42,12 @@ object DirtyDerive {
               ELSE concat('node-', l_orderkey, '.example.org') END AS host""",
       """CASE WHEN l_orderkey % 31 = 6 THEN 'gggg::zz'
               ELSE concat('fe80::', l_linenumber) END AS ip6""",
+      // format:regex — values that are themselves regex sources; the two
+      // invalid branches fail java.util.regex compilation (unclosed
+      // class; dangling metacharacter), the default branch compiles
+      """CASE WHEN l_orderkey % 37 = 8 THEN concat('(unclosed[', l_linenumber)
+              WHEN l_orderkey % 37 = 9 THEN '*dangling'
+              ELSE concat('^v', l_linenumber, '[0-9]+$') END AS rgx""",
       // ---- combinators ----
       """CASE WHEN l_orderkey % 17 = 0 THEN concat('ab', l_linenumber)
               WHEN l_orderkey % 17 = 1 THEN concat('a', l_linenumber)
@@ -111,6 +117,9 @@ object DirtyDerive {
       |         ELSE 'node-' || l_orderkey || '.example.org' END AS host,
       |    CASE WHEN l_orderkey % 31 = 6 THEN 'gggg::zz'
       |         ELSE 'fe80::' || l_linenumber END AS ip6,
+      |    CASE WHEN l_orderkey % 37 = 8 THEN '(unclosed[' || l_linenumber
+      |         WHEN l_orderkey % 37 = 9 THEN '*dangling'
+      |         ELSE '^v' || l_linenumber || '[0-9]+$' END AS rgx,
       |    CASE WHEN l_orderkey % 17 = 0 THEN 'ab' || l_linenumber
       |         WHEN l_orderkey % 17 = 1 THEN 'a' || l_linenumber
       |         ELSE 'b' || l_linenumber END AS onec,

@@ -171,10 +171,8 @@ class PlanSpec extends AnyFlatSpec with Matchers {
       val df = graft.SparkEntry.queries(q)(spark, sfDir)
       val fallbacks = df.queryExecution.executedPlan.flatMap(_.expressions)
         .flatMap(_.collect { case e: CodegenFallback => e })
-        // to_json (the `actual` renderer) only executes on the rare
-        // violating row, post-filter — the per-row hot path is the
-        // predicate side, which must be fallback-free
-        .filterNot(_.isInstanceOf[org.apache.spark.sql.catalyst.expressions.StructsToJson])
+      // round 4: INCLUDING the `actual` renderer — JsonRender replaced
+      // to_json, so the whole emission plan is codegen, no exclusions
       withClue(s"$q fallbacks: ${fallbacks.map(_.prettyName).distinct}: ")(
         fallbacks shouldBe empty)
     }

@@ -53,6 +53,40 @@ class PipelineSpec extends AnyFlatSpec with Matchers {
       10L -> 10L, 11L -> 10L, 12L -> 10L, 13L -> 10L, 14L -> 10L,
       20L -> 20L, 21L -> 20L, 22L -> 20L)
     run() shouldBe comp
+    // the log-rounds variant must agree exactly on the same graph
+    Dedup.connectedComponentsAlternating(pairs)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap shouldBe comp
+  }
+
+  "Dedup.connectedComponentsAlternating" should "close a deep chain in logarithmic rounds" in {
+    import spark.implicits._
+    // a 120-node chain (diameter 119): min-label propagation needs one
+    // round per hop and would fail loud at its 50-round bound; the
+    // large-star/small-star alternation closes it in O(log n) rounds
+    val n = 120
+    val chain = (0 until n - 1).map(i => (i.toLong + 500, i.toLong + 501)).toDF("id_a", "id_b")
+    val got = Dedup.connectedComponentsAlternating(chain, maxIters = 15)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    got.size shouldBe n
+    got.values.toSet shouldBe Set(500L) // one component, min id everywhere
+    // and the propagation variant really is the wrong tool here
+    an[IllegalStateException] should be thrownBy
+      Dedup.connectedComponents(chain, maxIters = 10).collect()
+  }
+
+  it should "agree with the propagation variant on the LSH pair graph" in {
+    val pool = graft.SparkEntry.dedupPool(spark, sfDir).cache()
+    try {
+      val pairs = Dedup.minhashPairs(pool, k = 24, bands = 12, threshold = 0.5)
+        .cache()
+      try {
+        val a = Dedup.connectedComponents(pairs)
+          .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+        val b = Dedup.connectedComponentsAlternating(pairs)
+          .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+        b shouldBe a
+      } finally pairs.unpersist()
+    } finally pool.unpersist()
   }
 
   "Dedup.nearDupSurvivors" should "keep exactly one doc per near-dup cluster" in {
@@ -321,6 +355,21 @@ class PipelineSpec extends AnyFlatSpec with Matchers {
         ivf.count() shouldBe 80
       } finally trained.unpersist()
     } finally vecs.unpersist()
+  }
+
+  it should "find every planted near-copy's base at rank 1 through the trained index" in {
+    // the trained production composition (train -> assign -> probe ->
+    // score -> rank) with planted ground truth: each +2M query is a
+    // perturbed copy of its base (cos ~0.998 vs densest base pair
+    // 0.605), so the true top-1 is known without brute force
+    val e = embeddings
+    val q = graft.SparkEntry.embPool(spark, sfDir).filter(col("vec_id") >= 2000000)
+    val cents = Ann.kmeansCentroids(e, k = 8, iters = 4)
+    val ivf = Ann.ivfTopK(q, e, cents, k = 10, nprobe = 3)
+    val nq = q.count()
+    nq should be > 0L
+    ivf.filter(col("cand_id") === col("query_id") - 2000000 && col("rank") === 1)
+      .count() shouldBe nq
   }
 
   "Ann.bruteForceTopK" should "return k deterministic rows per query" in {
