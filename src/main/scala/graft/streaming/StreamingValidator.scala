@@ -76,6 +76,88 @@ object StreamingValidator {
     deduped.unionByName(wm.filter(col(textCol).isNull))
   }
 
+  /** Streaming near-duplicate pairs within the watermark horizon — the
+    * stream analogue of [[graft.pipeline.Dedup.minhashPairs]]:
+    *
+    *  - the k MinHash values are computed PER ROW with scalar array
+    *    expressions (`array_min(transform(shingles, xxhash64(_, seed)))`
+    *    — numerically identical to the batch explode+min-agg form, but
+    *    STATELESS, so the only stateful operator is the join);
+    *  - band bucket keys use the same `hash(m_i..)` as batch, so a
+    *    stream pair collides exactly when the batch pipeline would
+    *    bucket it together;
+    *  - the self-join is bounded by the watermark plus an event-time
+    *    range (`|ts_a - ts_b| <= horizon`), which is what makes join
+    *    state evictable — the honest streaming trade, same as
+    *    [[firstSeenByContent]]: pairs farther apart than the horizon
+    *    are the batch reconciliation's job;
+    *  - candidates are exact-verified by shingle Jaccard scalar-side,
+    *    so emitted pairs carry the true score, not an LSH guess.
+    *
+    * A pair colliding in several bands would be emitted once per band;
+    * instead of a second stateful operator (dedup after a stream-stream
+    * join is unsupported territory), both sides carry their band-hash
+    * arrays through the join and a pair is kept only on its FIRST
+    * colliding band — stateless, exact, and the join remains the only
+    * stateful operator in the plan. Unlike batch there is no bucket cap
+    * (capping needs a count aggregation — more state); the horizon
+    * itself bounds bucket population, and hot-content storms within a
+    * horizon are a monitoring concern, not a correctness one.
+    */
+  def nearDupPairsWithinHorizon(stream: DataFrame, textCol: String = "text",
+                                idCol: String = "doc_id", tsCol: String = "ts",
+                                watermark: String = "10 minutes",
+                                horizon: String = "10 minutes",
+                                k: Int = 16, bands: Int = 4,
+                                threshold: Double = 0.7, shingleN: Int = 3): DataFrame = {
+    require(k % bands == 0, "k must divide into bands")
+    val rpb = k / bands
+    val withSig = stream
+      .filter(col(textCol).isNotNull)
+      .withWatermark(tsCol, watermark)
+      .withColumn("__sh", graft.pipeline.Dedup.shingles(col(textCol), shingleN))
+      .withColumn("__ms", array((0 until k).map(seed =>
+        array_min(transform(col("__sh"), s => xxhash64(s, lit(seed))))): _*))
+    val bandVals = (0 until bands).map { b =>
+      hash((b * rpb until (b + 1) * rpb).map(i => col("__ms").getItem(i)): _*)
+    }
+    val banded = withSig
+      .withColumn("__bands", array(bandVals: _*))
+      .select(col(idCol), col(tsCol), col("__sh"), col("__bands"),
+        posexplode(col("__bands")).as(Seq("band", "bandHash")))
+    val a = banded.select(col("band"), col("bandHash"), col(idCol).as("id_a"),
+      col(tsCol).as("ts_a"), col("__sh").as("sh_a"), col("__bands").as("bands_a"))
+    val b = banded.select(col("band").as("band_b"), col("bandHash").as("bandHash_b"),
+      col(idCol).as("id_b"), col(tsCol).as("ts_b"), col("__sh").as("sh_b"),
+      col("__bands").as("bands_b"))
+    // first colliding band of the pair, computed scalar-side from both
+    // band arrays (array_min skips nulls): keeps exactly one of the
+    // up-to-`bands` join rows per pair with no extra state
+    val firstCollidingBand = array_min(
+      transform(sequence(lit(0), lit(bands - 1)), i =>
+        when(element_at(col("bands_a"), i + 1) === element_at(col("bands_b"), i + 1), i)))
+    // `id_a < id_b` must stay OUT of the join condition: Spark's
+    // streaming-join state-watermark inference linearizes every
+    // cross-side inequality and internal-errors on non-time attributes.
+    // A plain Column filter gets PUSHED BACK into the join condition by
+    // PushPredicateThroughJoin (same crash), so the orientation bit is
+    // projected into a boolean and applied through a typed filter —
+    // opaque to the optimizer, it stays above the join.
+    a.join(b,
+        col("band") === col("band_b") && col("bandHash") === col("bandHash_b") &&
+          col("ts_b") >= col("ts_a") - expr(s"INTERVAL $horizon") &&
+          col("ts_b") <= col("ts_a") + expr(s"INTERVAL $horizon"))
+      .withColumn("__oriented", col("id_a") < col("id_b"))
+      .filter((r: org.apache.spark.sql.Row) => r.getAs[Boolean]("__oriented"))
+      .drop("__oriented")
+      .filter(col("band") === firstCollidingBand)
+      .withColumn("jaccard", graft.pipeline.Dedup.jaccard(col("sh_a"), col("sh_b")))
+      .filter(col("jaccard") >= threshold)
+      // later of the two event times = when the pair became knowable
+      .select(col("id_a"), col("id_b"), col("jaccard"),
+        greatest(col("ts_a"), col("ts_b")).as("pair_ts"))
+  }
+
   /** maxTsMillis is the conversation's event-time high-watermark: the
     * state timeout must be anchored on it, not on the latest BATCH's
     * max ts — a late-but-admitted row would otherwise REGRESS the

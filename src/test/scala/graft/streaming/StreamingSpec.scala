@@ -116,4 +116,40 @@ class StreamingSpec extends AnyFlatSpec with Matchers {
         ("c3", 1, null))
     } finally q.stop()
   }
+
+  final case class Doc(doc_id: Long, text: String, ts: Timestamp)
+
+  it should "find near-dup pairs within the horizon and mirror batch jaccard" in {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val base = "alpha beta gamma delta epsilon zeta eta theta iota kappa"
+    val near = base + " qq zz" // 10 -> 12 tokens: J = 8/10 shared... verified vs batch below
+    val far = "completely different words about another topic entirely here now"
+    val input = MemoryStream[Doc]
+    val q = StreamingValidator.nearDupPairsWithinHorizon(
+        input.toDF(), watermark = "10 minutes", horizon = "10 minutes")
+      .writeStream.format("memory").queryName("sneardup").outputMode("append").start()
+    try {
+      input.addData(
+        Doc(1L, base, ts(0)),
+        Doc(2L, near, ts(1)),   // near-dup of 1 within horizon -> pair
+        Doc(4L, far, ts(2)))    // unrelated -> no pair
+      q.processAllAvailable()
+      input.addData(
+        Doc(3L, base, ts(40))) // identical text but beyond the horizon -> no pair
+      q.processAllAvailable()
+      // advance watermark far enough that every in-horizon pair flushed
+      input.addData(Doc(99L, "marker advancing the watermark forward", ts(55)))
+      q.processAllAvailable()
+      val got = spark.sql("SELECT id_a, id_b, jaccard FROM sneardup").collect()
+        .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
+      got.map(p => (p._1, p._2)) shouldBe Set((1L, 2L))
+      // the emitted score equals the batch operator's exact Jaccard
+      val batch = graft.pipeline.Dedup.minhashPairs(
+        Seq((1L, base), (2L, near)).toDF("doc_id", "text"))
+        .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
+      batch.map(p => (p._1, p._2)) shouldBe Set((1L, 2L))
+      got.head._3 shouldBe batch.head._3
+    } finally q.stop()
+  }
 }
