@@ -76,6 +76,41 @@ object Bench {
   }
 }
 
+/** Focused per-query timing for regression bisection: runs the named
+  * SparkEntry queries N times each (default 5) on SPARK_GRAFT_SF_DIR
+  * and prints per-run seconds — used to separate a real plan regression
+  * from the host's ~1.2-3x throughput windows (BENCH.md methodology).
+  */
+object BenchOne {
+  def main(args: Array[String]): Unit = {
+    val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
+    val reps = sys.env.getOrElse("SPARK_GRAFT_REPS", "5").toInt
+    val spark = SparkSession.builder()
+      .master(s"local[$cpus]")
+      .config("spark.sql.shuffle.partitions", cpus)
+      .config("spark.sql.adaptive.enabled", "true")
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.ui.enabled", "false")
+      .config("spark.sql.files.maxPartitionBytes", "4m")
+      .config("spark.sql.files.openCostInBytes", "64k")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+    spark.range(1000).count()
+    for (name <- args) {
+      val fn = SparkEntry.queries(name)
+      val times = (1 to reps).map { _ =>
+        val t0 = System.nanoTime()
+        fn(spark, sfDir).count()
+        (System.nanoTime() - t0) / 1e9
+      }
+      println(f"BENCHONE $name min=${times.min}%.3f " +
+        times.map(t => f"$t%.2f").mkString("[", ",", "]"))
+    }
+    spark.stop()
+  }
+}
+
 /** Cluster-mode scaling evidence: the same validation job on the same
   * parquet input under `local-cluster[N,cores,mem]` — Spark forks REAL
   * executor JVMs (own heap, own GC, own codegen cache), so N=1 vs N=4
