@@ -2,15 +2,12 @@ package graft
 
 import org.apache.spark.sql.SparkSession
 
-/** Per-round benchmark: runs every SparkEntry query on
-  * SPARK_GRAFT_SF_DIR and prints ONE JSON line (driver contract).
-  * Also reports flagship validation throughput (turns/sec over the
-  * derived transcripts table) as extra keys.
+/** Shared local[N] benchmark session: Bench and BenchOne MUST use the
+  * same configuration or BenchOne's focused timings stop being
+  * comparable to the gate numbers it exists to bisect.
   */
-object Bench {
-  def main(args: Array[String]): Unit = {
-    val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
-    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
+private[graft] object BenchSession {
+  def open(cpus: String): SparkSession = {
     val spark = SparkSession.builder()
       .master(s"local[$cpus]")
       .config("spark.sql.shuffle.partitions", cpus)
@@ -25,6 +22,20 @@ object Bench {
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     spark.range(1000).count() // JVM/codegen warm-up
+    spark
+  }
+}
+
+/** Per-round benchmark: runs every SparkEntry query on
+  * SPARK_GRAFT_SF_DIR and prints ONE JSON line (driver contract).
+  * Also reports flagship validation throughput (turns/sec over the
+  * derived transcripts table) as extra keys.
+  */
+object Bench {
+  def main(args: Array[String]): Unit = {
+    val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
+    val spark = BenchSession.open(cpus)
 
     // best-of-2 per query: the first run pays JIT/codegen/file-listing;
     // the host VM's throughput also fluctuates (BENCH.md methodology).
@@ -62,7 +73,8 @@ object Bench {
     // metric line must be (a) LAST and (b) short enough to fit there
     // whole: per-query secs rounded to 3 decimals, and the diagnostic
     // spread map on its own earlier line (fine if the tail clips it)
-    def r3(v: Double): String = f"$v%.3f"
+    def r3(v: Double): String = String.format(java.util.Locale.ROOT, "%.3f",
+      java.lang.Double.valueOf(v)) // Locale.ROOT: a comma decimal separator would break the JSON
     val qs = results.map { case (k, v, _) => "\"" + k + "\":" + r3(v) }.mkString("{", ",", "}")
     val spreads = results.map { case (k, _, s) =>
       "\"" + k + "\":" + (math.round(s * 100) / 100.0)
@@ -86,17 +98,7 @@ object BenchOne {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
     val reps = sys.env.getOrElse("SPARK_GRAFT_REPS", "5").toInt
-    val spark = SparkSession.builder()
-      .master(s"local[$cpus]")
-      .config("spark.sql.shuffle.partitions", cpus)
-      .config("spark.sql.adaptive.enabled", "true")
-      .config("spark.sql.session.timeZone", "UTC")
-      .config("spark.ui.enabled", "false")
-      .config("spark.sql.files.maxPartitionBytes", "4m")
-      .config("spark.sql.files.openCostInBytes", "64k")
-      .getOrCreate()
-    spark.sparkContext.setLogLevel("WARN")
-    spark.range(1000).count()
+    val spark = BenchSession.open(cpus)
     for (name <- args) {
       val fn = SparkEntry.queries(name)
       val times = (1 to reps).map { _ =>
@@ -104,8 +106,10 @@ object BenchOne {
         fn(spark, sfDir).count()
         (System.nanoTime() - t0) / 1e9
       }
-      println(f"BENCHONE $name min=${times.min}%.3f " +
-        times.map(t => f"$t%.2f").mkString("[", ",", "]"))
+      def fmt(p: String, v: Double) =
+        String.format(java.util.Locale.ROOT, p, java.lang.Double.valueOf(v))
+      println(s"BENCHONE $name min=${fmt("%.3f", times.min)} " +
+        times.map(t => fmt("%.2f", t)).mkString("[", ",", "]"))
     }
     spark.stop()
   }

@@ -88,12 +88,18 @@ object ConstraintCompiler {
     coalesce(rendered, lit("null"))
   }
 
-  def pointerCol(keyCols: Seq[String], column: String): Column = {
-    val keyParts = keyCols.flatMap { k =>
+  /** The escaped "/k1/k2/" key-prefix parts — ONE definition shared by
+    * [[pointerCol]] and the hoisted per-row prefix in
+    * [[Validator.violationsForChecks]], so the two can never render
+    * pointers differently.
+    */
+  private[exprs] def pointerPrefixParts(keyCols: Seq[String]): Seq[Column] =
+    keyCols.flatMap { k =>
       Seq(lit("/"), coalesce(pointerEscape(col(k).cast("string")), lit("null")))
-    }
-    concat(keyParts :+ lit("/") :+ lit(column): _*)
-  }
+    } :+ lit("/")
+
+  def pointerCol(keyCols: Seq[String], column: String): Column =
+    concat(pointerPrefixParts(keyCols) :+ lit(column): _*)
 
   /** All checks for one column under its Property. */
   def columnChecks(name: String, prop: Property, dt: DataType): Either[String, Seq[Check]] = {
@@ -651,9 +657,7 @@ object Validator {
     // ran keyCols * 2 regexp_replace per check per violating row and
     // was 63% of v_maps' emission cost (round-4 probe); CollapseProject
     // keeps the hoist because the alias is referenced by every struct.
-    val prefixParts = keyCols.flatMap { k =>
-      Seq(lit("/"), coalesce(pointerEscape(col(k).cast("string")), lit("null")))
-    } :+ lit("/")
+    val prefixParts = ConstraintCompiler.pointerPrefixParts(keyCols)
     val vioStructs = checks.map { ch =>
       when(!ch.ok, struct(
         concat(col("__ptr_prefix"), lit(ch.column)).as("pointer"),

@@ -47,7 +47,8 @@ case class JsonRender(child: Expression) extends UnaryExpression {
   override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
     nullSafeCodeGen(ctx, ev, v => {
       val sb = ctx.freshName("sb")
-      val render = JsonRender.genRender(ctx, child.dataType)
+      val render = JsonRender.genRender(ctx, child.dataType,
+        scala.collection.mutable.Map.empty)
       s"""
          |java.lang.StringBuilder $sb = new java.lang.StringBuilder(64);
          |$render($sb, $v);
@@ -78,8 +79,8 @@ object JsonRender {
       case StringType => appendEscaped(sb, v.asInstanceOf[UTF8String])
       case BooleanType | ByteType | ShortType | IntegerType | LongType =>
         sb.append(v.toString); ()
-      case FloatType => sb.append(java.lang.Float.toString(v.asInstanceOf[Float])); ()
-      case DoubleType => sb.append(java.lang.Double.toString(v.asInstanceOf[Double])); ()
+      case FloatType => appendFloat(sb, v.asInstanceOf[Float])
+      case DoubleType => appendDouble(sb, v.asInstanceOf[Double])
       case ArrayType(et, _) =>
         val arr = v.asInstanceOf[ArrayData]
         sb.append('[')
@@ -124,6 +125,22 @@ object JsonRender {
       case other => throw new IllegalStateException(s"unsupported: $other")
     }
 
+  /** Non-finite floats match Jackson's default QUOTE_NON_NUMERIC_NUMBERS:
+    * NaN / Infinity / -Infinity are rendered as quoted STRINGS (verified
+    * against to_json; unquoted tokens would also be invalid JSON).
+    */
+  def appendDouble(sb: java.lang.StringBuilder, v: Double): Unit = {
+    val s = java.lang.Double.toString(v)
+    if (java.lang.Double.isFinite(v)) { sb.append(s); () }
+    else { sb.append('"').append(s).append('"'); () }
+  }
+
+  def appendFloat(sb: java.lang.StringBuilder, v: Float): Unit = {
+    val s = java.lang.Float.toString(v)
+    if (java.lang.Float.isFinite(v)) { sb.append(s); () }
+    else { sb.append('"').append(s).append('"'); () }
+  }
+
   /** Jackson-default JSON string escaping: quote, backslash, and the
     * C0 controls (with the five short forms); everything else raw.
     * Iterates UTF-8 bytes — multi-byte sequences are all >= 0x80 and
@@ -154,20 +171,32 @@ object JsonRender {
 
   // ---------------- codegen path ----------------
 
-  /** Emit (and memoize per nested type) a helper method rendering one
-    * value of `dt` into the shared StringBuilder; returns its name.
+  /** Emit a helper method rendering one value of `dt` into the shared
+    * StringBuilder; returns its name. `memo` dedups per type WITHIN one
+    * expression instance (a wide struct of N same-typed fields gets one
+    * helper, not N — keeps generated code clear of Janino size limits).
     */
-  private[functions] def genRender(ctx: CodegenContext, dt: DataType): String = {
+  private[functions] def genRender(ctx: CodegenContext, dt: DataType,
+      memo: scala.collection.mutable.Map[DataType, String]): String = memo.get(dt) match {
+    case Some(existing) => existing
+    case None => genRenderUncached(ctx, dt, memo)
+  }
+
+  // explicit get-then-put (NOT getOrElseUpdate): the body recursively
+  // inserts child types into the same map, and mutable.HashMap's
+  // getOrElseUpdate is not reentrancy-safe under resize
+  private def genRenderUncached(ctx: CodegenContext, dt: DataType,
+      memo: scala.collection.mutable.Map[DataType, String]): String = {
     val jt = CodeGenerator.javaType(dt)
     val body = dt match {
       case StringType =>
         "graft.functions.JsonRender.appendEscaped(sb, v);"
       case BooleanType | ByteType | ShortType | IntegerType | LongType =>
         "sb.append(v);"
-      case FloatType => "sb.append(java.lang.Float.toString(v));"
-      case DoubleType => "sb.append(java.lang.Double.toString(v));"
+      case FloatType => "graft.functions.JsonRender.appendFloat(sb, v);"
+      case DoubleType => "graft.functions.JsonRender.appendDouble(sb, v);"
       case ArrayType(et, _) =>
-        val elemFn = genRender(ctx, et)
+        val elemFn = genRender(ctx, et, memo)
         s"""sb.append('[');
            |for (int i = 0; i < v.numElements(); i++) {
            |  if (i > 0) sb.append(',');
@@ -176,7 +205,7 @@ object JsonRender {
            |}
            |sb.append(']');""".stripMargin
       case MapType(StringType, vt, _) =>
-        val valFn = genRender(ctx, vt)
+        val valFn = genRender(ctx, vt, memo)
         s"""sb.append('{');
            |org.apache.spark.sql.catalyst.util.ArrayData ks = v.keyArray();
            |org.apache.spark.sql.catalyst.util.ArrayData vs = v.valueArray();
@@ -190,7 +219,7 @@ object JsonRender {
            |sb.append('}');""".stripMargin
       case st: StructType =>
         val fields = st.fields.zipWithIndex.map { case (f, i) =>
-          val fn = genRender(ctx, f.dataType)
+          val fn = genRender(ctx, f.dataType, memo)
           // field name escaped once at codegen time (it is static)
           val nameSb = new java.lang.StringBuilder
           appendEscaped(nameSb, UTF8String.fromString(f.name))
@@ -209,9 +238,11 @@ object JsonRender {
       case other => throw new IllegalStateException(s"unsupported: $other")
     }
     val fn = ctx.freshName("jsonRender")
-    ctx.addNewFunction(fn,
+    val added = ctx.addNewFunction(fn,
       s"""private void $fn(java.lang.StringBuilder sb, $jt v) {
          |  $body
          |}""".stripMargin)
+    memo(dt) = added
+    added
   }
 }

@@ -68,8 +68,14 @@ object RegexCompiles {
     val hit = c.get(str)
     if (hit != null) hit.booleanValue()
     else {
+      // StackOverflowError too: Pattern.compile's recursive-descent
+      // parser overflows on deeply nested groups — an adversarial VALUE
+      // must be classified invalid, not kill the validation task
       val ok = try { java.util.regex.Pattern.compile(str); true }
-               catch { case _: java.util.regex.PatternSyntaxException => false }
+               catch {
+                 case _: java.util.regex.PatternSyntaxException => false
+                 case _: StackOverflowError => false
+               }
       c.put(str, java.lang.Boolean.valueOf(ok))
       ok
     }

@@ -218,10 +218,16 @@ object Dedup {
     // mismatches). maxIters bounds the graph DIAMETER, which for a dup
     // graph is far below 50; hitting it means the input is not the
     // near-clique pair graph this propagation variant is for.
-    if (changed > 0)
+    if (changed > 0) {
+      // free internal caches on the failure path too — the documented
+      // recovery (retry with the alternating variant) would otherwise
+      // accumulate the leaked blocks per attempt
+      org.apache.spark.sql.GraftSqlBridge.unpersistCheckpoint(edges)
+      org.apache.spark.sql.GraftSqlBridge.unpersistCheckpoint(labels)
       throw new IllegalStateException(
         s"connectedComponents did not converge in $maxIters rounds " +
-          s"($changed labels still changing); use a log-rounds variant for deep-chain graphs")
+          s"($changed labels still changing); use connectedComponentsAlternating for deep-chain graphs")
+    }
     // the returned labels depend only on the LAST round's checkpoint,
     // so the internal edge cache can be released here
     org.apache.spark.sql.GraftSqlBridge.unpersistCheckpoint(edges)
@@ -302,9 +308,11 @@ object Dedup {
       fp = nfp
       it += 1
     }
-    if (!converged)
+    if (!converged) {
+      org.apache.spark.sql.GraftSqlBridge.unpersistCheckpoint(edges) // failure path: no leak
       throw new IllegalStateException(
         s"connectedComponentsAlternating did not converge in $maxIters rounds")
+    }
     // star forest: every hi hangs directly off its component minimum;
     // the final edge checkpoint stays persisted (the result reads it)
     val labels = edges.select(col("hi").as("id"), col("lo").as("comp"))

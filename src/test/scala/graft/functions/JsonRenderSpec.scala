@@ -71,6 +71,12 @@ class JsonRenderSpec extends AnyFlatSpec with Matchers {
       lit(true).as("b"), lit(3.toByte).as("y"), lit(9.toShort).as("h"),
       lit(1.25f).as("f")).as("s"))
     assertParity(prim, col("s"))
+    // non-finite floats: to_json quotes them (Jackson
+    // QUOTE_NON_NUMERIC_NUMBERS default) — parity must hold
+    val nonFinite = Seq((Double.NaN, Float.PositiveInfinity, Double.NegativeInfinity))
+      .toDF("d", "f", "n").select(struct(col("d"), col("f"), col("n")).as("s"))
+    assertParity(nonFinite, col("s"))
+    assertParity(Seq(Seq(Double.NaN, 1.0, Double.PositiveInfinity)).toDF("a"), col("a"))
   }
 
   it should "run on the codegen path over a non-foldable source" in {

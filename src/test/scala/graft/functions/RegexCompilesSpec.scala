@@ -45,4 +45,13 @@ class RegexCompilesSpec extends AnyFlatSpec with Matchers {
       .select(rc(concat(lit("(broken[" ), col("id").cast("string"))).as("ok"))
       .filter(!col("ok")).count() shouldBe 500
   }
+
+  it should "classify a deeply nested pattern as invalid instead of crashing the task" in {
+    import spark.implicits._
+    // Pattern.compile's recursive-descent parser overflows the stack on
+    // thousands of nested groups; the validator must flag, not die
+    val bomb = "(" * 20000
+    Seq(bomb).toDF("p").select(rc(col("p")).as("ok"))
+      .collect()(0).getBoolean(0) shouldBe false
+  }
 }

@@ -40,7 +40,9 @@ class FidelitySpec extends AnyFlatSpec with Matchers {
     val schema = graft.compile.TableSchemaCompiler
       .compileString(graft.compile.Fixtures.flagshipSchema).toOption.get
     graft.checkpoint.Checkpoint.runValidation(spark, in, schema, s"$dir/v", s"$dir/m.jsonl")
-    graft.integrity.Integrity.integrityReport(spark.read.parquet(in)).duplicateKeys.count()
+    val report = graft.integrity.Integrity.integrityReport(spark.read.parquet(in))
+    report.duplicateKeys.count()
+    report.unpersist()
 
     val after = spark.read.parquet(in).orderBy("conv_id", "turn_idx", "text")
       .collect().map(_.toString).toSeq
