@@ -552,6 +552,18 @@ object SparkEntry {
         Map("en" -> 0.5, "zh" -> 0.25), defaultRate = 0.05, salt = "mix1")
         .select(col("doc_id").cast("long").as("doc_id"), col("lang"))),
 
+    // training-mix weight > 1: deterministic fractional up-sampling
+    // (2.3 epochs -> 2 copies always, an md5-selected 30% get a third)
+    "upsample_docs" -> ((s, dir) =>
+      Sampling.upsampleMd5(docs(s, dir), 2.3, "doc_id", salt = "up1")
+        .select(col("doc_id").cast("long").as("doc_id"), col("copy_idx"))),
+
+    // tokenizer-training primitive: corpus bigram frequencies, top-50
+    // by (count desc, pair asc) — deterministic tie order both engines
+    "token_pairs" -> ((s, dir) =>
+      TextOps.tokenPairCounts(docs(s, dir), topN = 50)
+        .select(col("pair"), col("n"))),
+
     // repetition quality signals: Gopher-style duplicate-3-gram ratio
     // (per-row array arithmetic) + top-token share (explode + two
     // map-side-combining aggs)
@@ -940,6 +952,22 @@ object SparkEntry {
         |WHERE CAST(('0x' || substring(md5(CAST(doc_id AS VARCHAR) || 'mix1'), 1, 15)) AS BIGINT)
         |      % 1000000
         |      < CASE lang WHEN 'en' THEN 500000 WHEN 'zh' THEN 250000 ELSE 50000 END""".stripMargin,
+
+    // 2 copies of every row + a third for md5-bucket < 300000 (= 0.3)
+    "upsample_docs" ->
+      """SELECT CAST(doc_id AS BIGINT) AS doc_id, CAST(i AS BIGINT) AS copy_idx
+        |FROM documents, UNNEST(range(0, 2 + CASE WHEN
+        |  CAST(('0x' || substring(md5(CAST(doc_id AS VARCHAR) || 'up1'), 1, 15)) AS BIGINT)
+        |    % 1000000 < 300000 THEN 1 ELSE 0 END)) AS t(i)""".stripMargin,
+
+    "token_pairs" ->
+      """WITH toks AS (
+        |  SELECT list_filter(regexp_split_to_array(trim(lower(text)), '\s+'), t -> t <> '') AS t
+        |  FROM documents),
+        |p AS (SELECT list_transform(range(1, len(t)), i -> t[i] || ' ' || t[i+1]) AS ps FROM toks),
+        |u AS (SELECT unnest(ps) AS pair FROM p)
+        |SELECT pair, CAST(COUNT(*) AS BIGINT) AS n FROM u
+        |GROUP BY pair ORDER BY n DESC, pair ASC LIMIT 50""".stripMargin,
 
     "text_repetition" ->
       """WITH sh AS (

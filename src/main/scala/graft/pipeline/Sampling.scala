@@ -84,4 +84,36 @@ object Sampling {
       case (acc, (stratum, rate)) =>
         when(col(stratumCol) === stratum, lit(rateToBucket(rate))).otherwise(acc)
     }
+
+  /** Deterministic FRACTIONAL up-sampling — training-mix weights above
+    * 1 ("this source gets 2.3 epochs"): every row is emitted
+    * floor(rate) times, and an md5-selected `rate - floor(rate)`
+    * fraction of rows once more. The extra-copy decision reuses the
+    * same per-million bucket rule as [[hashSampleMd5]], so it is a pure
+    * function of (key, salt) — identical across runs, partition layouts
+    * and cluster sizes, and replayable by an external oracle. Output
+    * carries `copy_idx` (0-based) so downstream shuffles, dedup keys,
+    * and shard assignment can distinguish copies. Rates below 1 degrade
+    * to plain sampling (0 or 1 copies) — same rule, one operator.
+    *
+    * Scale shape: a per-row generate (explode of a 0..n-1 sequence) —
+    * no shuffle, no state; output size is exactly rate * |input| in
+    * expectation with deterministic membership.
+    */
+  def upsampleMd5(df: DataFrame, rate: Double, keyCol: String,
+                  salt: String = ""): DataFrame = {
+    require(rate >= 0.0, s"up-sample rate must be >= 0, got $rate")
+    val whole = math.floor(rate).toLong
+    val fracBucket = math.round((rate - whole) * Buckets)
+    val copies = (lit(whole) +
+      when(bucketMd5(col(keyCol), salt) < fracBucket, 1L).otherwise(0L)).as("__copies")
+    // sequence(0, -1) would yield [0, -1] (Spark defaults to step -1
+    // when start > stop), so zero-copy rows take an explicit empty
+    // array — explode drops them
+    df.withColumn("__copies", copies)
+      .withColumn("copy_idx",
+        explode(when(col("__copies") > 0, sequence(lit(0L), col("__copies") - 1))
+          .otherwise(array().cast("array<bigint>"))))
+      .drop("__copies")
+  }
 }

@@ -204,6 +204,27 @@ object TextOps {
         round(col("tf") * log(col("__n") / col("df")), 6).as("weight"))
   }
 
+  /** Adjacent-token-pair (bigram) frequencies over the corpus — the
+    * counting primitive of BPE/WordPiece-style tokenizer training
+    * (rank merge candidates by corpus pair frequency) and of
+    * collocation statistics. Pairs are built per row in O(tokens) with
+    * one zip_with against the 1-shifted token array (same technique as
+    * [[Dedup.shingles]]), then ONE explode + count aggregation with
+    * map-side partial combine; the top-N is TakeOrdered over
+    * (n desc, pair asc) — deterministic ties, no global sort
+    * materialized. Scales like vocabulary(): shuffle bounded by
+    * #distinct pairs, not #tokens.
+    */
+  def tokenPairCounts(df: DataFrame, topN: Int, textCol: String = "text"): DataFrame = {
+    val toks = filter(split(trim(lower(col(textCol))), "\\s+"), t => t =!= "")
+    val pairs = zip_with(toks, slice(toks, lit(2), greatest(size(toks) - 1, lit(0))),
+      (a, b) => when(a.isNull || b.isNull, lit(null)).otherwise(concat(a, lit(" "), b)))
+    df.select(explode(filter(pairs, p => p.isNotNull)).as("pair"))
+      .groupBy("pair").agg(count(lit(1)).as("n"))
+      .orderBy(col("n").desc, col("pair").asc)
+      .limit(topN)
+  }
+
   /** Language-ID marker families (stopword heuristic). The synthetic
     * corpus is English-salad for every label, so this scores marker hits
     * per family and predicts argmax with a deterministic tie order —

@@ -618,6 +618,44 @@ class PipelineSpec extends AnyFlatSpec with Matchers {
     } finally spark.sparkContext.removeSparkListener(listener)
   }
 
+  "TextOps.tokenPairCounts" should "count adjacent bigrams with deterministic top-N" in {
+    import spark.implicits._
+    val df = Seq(
+      (1L, "a b a b c"),   // pairs: "a b" x2, "b a", "b c"
+      (2L, "a b"),         // "a b"
+      (3L, "solo"),        // no pairs
+      (4L, "   "),         // no tokens
+      (5L, "")).toDF("doc_id", "text")
+    val got = TextOps.tokenPairCounts(df, topN = 10)
+      .collect().map(r => (r.getString(0), r.getLong(1))).toList
+    got shouldBe List(("a b", 3L), ("b a", 1L), ("b c", 1L))
+  }
+
+  "Sampling.upsampleMd5" should "emit floor(rate) copies plus an md5-selected fraction" in {
+    import spark.implicits._
+    val df = (1L to 400L).toDF("doc_id")
+    val up = Sampling.upsampleMd5(df, 2.3, "doc_id", salt = "t")
+      .groupBy("doc_id").agg(count(lit(1)).as("copies"),
+        countDistinct(col("copy_idx")).as("distinctIdx"))
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+    up.length shouldBe 400 // every row survives at rate >= 1
+    all(up.map(_._2)) should (be(2L) or be(3L))
+    up.foreach { case (_, c, d) => d shouldBe c } // copy_idx distinct per copy
+    val three = up.count(_._2 == 3L)
+    three.toDouble / 400 shouldBe 0.3 +- 0.08
+    // determinism: same input -> same copy multiset
+    val again = Sampling.upsampleMd5(df, 2.3, "doc_id", salt = "t")
+      .groupBy("doc_id").agg(count(lit(1)).as("c")).collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toMap
+    up.map(t => (t._1, t._2)).toMap shouldBe again
+    // rate < 1 degrades to plain sampling with the same bucket rule
+    val down = Sampling.upsampleMd5(df, 0.3, "doc_id", salt = "t")
+    down.select("doc_id").collect().map(_.getLong(0)).toSet shouldBe
+      Sampling.hashSampleMd5(df, 0.3, "doc_id", salt = "t")
+        .select("doc_id").collect().map(_.getLong(0)).toSet
+    down.select("copy_idx").distinct().collect().map(_.getLong(0)).toSeq shouldBe Seq(0L)
+  }
+
   "Packing.packChunks" should "assign contiguous global offsets regardless of input partitioning" in {
     import spark.implicits._
     val df = Seq((1L, "a b c"), (2L, ""), (3L, "d e"), (4L, "f g h i"), (5L, "j"))
