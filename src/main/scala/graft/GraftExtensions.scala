@@ -19,6 +19,8 @@ import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo}
   *    pattern must be a literal the fast path supports — unsupported
   *    shapes are rejected at registration with a clear message, so SQL
   *    users fall back to `rlike` consciously rather than silently)
+  *  - `regex_compiles(str)`          -> boolean ([[graft.functions.RegexCompiles]])
+  *  - `json_render(value)`           -> string  ([[graft.functions.JsonRender]])
   */
 class GraftExtensions extends (SparkSessionExtensions => Unit) {
   override def apply(ext: SparkSessionExtensions): Unit =
@@ -55,7 +57,11 @@ object GraftExtensions {
         require(graft.functions.SimplePattern.compile(pattern).isDefined,
           s"pattern not supported by the simple_pattern fast path (use rlike): $pattern")
         graft.functions.SimplePatternMatch(args.head, pattern)
-      }))
+      }),
+    one("regex_compiles", "regex_compiles(str) - TRUE iff the value compiles as a regular expression (format:\"regex\")", 1,
+      args => graft.functions.RegexCompiles(args.head)),
+    one("json_render", "json_render(value) - codegen JSON rendering, byte-identical to to_json on supported types", 1,
+      args => graft.functions.JsonRender(args.head)))
 
   /** Register into an already-running session (extensions configs only
     * apply at session construction).

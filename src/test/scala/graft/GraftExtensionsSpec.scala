@@ -50,6 +50,19 @@ class GraftExtensionsSpec extends AnyFlatSpec with Matchers {
     e.getMessage should include("argument")
   }
 
+  it should "expose regex_compiles and json_render to spark.sql" in {
+    val r = spark.sql(
+      "SELECT regex_compiles(x) FROM VALUES ('a+b'), ('*dangling'), (NULL) AS t(x)").collect()
+    r(0).getBoolean(0) shouldBe true
+    r(1).getBoolean(0) shouldBe false
+    r(2).isNullAt(0) shouldBe true
+    spark.sql("SELECT json_render(named_struct('a', 'x\"y', 'b', CAST(NULL AS STRING)))")
+      .collect().head.getString(0) shouldBe """{"a":"x\"y"}"""
+    // unsupported type -> clear analysis error, not silent wrong output
+    an[Exception] should be thrownBy
+      spark.sql("SELECT json_render(named_struct('t', current_timestamp()))").collect()
+  }
+
   it should "apply the same registrations through the extensions class" in {
     // the config route (spark.sql.extensions) drives this same instance;
     // verify the injector enumerates every registration without error
