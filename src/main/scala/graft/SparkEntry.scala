@@ -564,6 +564,19 @@ object SparkEntry {
       TextOps.tokenPairCounts(docs(s, dir), topN = 50)
         .select(col("pair"), col("n"))),
 
+    // the general mixing rule: per-stratum weights both below and above
+    // 1 in ONE operator (en 1.5 epochs, zh 25%, everything else 5%)
+    "mix_weights" -> ((s, dir) =>
+      Sampling.mixWeightsMd5(docs(s, dir), "doc_id", "lang",
+        Map("en" -> 1.5, "zh" -> 0.25), defaultWeight = 0.05, salt = "mw1")
+        .select(col("doc_id").cast("long").as("doc_id"), col("lang"), col("copy_idx"))),
+
+    // deterministic shard assignment: the exact exchange+sort a shard
+    // writer runs, emitted as data so layout is auditable
+    "shard_assign" -> ((s, dir) =>
+      Sampling.shardAssignMd5(docs(s, dir), numShards = 8, "doc_id", salt = "sh1")
+        .select(col("doc_id").cast("long").as("doc_id"), col("shard"), col("shard_pos"))),
+
     // repetition quality signals: Gopher-style duplicate-3-gram ratio
     // (per-row array arithmetic) + top-token share (explode + two
     // map-side-combining aggs)
@@ -968,6 +981,28 @@ object SparkEntry {
         |u AS (SELECT unnest(ps) AS pair FROM p)
         |SELECT pair, CAST(COUNT(*) AS BIGINT) AS n FROM u
         |GROUP BY pair ORDER BY n DESC, pair ASC LIMIT 50""".stripMargin,
+
+    // per-stratum weight -> floor copies + md5-fraction extra copy
+    "mix_weights" ->
+      """WITH w AS (SELECT doc_id, lang,
+        |    CASE lang WHEN 'en' THEN 1 ELSE 0 END AS whole,
+        |    CASE lang WHEN 'en' THEN 500000 WHEN 'zh' THEN 250000 ELSE 50000 END AS fb,
+        |    CAST(('0x' || substring(md5(CAST(doc_id AS VARCHAR) || 'mw1'), 1, 15)) AS BIGINT)
+        |      % 1000000 AS bucket
+        |  FROM documents)
+        |SELECT CAST(doc_id AS BIGINT) AS doc_id, lang, CAST(i AS BIGINT) AS copy_idx
+        |FROM w, UNNEST(range(0, whole + CASE WHEN bucket < fb THEN 1 ELSE 0 END)) AS t(i)""".stripMargin,
+
+    // shard = 60-bit md5 value mod 8; shard_pos = rank within shard
+    // under the (hash, key) total order
+    "shard_assign" ->
+      """WITH h AS (SELECT doc_id,
+        |    CAST(('0x' || substring(md5(CAST(doc_id AS VARCHAR) || 'sh1'), 1, 15)) AS BIGINT) AS h60
+        |  FROM documents)
+        |SELECT CAST(doc_id AS BIGINT) AS doc_id,
+        |       h60 % 8 AS shard,
+        |       CAST(ROW_NUMBER() OVER (PARTITION BY h60 % 8 ORDER BY h60, doc_id) AS BIGINT) - 1 AS shard_pos
+        |FROM h""".stripMargin,
 
     "text_repetition" ->
       """WITH sh AS (

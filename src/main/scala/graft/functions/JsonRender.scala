@@ -161,7 +161,8 @@ object JsonRender {
         case '\f' => sb.append("\\f")
         case '\r' => sb.append("\\r")
         case _ =>
-          if (c < 0x20) sb.append(f"\\u${c.toInt}%04x")
+          // Jackson renders control chars with UPPERCASE hex ()
+          if (c < 0x20) sb.append(f"\\u${c.toInt}%04X")
           else sb.append(c)
       }
       i += 1

@@ -101,12 +101,40 @@ object Sampling {
     * expectation with deterministic membership.
     */
   def upsampleMd5(df: DataFrame, rate: Double, keyCol: String,
-                  salt: String = ""): DataFrame = {
-    require(rate >= 0.0, s"up-sample rate must be >= 0, got $rate")
-    val whole = math.floor(rate).toLong
-    val fracBucket = math.round((rate - whole) * Buckets)
-    val copies = (lit(whole) +
-      when(bucketMd5(col(keyCol), salt) < fracBucket, 1L).otherwise(0L)).as("__copies")
+                  salt: String = ""): DataFrame =
+    explodeCopies(df, copiesFor(lit(weightFloor(rate)), lit(weightFrac(rate)), keyCol, salt))
+
+  /** The general data-mixing primitive: one WEIGHT per stratum, any
+    * value >= 0 — below 1 down-samples (0 or 1 copies), above 1
+    * up-samples (floor + md5-selected fraction), so one rule covers
+    * "2.3 epochs of wiki, 40% of crawl, drop the rest". Strata compile
+    * to a literal CASE chain; membership and copy count stay a pure
+    * function of (key, salt) — deterministic across layouts and
+    * replayable. Subsumes [[stratifiedSampleMd5]] (weights <= 1,
+    * minus the copy_idx column) and [[upsampleMd5]] (one stratum).
+    */
+  def mixWeightsMd5(df: DataFrame, keyCol: String, stratumCol: String,
+                    weights: Map[String, Double], defaultWeight: Double = 0.0,
+                    salt: String = ""): DataFrame = {
+    (weights.values ++ Seq(defaultWeight)).foreach(w =>
+      require(w >= 0.0, s"mix weight must be >= 0, got $w"))
+    def cases(f: Double => Long): Column =
+      weights.toSeq.sortBy(_._1).foldLeft(lit(f(defaultWeight))) {
+        case (acc, (stratum, w)) =>
+          when(col(stratumCol) === stratum, lit(f(w))).otherwise(acc)
+      }
+    explodeCopies(df,
+      copiesFor(cases(weightFloor), cases(weightFrac), keyCol, salt))
+  }
+
+  private def weightFloor(w: Double): Long = math.floor(w).toLong
+  private def weightFrac(w: Double): Long = math.round((w - math.floor(w)) * Buckets)
+
+  private def copiesFor(whole: Column, fracBucket: Column,
+                        keyCol: String, salt: String): Column =
+    whole + when(bucketMd5(col(keyCol), salt) < fracBucket, 1L).otherwise(0L)
+
+  private def explodeCopies(df: DataFrame, copies: Column): DataFrame =
     // sequence(0, -1) would yield [0, -1] (Spark defaults to step -1
     // when start > stop), so zero-copy rows take an explicit empty
     // array — explode drops them
@@ -115,5 +143,29 @@ object Sampling {
         explode(when(col("__copies") > 0, sequence(lit(0L), col("__copies") - 1))
           .otherwise(array().cast("array<bigint>"))))
       .drop("__copies")
+
+  /** Deterministic training-shard assignment — the physical-layout step
+    * a shard writer needs: `shard` = 60-bit md5 value mod `numShards`
+    * (uniform, layout-invariant), `shard_pos` = the row's rank within
+    * its shard under the (hash, key) total order. The plan is exactly
+    * the write shape: ONE shuffle on `shard`, then a per-shard sort —
+    * the same exchange a `repartition(shard).sortWithinPartitions`
+    * writer would run, so the operator adds nothing beyond what the
+    * write itself costs. Deterministic: same (data, salt, numShards) ->
+    * same (shard, shard_pos) everywhere.
+    */
+  def shardAssignMd5(df: DataFrame, numShards: Int, keyCol: String,
+                     salt: String = ""): DataFrame = {
+    require(numShards > 0, s"numShards must be > 0, got $numShards")
+    val h60 = conv(substring(md5(concat(col(keyCol).cast("string"), lit(salt))), 1, 15), 16, 10)
+      .cast("long")
+    import org.apache.spark.sql.expressions.Window
+    df.withColumn("__h", h60)
+      .withColumn("shard", pmod(col("__h"), lit(numShards.toLong)))
+      .withColumn("shard_pos",
+        row_number().over(
+          Window.partitionBy(col("shard"))
+            .orderBy(col("__h"), col(keyCol))).cast("long") - 1L)
+      .drop("__h")
   }
 }

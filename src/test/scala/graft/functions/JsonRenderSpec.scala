@@ -89,6 +89,34 @@ class JsonRenderSpec extends AnyFlatSpec with Matchers {
     rows.foreach(r => r.getString(1) shouldBe r.getString(0))
   }
 
+  it should "hold parity against to_json on randomized nested values" in {
+    import org.scalacheck.{Gen, Test => ScTest, Prop}
+    import spark.implicits._
+    // adversarial strings: escapes, controls, unicode, empties
+    val strGen: Gen[String] = Gen.frequency(
+      (6, Gen.listOf(Gen.frequency(
+        (10, Gen.alphaNumChar),
+        (2, Gen.oneOf('"', '\\', '\n', '\t', '\r', '\b', '\f', '/', 'é', '✓')),
+        (1, Gen.choose(0.toChar, 0x1f.toChar)))).map(_.mkString)),
+      (1, Gen.const("")))
+    val rowGen: Gen[(Seq[Option[String]], Map[String, Option[String]],
+                     Option[String], Option[Double])] = for {
+      arr <- Gen.listOfN(3, Gen.option(strGen))
+      m <- Gen.mapOfN(2, Gen.zip(strGen, Gen.option(strGen)))
+      sf <- Gen.option(strGen)
+      d <- Gen.option(Gen.oneOf(Gen.chooseNum(-1e9, 1e9),
+        Gen.oneOf(Double.NaN, Double.PositiveInfinity, 0.0, -0.0, 1e-300)))
+    } yield (arr, m, sf, d)
+    val p = Prop.forAll(Gen.listOfN(8, rowGen)) { rows =>
+      val df = rows.toDF("a", "m", "sf", "d")
+        .select(struct(col("a"), col("m"), col("sf"), col("d")).as("s"))
+      df.select(to_json(col("s")).as("want"), jr(col("s")).as("got"))
+        .collect().forall(r => r.getString(1) == r.getString(0))
+    }
+    val r = ScTest.check(ScTest.Parameters.default.withMinSuccessfulTests(30), p)
+    withClue(r.status.toString)(r.passed shouldBe true)
+  }
+
   it should "declare support only for the parity-tested type tree" in {
     import org.apache.spark.sql.types._
     JsonRender.supports(ArrayType(StringType)) shouldBe true

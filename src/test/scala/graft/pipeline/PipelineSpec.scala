@@ -656,6 +656,50 @@ class PipelineSpec extends AnyFlatSpec with Matchers {
     down.select("copy_idx").distinct().collect().map(_.getLong(0)).toSeq shouldBe Seq(0L)
   }
 
+  "Sampling.mixWeightsMd5" should "apply per-stratum weights below and above 1 in one rule" in {
+    import spark.implicits._
+    val df = (1L to 300L).map(i => (i, if (i % 3 == 0) "en" else if (i % 3 == 1) "zh" else "xx"))
+      .toDF("doc_id", "lang")
+    val out = Sampling.mixWeightsMd5(df, "doc_id", "lang",
+      Map("en" -> 1.5, "zh" -> 0.25), defaultWeight = 0.0, salt = "t")
+    val byLang = out.groupBy("lang").agg(count(lit(1)).as("n"), countDistinct("doc_id").as("d"))
+      .collect().map(r => r.getString(0) -> (r.getLong(1), r.getLong(2))).toMap
+    // en (weight 1.5): every doc >= 1 copy, total ~1.5x
+    byLang("en")._2 shouldBe 100
+    byLang("en")._1.toDouble shouldBe (150.0 +- 25.0)
+    // zh (weight .25): a ~25% subset, one copy each
+    byLang("zh")._1 shouldBe byLang("zh")._2
+    byLang("zh")._1.toDouble shouldBe (25.0 +- 15.0)
+    // default 0: stratum absent entirely
+    byLang.get("xx") shouldBe None
+    // weight-1 stratum == stratifiedSample membership with same salt
+    val m1 = Sampling.mixWeightsMd5(df, "doc_id", "lang", Map("zh" -> 0.25), 0.0, salt = "t")
+      .filter(col("lang") === "zh").select("doc_id").collect().map(_.getLong(0)).toSet
+    val m2 = Sampling.stratifiedSampleMd5(df, "doc_id", "lang", Map("zh" -> 0.25), 0.0, salt = "t")
+      .filter(col("lang") === "zh").select("doc_id").collect().map(_.getLong(0)).toSet
+    m1 shouldBe m2
+  }
+
+  "Sampling.shardAssignMd5" should "assign balanced shards with dense deterministic positions" in {
+    import spark.implicits._
+    val df = (1L to 1000L).toDF("doc_id")
+    val out = Sampling.shardAssignMd5(df, numShards = 8, "doc_id", salt = "t")
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+    out.length shouldBe 1000
+    val byShard = out.groupBy(_._2)
+    byShard.keySet.subsetOf((0L until 8L).toSet) shouldBe true
+    // positions are dense 0..n-1 within each shard
+    byShard.foreach { case (_, rows) =>
+      rows.map(_._3).sorted.toSeq shouldBe (0L until rows.length).toSeq
+    }
+    // roughly balanced (md5 uniformity): every shard within 2x of mean
+    byShard.values.map(_.length).min should be > 50
+    // deterministic across repartitionings
+    val again = Sampling.shardAssignMd5(df.repartition(7), 8, "doc_id", salt = "t")
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).sortBy(_._1)
+    again.toSeq shouldBe out.sortBy(_._1).toSeq
+  }
+
   "Packing.packChunks" should "assign contiguous global offsets regardless of input partitioning" in {
     import spark.implicits._
     val df = Seq((1L, "a b c"), (2L, ""), (3L, "d e"), (4L, "f g h i"), (5L, "j"))
