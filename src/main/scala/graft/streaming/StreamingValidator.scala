@@ -1,7 +1,7 @@
 package graft.streaming
 
 import java.sql.Timestamp
-import org.apache.spark.sql.{DataFrame, Dataset}
+import org.apache.spark.sql.{Column, DataFrame, Dataset}
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
 import graft.compile.TableSchema
@@ -74,6 +74,52 @@ object StreamingValidator {
     // one seen; such rows pass through instead (callers wanting them
     // gone filter upstream)
     deduped.unionByName(wm.filter(col(textCol).isNull))
+  }
+
+  /** Streaming distribution drift — the north-star drift checks
+    * (role/tool/text-length histograms vs a reference) on the live
+    * stream: per event-time window, KL(p_window || q_baseline) and PSI
+    * against a FIXED baseline histogram captured from a reference
+    * snapshot (e.g. [[graft.stats.Drift.collectHistogram]] of last
+    * week's table).
+    *
+    * The baseline's bucket set is known at plan time, so the window
+    * histogram compiles to one conditional-count per bucket inside a
+    * SINGLE watermarked aggregation (chained stateful aggs are not
+    * available in append mode; state per window = |buckets| counters),
+    * and the KL/PSI sums are plain scalar column arithmetic over those
+    * counts — the same epsilon-smoothed math as
+    * [[graft.stats.Drift.klPsi]], pinned against it in StreamingSpec.
+    * Buckets outside the baseline fold into one `<other>` bucket with
+    * epsilon mass (a NEW bucket appearing in production is exactly what
+    * drift monitoring must flag, not drop).
+    */
+  def driftRates(stream: DataFrame, baseline: Map[String, Long], bucket: Column,
+                 windowLength: String = "1 minute", watermark: String = "5 minutes",
+                 tsCol: String = "ts", eps: Double = 1e-9): DataFrame = {
+    require(baseline.nonEmpty && baseline.values.sum > 0, "empty baseline histogram")
+    val keys = baseline.keySet.toSeq.sorted
+    val qTotal = baseline.values.sum.toDouble
+    val b = coalesce(bucket.cast("string"), lit("<null>"))
+    val counted = stream
+      .withWatermark(tsCol, watermark)
+      .groupBy(window(col(tsCol), windowLength))
+      .agg(
+        count(lit(1)).as("n"),
+        (keys.map(k => sum(when(b === k, 1L).otherwise(0L)).as(s"__c_$k")) :+
+          sum(when(!b.isin(keys.map(lit): _*), 1L).otherwise(0L)).as("__c_other")): _*)
+    val n = col("n").cast("double")
+    val terms: Seq[(Column, Column)] =
+      keys.map { k =>
+        (greatest(col(s"__c_$k") / n, lit(eps)),
+          lit(math.max(baseline(k) / qTotal, eps)))
+      } :+ ((greatest(col("__c_other") / n, lit(eps)), lit(eps)))
+    def sumOf(f: (Column, Column) => Column): Column =
+      terms.map { case (p, q) => f(p, q) }.reduce(_ + _)
+    counted.select(
+      col("window"), col("n"),
+      sumOf((p, q) => p * log(p / q)).as("kl"),
+      sumOf((p, q) => (p - q) * log(p / q)).as("psi"))
   }
 
   /** Streaming near-duplicate pairs within the watermark horizon — the

@@ -119,6 +119,45 @@ class StreamingSpec extends AnyFlatSpec with Matchers {
 
   final case class Doc(doc_id: Long, text: String, ts: Timestamp)
 
+  it should "score windowed drift against a baseline with the batch KL/PSI math" in {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val baseline = Map("user" -> 50L, "assistant" -> 40L, "system" -> 10L)
+    val input = MemoryStream[Turn]
+    val q = StreamingValidator.driftRates(input.toDF(), baseline,
+        org.apache.spark.sql.functions.col("role"), windowLength = "1 minute")
+      .writeStream.format("memory").queryName("sdrift").outputMode("append").start()
+    try {
+      // window [0,1): 3 user / 1 assistant — shifted vs baseline
+      input.addData(
+        Turn("c1", 0, "user", "a", null, ts(0)),
+        Turn("c1", 1, "user", "b", null, ts(0)),
+        Turn("c2", 0, "user", "c", null, ts(0)),
+        Turn("c2", 1, "assistant", "d", null, ts(0)))
+      // window [2,3): a bucket OUTSIDE the baseline must register drift
+      input.addData(
+        Turn("c3", 0, "tool", "x", null, ts(2)),
+        Turn("c3", 1, "user", "y", null, ts(2)))
+      // advance the watermark so both windows close
+      input.addData(Turn("c9", 0, "user", "z", null, ts(20)))
+      q.processAllAvailable()
+      val rows = spark.sql("SELECT window.start, n, kl, psi FROM sdrift").collect()
+        .map(r => (r.getTimestamp(0), r.getLong(1), r.getDouble(2), r.getDouble(3)))
+        .sortBy(_._1.getTime)
+      rows.length shouldBe 2
+      // window 1 matches the batch math exactly (buckets ⊆ baseline keys)
+      val (klB, psiB) = graft.stats.Drift.klPsi(
+        Map("user" -> 3L, "assistant" -> 1L, "system" -> 0L), baseline)
+      rows(0)._2 shouldBe 4L
+      rows(0)._3 shouldBe klB +- 1e-9
+      rows(0)._4 shouldBe psiB +- 1e-9
+      // window 2: the novel 'tool' bucket gets epsilon baseline mass ->
+      // large positive drift, not a silent drop
+      rows(1)._2 shouldBe 2L
+      rows(1)._3 should be > 1.0
+    } finally q.stop()
+  }
+
   it should "find near-dup pairs within the horizon and mirror batch jaccard" in {
     import spark.implicits._
     implicit val sqlCtx = spark.sqlContext
