@@ -605,6 +605,15 @@ object SparkEntry {
         .select(col("doc_id"), col("n_hits").cast("long").as("n_hits"))
     }),
 
+    // the large-benchmark scale path: codegen Bloom prune before the
+    // exact join — output must be IDENTICAL to plain contamination
+    // (false positives removed by the verify join), so: same oracle
+    "contamination_bloom" -> ((s, dir) => {
+      val d = docs(s, dir)
+      TextOps.contaminationHitsBloom(d, d.filter(col("doc_id") % 13 === 1), n = 8)
+        .select(col("doc_id"), col("n_hits").cast("long").as("n_hits"))
+    }),
+
     // sequence packing (concat-and-chunk): global token offsets via the
     // scalable prefix sum — range repartition + partitioned window +
     // broadcast partition prefixes, never a single-partition window
@@ -1106,6 +1115,21 @@ object SparkEntry {
         |FROM cum""".stripMargin,
 
     "contamination" ->
+      """WITH sh8 AS (
+        |  SELECT doc_id,
+        |    CASE WHEN len(toks) < 8 THEN [array_to_string(toks, ' ')]
+        |         ELSE list_transform(range(1, len(toks) - 6),
+        |                i -> toks[i] || ' ' || toks[i+1] || ' ' || toks[i+2] || ' ' || toks[i+3]
+        |                     || ' ' || toks[i+4] || ' ' || toks[i+5] || ' ' || toks[i+6] || ' ' || toks[i+7]) END AS sh
+        |  FROM (SELECT doc_id, regexp_split_to_array(trim(lower(text)), '\s+') AS toks FROM documents)),
+        |bg AS (SELECT DISTINCT unnest(sh) AS g FROM sh8 WHERE doc_id % 13 = 1),
+        |dg AS (SELECT doc_id, unnest(sh) AS g FROM sh8)
+        |SELECT dg.doc_id, CAST(COUNT(DISTINCT dg.g) AS BIGINT) AS n_hits
+        |FROM dg JOIN bg ON dg.g = bg.g
+        |GROUP BY dg.doc_id""".stripMargin,
+
+    // Bloom only prunes; the exact join restores — identical ground truth
+    "contamination_bloom" ->
       """WITH sh8 AS (
         |  SELECT doc_id,
         |    CASE WHEN len(toks) < 8 THEN [array_to_string(toks, ' ')]

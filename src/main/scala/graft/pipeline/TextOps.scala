@@ -158,6 +158,42 @@ object TextOps {
       .agg(countDistinct(col("g")).as("n_hits"))
   }
 
+  /** [[contaminationHits]] with a Bloom prefilter — the shape for a
+    * LARGE benchmark set: a Bloom filter over the benchmark grams' *
+    * xxhash64 values is embedded in the plan as a binary literal and
+    * evaluated by Spark's codegen `BloomFilterMightContain` (the same
+    * kernel runtime row-group filtering uses), so the corpus-side
+    * explode is pruned to candidate grams BEFORE any join. The exact
+    * broadcast join then removes Bloom false positives, making the
+    * OUTPUT identical to the plain operator (same oracle) while the
+    * join's probe side shrinks from every corpus gram to ~matches +
+    * fpp * |grams|. The Bloom build itself runs one job over the
+    * (benchmark-sized, not corpus-sized) gram set at construction —
+    * inherent to Bloom construction, documented here deliberately.
+    */
+  def contaminationHitsBloom(docs: DataFrame, bench: DataFrame, n: Int = 8,
+                             textCol: String = "text", idCol: String = "doc_id",
+                             benchTextCol: String = "text",
+                             fpp: Double = 0.01): DataFrame = {
+    import org.apache.spark.sql.catalyst.expressions.{BloomFilterMightContain, Literal}
+    val benchGrams = bench
+      .select(explode(Dedup.shingles(col(benchTextCol), n)).as("g")).distinct()
+    val hashes = benchGrams.select(xxhash64(col("g")).as("h"))
+    val nGrams = math.max(hashes.count(), 1L)
+    val bloom = hashes.stat.bloomFilter("h", nGrams, fpp)
+    val bos = new java.io.ByteArrayOutputStream()
+    bloom.writeTo(bos)
+    val might = org.apache.spark.sql.GraftSqlBridge.column(
+      BloomFilterMightContain(
+        Literal.create(bos.toByteArray, org.apache.spark.sql.types.BinaryType),
+        org.apache.spark.sql.GraftSqlBridge.expression(xxhash64(col("g")))))
+    docs.select(col(idCol), explode(Dedup.shingles(col(textCol), n)).as("g"))
+      .filter(might)
+      .join(broadcast(benchGrams), "g")
+      .groupBy(col(idCol))
+      .agg(countDistinct(col("g")).as("n_hits"))
+  }
+
   /** Corpus vocabulary: the `topN` tokens by total frequency, with
     * document frequency alongside (the tokenizer-training / IDF
     * primitive). One explode + one hash aggregation (map-side combining
