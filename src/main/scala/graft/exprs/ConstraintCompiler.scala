@@ -689,6 +689,35 @@ object Validator {
       .as[Violation]
   }
 
+  /** Violation COUNTS by (constraint, column) without emitting a single
+    * violation row: one conditional sum per compiled check in ONE
+    * whole-table aggregation (map-side partial combine; zero Generate,
+    * zero pointer/actual string building — counting needs none of it).
+    * The operational-rollup shape for 10^12 rows: the scan is the only
+    * data-sized stage, the aggregate output is |checks| rows. Zero-count
+    * checks are dropped to match what a rollup over emitted rows shows.
+    */
+  def violationCounts(df: DataFrame, schema: TableSchema): DataFrame = {
+    val checks = ConstraintCompiler.compile(schema, df.schema)
+      .fold(e => throw new IllegalArgumentException(e), identity)
+    if (checks.isEmpty)
+      return df.sparkSession.emptyDataFrame
+        .select(lit("").as("constraint"), lit("").as("column"), lit(0L).as("n"))
+    val aggs = checks.zipWithIndex.map { case (ch, i) =>
+      sum((!ch.ok).cast("long")).as(s"__v_$i")
+    }
+    val wide = df.agg(aggs.head, aggs.tail: _*)
+    val structs = checks.zipWithIndex.map { case (ch, i) =>
+      struct(lit(ch.constraint).as("constraint"), lit(ch.column).as("column"),
+        col(s"__v_$i").as("n"))
+    }
+    wide.select(explode(array(structs: _*)).as("s")).select(col("s.*"))
+      // distinct checks can share (constraint, column) — e.g. tuple
+      // positions — and a rollup over emitted rows would merge them
+      .groupBy("constraint", "column").agg(sum(col("n")).as("n"))
+      .filter(col("n") > 0)
+  }
+
   /** Per-row pass/fail flag in one pass (no explode) — used for
     * per-partition pass/fail accounting.
     */

@@ -98,6 +98,21 @@ class FusedRunSpec extends AnyFlatSpec with Matchers {
     r.containerSizes.get("tags") shouldBe None
   }
 
+  "Validator.violationCounts" should "equal the rollup over emitted violation rows" in {
+    import org.apache.spark.sql.functions._
+    val df = TranscriptGen.generate(spark, 200, 5, TranscriptGen.all)
+    val schema = graft.compile.TableSchemaCompiler
+      .compileString(graft.compile.Fixtures.flagshipSchema).toOption.get
+    val emitted = Validator.validateTranscripts(df, schema).toDF()
+      .groupBy(col("constraint"), element_at(split(col("pointer"), "/"), -1).as("column"))
+      .agg(count(lit(1)).as("n"))
+      .collect().map(r => (r.getString(0), r.getString(1)) -> r.getLong(2)).toMap
+    val counted = Validator.violationCounts(df, schema)
+      .collect().map(r => (r.getString(0), r.getString(1)) -> r.getLong(2)).toMap
+    emitted.isEmpty shouldBe false
+    counted shouldBe emitted
+  }
+
   "Integrity.integrityReport" should "find dups and orphans from one full-data shuffle" in {
     val df = TranscriptGen.generate(spark, 100, 5,
       TranscriptGen.Defects(duplicates = true, orphans = true)).cache()
