@@ -37,6 +37,13 @@ object ValidateTableMain {
         .getOrCreate()
       spark.sparkContext.setLogLevel("WARN")
       try {
+        // the diagnostic bind view BEFORE the run: one line per schema/
+        // physical column mismatch (a compile failure inside the run
+        // reports only the first problem; this shows all of them)
+        graft.exprs.ConstraintCompiler
+          .bindReport(schema, spark.read.parquet(inputDir).schema)
+          .filterNot(_.status == "ok")
+          .foreach(b => System.err.println(s"schema bind: ${b.column} ${b.status} (${b.detail})"))
         val results = Checkpoint.runValidation(
           spark, inputDir, schema, s"$outDir/violations", s"$outDir/manifest.jsonl")
         val df = spark.read.parquet(inputDir)

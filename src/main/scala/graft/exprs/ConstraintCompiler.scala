@@ -603,6 +603,40 @@ object ConstraintCompiler {
     }
 
   /** All compiled checks for a table. */
+  /** One row per schema column AND per physical-only column: bind status
+    * of the declared schema against the table's physical schema —
+    * `ok` / `missing_required` / `missing_optional` / `uncompilable`
+    * (declared constraints can't bind to the physical type) /
+    * `undeclared` (physical column the schema says nothing about).
+    * [[compile]] fails loud at the first problem (the right behavior
+    * for a validation RUN); this is the DIAGNOSTIC view operators and
+    * CI checks use to see every mismatch at once, e.g. after a
+    * producer-side schema evolution. Pure driver-side metadata — no
+    * job, no scan.
+    */
+  final case class ColumnBind(column: String, status: String, detail: String)
+
+  def bindReport(schema: TableSchema, dfSchema: StructType): Seq[ColumnBind] = {
+    val declared = schema.columns.toSeq.map { case (name, prop) =>
+      dfSchema.fields.find(_.name == name) match {
+        case None if prop.required =>
+          ColumnBind(name, "missing_required", "declared required; absent from table")
+        case None =>
+          ColumnBind(name, "missing_optional", "declared optional; absent from table")
+        case Some(f) =>
+          columnChecks(name, prop, f.dataType) match {
+            case Left(err) => ColumnBind(name, "uncompilable", err)
+            case Right(cs) => ColumnBind(name, "ok",
+              s"${f.dataType.simpleString}; ${cs.length} checks")
+          }
+      }
+    }
+    val declaredNames = schema.columns.keySet
+    val extra = dfSchema.fields.filterNot(f => declaredNames.contains(f.name)).map(f =>
+      ColumnBind(f.name, "undeclared", s"physical ${f.dataType.simpleString}; no constraints"))
+    declared ++ extra
+  }
+
   def compile(schema: TableSchema, dfSchema: StructType): Either[String, Seq[Check]] = {
     val perColumn = schema.columns.toSeq.map { case (name, prop) =>
       dfSchema.fields.find(_.name == name) match {

@@ -272,4 +272,36 @@ class CompilerEdgeSpec extends AnyFlatSpec with Matchers {
     // ...and additionalItems:false was silently dropped for 1-entry tuples
     validate(tupleNoExtra, df) shouldBe Set((0, "additionalItems"), (1, "items[0]"))
   }
+
+  "bindReport" should "classify every declared and physical column in one diagnostic view" in {
+    val schema = TableSchemaCompiler.compileString("""
+      { "type": "object", "required": ["conv_id"],
+        "properties": {
+          "conv_id":  { "type": "string" },
+          "turn_idx": { "type": "integer" },
+          "gone_req": { "type": "string" },
+          "gone_opt": { "type": "string" },
+          "badbind":  { "type": "string", "enum": [1, 2] } } }""").toOption.get
+    // required is a PROPERTY attribute in draft-4's root "required" list:
+    // re-mark gone_req required through the table compiler contract
+    val schemaReq = schema.copy(columns = schema.columns.map {
+      case (n, p) if n == "gone_req" => n -> p.copy(required = true)
+      case other => other
+    })
+    val physical = StructType(Seq(
+      StructField("conv_id", StringType),
+      StructField("turn_idx", IntegerType),
+      StructField("badbind", StringType),
+      StructField("surprise", DoubleType)))
+    val rows = ConstraintCompiler.bindReport(schemaReq, physical)
+      .map(b => b.column -> b.status).toMap
+    rows("conv_id") shouldBe "ok"
+    rows("turn_idx") shouldBe "ok"
+    rows("gone_req") shouldBe "missing_required"
+    rows("gone_opt") shouldBe "missing_optional"
+    rows("badbind") shouldBe "uncompilable" // numeric enum on a string column
+    rows("surprise") shouldBe "undeclared"
+    // the diagnostic view reports ALL problems where compile fails at the first
+    ConstraintCompiler.compile(schemaReq, physical).isLeft shouldBe true
+  }
 }
