@@ -251,6 +251,41 @@ object SparkEntry {
       Conversations.structureStats(
         TranscriptDerive.fromLineitem(s, dir), maxGapSeconds = 30L * 24 * 3600)),
 
+    // the same sessionization operator over the EVENTS table (second
+    // shape: per-user streams, sub-second timestamps — the FLOOR(epoch)
+    // oracle pin is load-bearing here), 30-minute session gap
+    "events_structure" -> ((s, dir) =>
+      Conversations.structureStats(
+        s.read.parquet(s"$dir/events.parquet").select(
+          col("user_id").cast("string").as("conv_id"),
+          col("event_id").cast("int").as("turn_idx"),
+          col("event_type").as("role"),
+          col("props").as("text"),
+          col("ts")),
+        maxGapSeconds = 30L * 60)
+        .select(col("conv_id").cast("long").as("user_id"), col("n_turns"),
+          col("n_sessions"), col("role_repeat_ratio"))),
+
+    // the validator over the events table with its JSON-string payload
+    // parsed into columns: natural (not planted) violations — 'signup'
+    // excluded from the enum, value capped at 50, k capped at 79
+    "events_props_violations" -> ((s, dir) => {
+      val e = s.read.parquet(s"$dir/events.parquet").select(
+        col("user_id"), col("event_id"), col("event_type"),
+        get_json_object(col("props"), "$.k").cast("int").as("k"),
+        col("value"))
+      val schemaJson = """
+        { "type": "object", "required": ["user_id", "event_id"],
+          "properties": {
+            "user_id":  { "type": "integer" },
+            "event_id": { "type": "integer" },
+            "event_type": { "type": "string", "enum": ["click", "view", "error", "purchase"] },
+            "k":     { "type": "integer", "maximum": 79 },
+            "value": { "type": "number", "maximum": 50 }
+          } }"""
+      Validator.violations(e, compileSchema(schemaJson), Seq("user_id", "event_id"))
+    }),
+
     // operational rollup: violation counts by constraint and column
     // counting needs no emission: one conditional sum per check in a
     // single scan (round 4 — was emit-all-rows + groupBy, 3.5 s -> sub-s)
@@ -798,6 +833,42 @@ object SparkEntry {
     "orders_ref_integrity" ->
       """SELECT CAST(COUNT(*) AS BIGINT) AS orphan_count FROM lineitem
         |WHERE l_orderkey NOT IN (SELECT o_orderkey FROM orders)""".stripMargin,
+
+    // same replay as conv_structure over the events mapping; the
+    // FLOOR(epoch) pin matters here — events carry sub-second ts
+    "events_structure" ->
+      """WITH o AS (SELECT user_id, event_type AS role, props,
+        |        CAST(FLOOR(epoch(ts)) AS BIGINT) AS tsec,
+        |        ROW_NUMBER() OVER w AS rn,
+        |        LAG(CAST(FLOOR(epoch(ts)) AS BIGINT)) OVER w AS prev_ts,
+        |        LAG(event_type) OVER w AS prev_role
+        |      FROM events
+        |      WINDOW w AS (PARTITION BY user_id ORDER BY CAST(event_id AS INT) ASC NULLS FIRST,
+        |        ts ASC NULLS FIRST, event_type ASC NULLS FIRST, props ASC NULLS FIRST)),
+        |m AS (SELECT user_id,
+        |        CASE WHEN prev_ts IS NULL OR tsec - prev_ts <= 1800 THEN 0 ELSE 1 END AS ns,
+        |        CASE WHEN rn > 1 AND role IS NOT DISTINCT FROM prev_role THEN 1 ELSE 0 END AS rep
+        |      FROM o)
+        |SELECT CAST(user_id AS BIGINT) AS user_id, CAST(COUNT(*) AS BIGINT) AS n_turns,
+        |       CAST(SUM(ns) + 1 AS BIGINT) AS n_sessions,
+        |       ROUND(CAST(SUM(rep) AS DOUBLE) / GREATEST(COUNT(*) - 1, 1), 6) AS role_repeat_ratio
+        |FROM m GROUP BY user_id""".stripMargin,
+
+    // natural violations from the data distribution (no plants): the
+    // enum excludes 'signup', value caps at 50, k caps at 79
+    "events_props_violations" ->
+      """SELECT user_id, event_id,
+        |  '/' || user_id || '/' || event_id || '/event_type' AS pointer,
+        |  'enum' AS "constraint", event_type AS actual
+        |FROM events WHERE event_type NOT IN ('click', 'view', 'error', 'purchase')
+        |UNION ALL
+        |SELECT user_id, event_id, '/' || user_id || '/' || event_id || '/value',
+        |  'maximum', CAST(value AS VARCHAR)
+        |FROM events WHERE value > 50
+        |UNION ALL
+        |SELECT user_id, event_id, '/' || user_id || '/' || event_id || '/k',
+        |  'maximum', CAST(CAST(json_extract_string(props, 'k') AS INT) AS VARCHAR)
+        |FROM events WHERE CAST(json_extract_string(props, 'k') AS INT) > 79""".stripMargin,
 
     "v_multipleof" ->
       """SELECT l_orderkey, l_linenumber,
