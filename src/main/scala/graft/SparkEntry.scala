@@ -266,6 +266,30 @@ object SparkEntry {
         .select(col("conv_id").cast("long").as("user_id"), col("n_turns"),
           col("n_sessions"), col("role_repeat_ratio"))),
 
+    // multi-edge referential integrity over the full TPC-H-ish star:
+    // each FK edge is one anti-join (broadcast for the small parents),
+    // counts unioned into one report — the shape of a whole-warehouse
+    // integrity sweep
+    "fk_integrity" -> ((s, dir) => {
+      def t(n: String) = s.read.parquet(s"$dir/$n.parquet")
+      def edge(name: String, child: DataFrame, childKey: String,
+               parent: DataFrame, parentKey: String, bcast: Boolean) =
+        Integrity.orphans(
+            child.select(col(childKey).as(parentKey)), parent, parentKey,
+            broadcastRegistry = bcast)
+          .agg(count(lit(1)).as("orphans"))
+          .select(lit(name).as("edge"), col("orphans"))
+      edge("lineitem->part", t("lineitem"), "l_partkey", t("part"), "p_partkey", bcast = true)
+        .unionByName(edge("lineitem->supplier", t("lineitem"), "l_suppkey",
+          t("supplier"), "s_suppkey", bcast = true))
+        .unionByName(edge("orders->customer", t("orders"), "o_custkey",
+          t("customer"), "c_custkey", bcast = true))
+        .unionByName(edge("customer->nation", t("customer"), "c_nationkey",
+          t("nation"), "n_nationkey", bcast = true))
+        .unionByName(edge("nation->region", t("nation"), "n_regionkey",
+          t("region"), "r_regionkey", bcast = true))
+    }),
+
     // the validator over the events table with its JSON-string payload
     // parsed into columns: natural (not planted) violations — 'signup'
     // excluded from the enum, value capped at 50, k capped at 79
@@ -833,6 +857,22 @@ object SparkEntry {
     "orders_ref_integrity" ->
       """SELECT CAST(COUNT(*) AS BIGINT) AS orphan_count FROM lineitem
         |WHERE l_orderkey NOT IN (SELECT o_orderkey FROM orders)""".stripMargin,
+
+    "fk_integrity" ->
+      """SELECT 'lineitem->part' AS edge, CAST(COUNT(*) AS BIGINT) AS orphans
+        |FROM lineitem WHERE l_partkey NOT IN (SELECT p_partkey FROM part)
+        |UNION ALL
+        |SELECT 'lineitem->supplier', CAST(COUNT(*) AS BIGINT)
+        |FROM lineitem WHERE l_suppkey NOT IN (SELECT s_suppkey FROM supplier)
+        |UNION ALL
+        |SELECT 'orders->customer', CAST(COUNT(*) AS BIGINT)
+        |FROM orders WHERE o_custkey NOT IN (SELECT c_custkey FROM customer)
+        |UNION ALL
+        |SELECT 'customer->nation', CAST(COUNT(*) AS BIGINT)
+        |FROM customer WHERE c_nationkey NOT IN (SELECT n_nationkey FROM nation)
+        |UNION ALL
+        |SELECT 'nation->region', CAST(COUNT(*) AS BIGINT)
+        |FROM nation WHERE n_regionkey NOT IN (SELECT r_regionkey FROM region)""".stripMargin,
 
     // same replay as conv_structure over the events mapping; the
     // FLOOR(epoch) pin matters here — events carry sub-second ts
