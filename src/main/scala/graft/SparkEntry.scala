@@ -272,11 +272,15 @@ object SparkEntry {
     // integrity sweep
     "fk_integrity" -> ((s, dir) => {
       def t(n: String) = s.read.parquet(s"$dir/$n.parquet")
+      // a NULL FK is an ABSENT reference (reported by `required` if the
+      // schema demands one), not a referential violation — and the SQL
+      // NOT IN form agrees only under that filter (NULL IN (...) is
+      // UNKNOWN), so pin the semantics explicitly on both sides
       def edge(name: String, child: DataFrame, childKey: String,
                parent: DataFrame, parentKey: String, bcast: Boolean) =
         Integrity.orphans(
-            child.select(col(childKey).as(parentKey)), parent, parentKey,
-            broadcastRegistry = bcast)
+            child.filter(col(childKey).isNotNull).select(col(childKey).as(parentKey)),
+            parent, parentKey, broadcastRegistry = bcast)
           .agg(count(lit(1)).as("orphans"))
           .select(lit(name).as("edge"), col("orphans"))
       edge("lineitem->part", t("lineitem"), "l_partkey", t("part"), "p_partkey", bcast = true)
@@ -858,21 +862,23 @@ object SparkEntry {
       """SELECT CAST(COUNT(*) AS BIGINT) AS orphan_count FROM lineitem
         |WHERE l_orderkey NOT IN (SELECT o_orderkey FROM orders)""".stripMargin,
 
+    // NOT EXISTS + IS NOT NULL: NULL-FK-safe on both sides (NOT IN goes
+    // UNKNOWN on NULLs and zeroes the edge if a PARENT key is NULL)
     "fk_integrity" ->
       """SELECT 'lineitem->part' AS edge, CAST(COUNT(*) AS BIGINT) AS orphans
-        |FROM lineitem WHERE l_partkey NOT IN (SELECT p_partkey FROM part)
+        |FROM lineitem l WHERE l_partkey IS NOT NULL AND NOT EXISTS (SELECT 1 FROM part WHERE p_partkey = l.l_partkey)
         |UNION ALL
         |SELECT 'lineitem->supplier', CAST(COUNT(*) AS BIGINT)
-        |FROM lineitem WHERE l_suppkey NOT IN (SELECT s_suppkey FROM supplier)
+        |FROM lineitem l WHERE l_suppkey IS NOT NULL AND NOT EXISTS (SELECT 1 FROM supplier WHERE s_suppkey = l.l_suppkey)
         |UNION ALL
         |SELECT 'orders->customer', CAST(COUNT(*) AS BIGINT)
-        |FROM orders WHERE o_custkey NOT IN (SELECT c_custkey FROM customer)
+        |FROM orders o WHERE o_custkey IS NOT NULL AND NOT EXISTS (SELECT 1 FROM customer WHERE c_custkey = o.o_custkey)
         |UNION ALL
         |SELECT 'customer->nation', CAST(COUNT(*) AS BIGINT)
-        |FROM customer WHERE c_nationkey NOT IN (SELECT n_nationkey FROM nation)
+        |FROM customer c WHERE c_nationkey IS NOT NULL AND NOT EXISTS (SELECT 1 FROM nation WHERE n_nationkey = c.c_nationkey)
         |UNION ALL
         |SELECT 'nation->region', CAST(COUNT(*) AS BIGINT)
-        |FROM nation WHERE n_regionkey NOT IN (SELECT r_regionkey FROM region)""".stripMargin,
+        |FROM nation n WHERE n_regionkey IS NOT NULL AND NOT EXISTS (SELECT 1 FROM region WHERE r_regionkey = n.n_regionkey)""".stripMargin,
 
     // same replay as conv_structure over the events mapping; the
     // FLOOR(epoch) pin matters here — events carry sub-second ts

@@ -565,20 +565,30 @@ object ConstraintCompiler {
   def dependencyChecks(schema: TableSchema, dfSchema: StructType): Either[String, Seq[Check]] = {
     val deps = schema.root.dependencies.toSeq.sortBy(_._1)
     val results = deps.map {
+      // the trigger column missing from the TABLE: the dependency can
+      // never fire (same rule as "optional column absent"); a missing
+      // dependency TARGET is a compile error (a bare col() on it would
+      // otherwise surface as a raw AnalysisException at action time)
+      case (colA, _) if !dfSchema.fieldNames.contains(colA) => Right(Nil)
       case (colA, Right(required)) =>
-        val pred = required.toSeq.sorted.map(col(_).isNotNull).reduceOption(_ && _).getOrElse(lit(true))
-        Right(Check(colA, "dependencies",
-          when(col(colA).isNotNull, pred).otherwise(lit(true)),
-          coalesce(col(colA).cast("string"), lit("null"))))
+        val missing = required.toSeq.sorted.filterNot(dfSchema.fieldNames.contains)
+        if (missing.nonEmpty)
+          Left(s"dependencies of $colA references columns absent from the table: ${missing.mkString(", ")}")
+        else {
+          val pred = required.toSeq.sorted.map(col(_).isNotNull).reduceOption(_ && _).getOrElse(lit(true))
+          Right(Seq(Check(colA, "dependencies",
+            when(col(colA).isNotNull, pred).otherwise(lit(true)),
+            coalesce(col(colA).cast("string"), lit("null")))))
+        }
       case (colA, Left(depSchema)) =>
         rowPredicate(depSchema, dfSchema).map { pred =>
-          Check(colA, "dependencies",
+          Seq(Check(colA, "dependencies",
             when(col(colA).isNotNull, pred).otherwise(lit(true)),
-            coalesce(col(colA).cast("string"), lit("null")))
+            coalesce(col(colA).cast("string"), lit("null"))))
         }
     }
     results.collectFirst { case Left(e) => Left(e) }
-      .getOrElse(Right(results.collect { case Right(v) => v }))
+      .getOrElse(Right(results.collect { case Right(v) => v }.flatten))
   }
 
   /** Whole-row predicate of an object schema (required + per-property
@@ -634,7 +644,14 @@ object ConstraintCompiler {
     val declaredNames = schema.columns.keySet
     val extra = dfSchema.fields.filterNot(f => declaredNames.contains(f.name)).map(f =>
       ColumnBind(f.name, "undeclared", s"physical ${f.dataType.simpleString}; no constraints"))
-    declared ++ extra
+    // table-level dependency binds fail compile() too — surface them here
+    val deps =
+      if (schema.root.dependencies.isEmpty) Nil
+      else dependencyChecks(schema, dfSchema) match {
+        case Left(err) => Seq(ColumnBind("<dependencies>", "uncompilable", err))
+        case Right(cs) => Seq(ColumnBind("<dependencies>", "ok", s"${cs.length} checks"))
+      }
+    declared ++ extra ++ deps
   }
 
   def compile(schema: TableSchema, dfSchema: StructType): Either[String, Seq[Check]] = {

@@ -101,8 +101,12 @@ object Sampling {
     * expectation with deterministic membership.
     */
   def upsampleMd5(df: DataFrame, rate: Double, keyCol: String,
-                  salt: String = ""): DataFrame =
+                  salt: String = ""): DataFrame = {
+    // same contract as mixWeightsMd5's per-stratum weights: a negative
+    // or NaN rate would silently wipe the dataset otherwise
+    require(rate >= 0.0, s"up-sample rate must be >= 0, got $rate")
     explodeCopies(df, copiesFor(lit(weightFloor(rate)), lit(weightFrac(rate)), keyCol, salt))
+  }
 
   /** The general data-mixing primitive: one WEIGHT per stratum, any
     * value >= 0 — below 1 down-samples (0 or 1 copies), above 1
@@ -134,7 +138,12 @@ object Sampling {
                         keyCol: String, salt: String): Column =
     whole + when(bucketMd5(col(keyCol), salt) < fracBucket, 1L).otherwise(0L)
 
-  private def explodeCopies(df: DataFrame, copies: Column): DataFrame =
+  private def explodeCopies(df: DataFrame, copies: Column): DataFrame = {
+    // withColumn would silently OVERWRITE an existing copy_idx (e.g.
+    // re-weighting already-upsampled output), collapsing previously
+    // distinct copies — fail loud instead
+    require(!df.columns.contains("copy_idx") && !df.columns.contains("__copies"),
+      "input already carries a copy_idx/__copies column; rename it before re-sampling")
     // sequence(0, -1) would yield [0, -1] (Spark defaults to step -1
     // when start > stop), so zero-copy rows take an explicit empty
     // array — explode drops them
@@ -143,6 +152,7 @@ object Sampling {
         explode(when(col("__copies") > 0, sequence(lit(0L), col("__copies") - 1))
           .otherwise(array().cast("array<bigint>"))))
       .drop("__copies")
+  }
 
   /** Deterministic training-shard assignment — the physical-layout step
     * a shard writer needs: `shard` = 60-bit md5 value mod `numShards`
@@ -157,6 +167,8 @@ object Sampling {
   def shardAssignMd5(df: DataFrame, numShards: Int, keyCol: String,
                      salt: String = ""): DataFrame = {
     require(numShards > 0, s"numShards must be > 0, got $numShards")
+    require(Seq("shard", "shard_pos", "__h").forall(!df.columns.contains(_)),
+      "input already carries a shard/shard_pos/__h column; rename it before shard assignment")
     val h60 = conv(substring(md5(concat(col(keyCol).cast("string"), lit(salt))), 1, 15), 16, 10)
       .cast("long")
     import org.apache.spark.sql.expressions.Window

@@ -178,14 +178,21 @@ object TextOps {
     import org.apache.spark.sql.catalyst.expressions.{BloomFilterMightContain, Literal}
     val benchGrams = bench
       .select(explode(Dedup.shingles(col(benchTextCol), n)).as("g")).distinct()
-    val hashes = benchGrams.select(xxhash64(col("g")).as("h"))
-    val nGrams = math.max(hashes.count(), 1L)
-    val bloom = hashes.stat.bloomFilter("h", nGrams, fpp)
-    val bos = new java.io.ByteArrayOutputStream()
-    bloom.writeTo(bos)
+    // the gram explode+distinct shuffle feeds THREE consumers (count,
+    // bloom aggregation, verify-join build side): cache it for the two
+    // eager build actions and release before returning — the lazy join
+    // recomputes it once at execution (bench-sized, never corpus-sized)
+    val cached = benchGrams.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val bytes = try {
+      val cnt = math.max(cached.count(), 1L)
+      val bloom = cached.select(xxhash64(col("g")).as("h")).stat.bloomFilter("h", cnt, fpp)
+      val bos = new java.io.ByteArrayOutputStream()
+      bloom.writeTo(bos)
+      bos.toByteArray
+    } finally { cached.unpersist(); () }
     val might = org.apache.spark.sql.GraftSqlBridge.column(
       BloomFilterMightContain(
-        Literal.create(bos.toByteArray, org.apache.spark.sql.types.BinaryType),
+        Literal.create(bytes, org.apache.spark.sql.types.BinaryType),
         org.apache.spark.sql.GraftSqlBridge.expression(xxhash64(col("g")))))
     docs.select(col(idCol), explode(Dedup.shingles(col(textCol), n)).as("g"))
       .filter(might)

@@ -101,19 +101,24 @@ object StreamingValidator {
     val keys = baseline.keySet.toSeq.sorted
     val qTotal = baseline.values.sum.toDouble
     val b = coalesce(bucket.cast("string"), lit("<null>"))
+    // INDEX-based aggregate names: a raw bucket value in a column name
+    // would break col() on '.' (multipart parse) and a bucket literally
+    // named "other" would collide with the overflow counter
     val counted = stream
       .withWatermark(tsCol, watermark)
       .groupBy(window(col(tsCol), windowLength))
       .agg(
         count(lit(1)).as("n"),
-        (keys.map(k => sum(when(b === k, 1L).otherwise(0L)).as(s"__c_$k")) :+
-          sum(when(!b.isin(keys.map(lit): _*), 1L).otherwise(0L)).as("__c_other")): _*)
+        (keys.zipWithIndex.map { case (k, i) =>
+          sum(when(b === k, 1L).otherwise(0L)).as(s"__c_$i")
+        } :+
+          sum(when(!b.isin(keys.map(lit): _*), 1L).otherwise(0L)).as("__c_novel")): _*)
     val n = col("n").cast("double")
     val terms: Seq[(Column, Column)] =
-      keys.map { k =>
-        (greatest(col(s"__c_$k") / n, lit(eps)),
+      keys.zipWithIndex.map { case (k, i) =>
+        (greatest(col(s"__c_$i") / n, lit(eps)),
           lit(math.max(baseline(k) / qTotal, eps)))
-      } :+ ((greatest(col("__c_other") / n, lit(eps)), lit(eps)))
+      } :+ ((greatest(col("__c_novel") / n, lit(eps)), lit(eps)))
     def sumOf(f: (Column, Column) => Column): Column =
       terms.map { case (p, q) => f(p, q) }.reduce(_ + _)
     counted.select(

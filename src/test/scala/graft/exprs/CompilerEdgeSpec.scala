@@ -304,4 +304,25 @@ class CompilerEdgeSpec extends AnyFlatSpec with Matchers {
     // the diagnostic view reports ALL problems where compile fails at the first
     ConstraintCompiler.compile(schemaReq, physical).isLeft shouldBe true
   }
+
+  it should "surface dependency references to missing columns as compile errors, not AnalysisException" in {
+    val schema = TableSchemaCompiler.compileString("""
+      { "type": "object",
+        "properties": { "a": { "type": "string" } },
+        "dependencies": { "a": ["ghost"] } }""").toOption.get
+    val physical = StructType(Seq(StructField("a", StringType)))
+    val err = ConstraintCompiler.compile(schema, physical)
+    err.isLeft shouldBe true
+    err.left.toOption.get should include("ghost")
+    // and the bind report carries the same diagnosis
+    ConstraintCompiler.bindReport(schema, physical)
+      .find(_.column == "<dependencies>").map(_.status) shouldBe Some("uncompilable")
+    // trigger column absent from the table: dependency is vacuous, not an error
+    val schemaVacuous = TableSchemaCompiler.compileString("""
+      { "type": "object",
+        "properties": { "b": { "type": "string" } },
+        "dependencies": { "gone": ["b"] } }""").toOption.get
+    val phys2 = StructType(Seq(StructField("b", StringType)))
+    ConstraintCompiler.compile(schemaVacuous, phys2).isRight shouldBe true
+  }
 }
