@@ -639,6 +639,12 @@ object SparkEntry {
       Sampling.shardAssignMd5(docs(s, dir), numShards = 8, "doc_id", salt = "sh1")
         .select(col("doc_id").cast("long").as("doc_id"), col("shard"), col("shard_pos"))),
 
+    // disjoint-by-construction train/val/test assignment (95/3/2)
+    "split_assign" -> ((s, dir) =>
+      Sampling.assignSplitsMd5(docs(s, dir), "doc_id",
+        Seq("train" -> 0.95, "val" -> 0.03, "test" -> 0.02), salt = "sp1")
+        .select(col("doc_id").cast("long").as("doc_id"), col("split"))),
+
     // repetition quality signals: Gopher-style duplicate-3-gram ratio
     // (per-row array arithmetic) + top-token share (explode + two
     // map-side-combining aggs)
@@ -1117,6 +1123,15 @@ object SparkEntry {
         |  FROM documents)
         |SELECT CAST(doc_id AS BIGINT) AS doc_id, lang, CAST(i AS BIGINT) AS copy_idx
         |FROM w, UNNEST(range(0, whole + CASE WHEN bucket < fb THEN 1 ELSE 0 END)) AS t(i)""".stripMargin,
+
+    // consecutive bucket ranges: train [0, 950000), val [950000, 980000),
+    // test [980000, 1000000)
+    "split_assign" ->
+      """SELECT CAST(doc_id AS BIGINT) AS doc_id,
+        |  CASE WHEN b < 950000 THEN 'train' WHEN b < 980000 THEN 'val' ELSE 'test' END AS split
+        |FROM (SELECT doc_id,
+        |  CAST(('0x' || substring(md5(CAST(doc_id AS VARCHAR) || 'sp1'), 1, 15)) AS BIGINT)
+        |    % 1000000 AS b FROM documents)""".stripMargin,
 
     // shard = 60-bit md5 value mod 8; shard_pos = rank within shard
     // under the (hash, key) total order

@@ -131,6 +131,35 @@ object Sampling {
       copiesFor(cases(weightFloor), cases(weightFrac), keyCol, salt))
   }
 
+  /** Deterministic train/val/test split assignment: consecutive bucket
+    * RANGES of the per-million rule, so the splits are a pure function
+    * of (key, salt), mutually DISJOINT and jointly exhaustive over the
+    * declared fractions by construction — no row can land in two
+    * splits, ever, across runs, layouts, or cluster sizes (the property
+    * leakage audits need). Fractions must sum to <= 1; rows falling in
+    * the residual bucket range (if the sum is < 1) are dropped —
+    * holding data out IS a split decision, so it is explicit here.
+    * Order matters: ranges are assigned in the given sequence, making
+    * e.g. `train` grow monotonically if its fraction is later raised
+    * while `val`/`test` stay FIXED when listed first.
+    */
+  def assignSplitsMd5(df: DataFrame, keyCol: String, splits: Seq[(String, Double)],
+                      salt: String = ""): DataFrame = {
+    require(splits.nonEmpty, "at least one split required")
+    splits.foreach { case (n, f) =>
+      require(f >= 0.0 && f <= 1.0, s"split fraction for $n must be in [0,1], got $f") }
+    require(splits.map(_._2).sum <= 1.0 + 1e-9,
+      s"split fractions sum to ${splits.map(_._2).sum} > 1")
+    val bounds = splits.scanLeft(0L) { case (acc, (_, f)) =>
+      acc + math.round(f * Buckets) }.tail
+    val bucket = bucketMd5(col(keyCol), salt)
+    val label = splits.map(_._1).zip(bounds).reverse
+      .foldLeft(lit(null).cast("string")) { case (acc, (name, hi)) =>
+        when(bucket < hi, lit(name)).otherwise(acc)
+      }
+    df.withColumn("split", label).filter(col("split").isNotNull)
+  }
+
   private def weightFloor(w: Double): Long = math.floor(w).toLong
   private def weightFrac(w: Double): Long = math.round((w - math.floor(w)) * Buckets)
 

@@ -691,6 +691,32 @@ class PipelineSpec extends AnyFlatSpec with Matchers {
     m1 shouldBe m2
   }
 
+  "Sampling.assignSplitsMd5" should "partition disjointly, exhaustively, and stably" in {
+    import spark.implicits._
+    val df = (1L to 2000L).toDF("doc_id")
+    val out = Sampling.assignSplitsMd5(df, "doc_id",
+      Seq("train" -> 0.8, "val" -> 0.1, "test" -> 0.1), salt = "t")
+      .collect().map(r => (r.getLong(0), r.getString(1)))
+    out.length shouldBe 2000 // fractions sum to 1: exhaustive
+    out.map(_._1).distinct.length shouldBe 2000 // one split per key: disjoint
+    val byName = out.groupBy(_._2).view.mapValues(_.length).toMap
+    byName("train").toDouble shouldBe (1600.0 +- 120.0)
+    byName("val").toDouble shouldBe (200.0 +- 70.0)
+    // growing train later keeps earlier-listed splits FIXED
+    val before = Sampling.assignSplitsMd5(df, "doc_id",
+      Seq("val" -> 0.1, "test" -> 0.1, "train" -> 0.5), salt = "t")
+      .filter(col("split") =!= "train").collect().map(r => (r.getLong(0), r.getString(1))).toSet
+    val after = Sampling.assignSplitsMd5(df, "doc_id",
+      Seq("val" -> 0.1, "test" -> 0.1, "train" -> 0.8), salt = "t")
+      .filter(col("split") =!= "train").collect().map(r => (r.getLong(0), r.getString(1))).toSet
+    after shouldBe before
+    // fractions summing under 1 hold out the remainder explicitly
+    Sampling.assignSplitsMd5(df, "doc_id", Seq("train" -> 0.5), salt = "t")
+      .count() should be < 2000L
+    an[IllegalArgumentException] should be thrownBy
+      Sampling.assignSplitsMd5(df, "doc_id", Seq("a" -> 0.8, "b" -> 0.4))
+  }
+
   "Sampling.shardAssignMd5" should "assign balanced shards with dense deterministic positions" in {
     import spark.implicits._
     val df = (1L to 1000L).toDF("doc_id")
