@@ -739,6 +739,27 @@ object SparkEntry {
         .select(col("query_id"), col("cand_id"), col("sim"), col("rank").cast("long").as("rank"))
     }),
 
+    // int8 embedding quantization: the round-trip error bound scale/2
+    // holds BY CONSTRUCTION per element, so the gate demands it for
+    // every element of every vector (engine-side invariant; the oracle
+    // supplies the deterministic expected counts)
+    "embed_quantize" -> ((s, dir) => {
+      val e = embeddings(s, dir)
+      val q = Ann.quantizeInt8(e)
+      val joined = e.join(q, "vec_id")
+        .select(col("vec_id"), col("embedding"), col("scale"),
+          Ann.dequantizeInt8().as("deq"))
+      joined.select(col("vec_id"),
+          // max |deq - orig| over the vector, in units of scale/2
+          aggregate(zip_with(col("embedding"), col("deq"),
+              (a, b) => abs(a.cast("double") - b.cast("double"))),
+            lit(0.0), (acc, x) => greatest(acc, x)).as("max_err"),
+          col("scale").cast("double").as("s"))
+        .agg(count(lit(1)).as("n_vectors"),
+          sum(when(col("max_err") <= col("s") / 2 + lit(1e-6), 1L).otherwise(0L))
+            .as("within_bound"))
+    }),
+
     // the TRAINED production path end to end: k-means centroids ->
     // bucket assignment -> probe -> score -> rank. Queries are the
     // planted perturbed near-copies (cos ~0.998 to their base vs a
@@ -1506,6 +1527,13 @@ object SparkEntry {
         |    row_number() OVER (PARTITION BY query_id ORDER BY sim DESC, cand_id ASC) AS rank
         |  FROM scored)
         |SELECT query_id, cand_id, sim, CAST(rank AS BIGINT) AS rank FROM ranked WHERE rank <= 10""".stripMargin,
+
+    // quantization gate: every vector must satisfy the constructive
+    // scale/2 round-trip bound; expected counts from the table itself
+    "embed_quantize" ->
+      """SELECT CAST(COUNT(*) AS BIGINT) AS n_vectors,
+        |       CAST(COUNT(*) AS BIGINT) AS within_bound
+        |FROM embeddings""".stripMargin,
 
     // trained-IVF gate: DuckDB cannot replay the float k-means means,
     // but it CAN derive the demanded answer from the plant rule — the

@@ -90,6 +90,35 @@ object Ann {
       "query_id")
   }
 
+  /** Symmetric per-vector int8 quantization — the storage shape for an
+    * embedding table at corpus scale (4x smaller than float32, and the
+    * form GPU ANN serving ingests): `scale = maxAbs / 127` (float32),
+    * `q_i = round(x_i / scale)` in [-127, 127]. Dequantization is
+    * `q_i * scale`, so the per-element round-trip error is bounded by
+    * scale/2 BY CONSTRUCTION — the embed_quantize gate asserts exactly
+    * that invariant over every element (a broken rounding/clamp/scale
+    * would violate it deterministically). Zero/null vectors quantize to
+    * scale 0 with all-zero codes. Pure per-row array arithmetic — no
+    * shuffle, scales with scan throughput.
+    */
+  def quantizeInt8(df: DataFrame, idCol: String = "vec_id",
+                   embCol: String = "embedding"): DataFrame = {
+    val maxAbs = array_max(transform(col(embCol), x => abs(x)))
+    val scale = (maxAbs / lit(127.0f)).cast("float")
+    df.select(
+      col(idCol),
+      scale.as("scale"),
+      when(coalesce(maxAbs, lit(0.0f)) === 0.0f,
+        transform(col(embCol), _ => lit(0).cast("tinyint")))
+        .otherwise(transform(col(embCol), x =>
+          greatest(lit(-127), least(lit(127), round(x / scale))).cast("tinyint")))
+        .as("q"))
+  }
+
+  /** Inverse of [[quantizeInt8]]: per-element `q_i * scale` (float32). */
+  def dequantizeInt8(scaleCol: String = "scale", qCol: String = "q"): Column =
+    transform(col(qCol), q => (q.cast("float") * col(scaleCol)).cast("float"))
+
   /** Embedding-cosine near-duplicate pairs, exact: every (id_a < id_b)
     * pair with cosine >= tau. O(n^2) by definition — the correctness
     * baseline and the oracle-checked form; at corpus scale use

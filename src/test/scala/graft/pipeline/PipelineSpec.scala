@@ -372,6 +372,40 @@ class PipelineSpec extends AnyFlatSpec with Matchers {
       .count() shouldBe nq
   }
 
+  "Ann.quantizeInt8" should "round-trip within scale/2 and preserve cosine closely" in {
+    import spark.implicits._
+    val vecs = Seq(
+      (1L, Seq(0.5f, -1.0f, 2.0f, 0.0f)),
+      (2L, Seq(-127.0f, 127.0f, 63.5f, 0.25f)),
+      (3L, Seq(0.0f, 0.0f, 0.0f, 0.0f)), // zero vector: scale 0, all-zero codes
+      (4L, Seq(1e-8f, -1e-8f, 1e-8f, 0f))).toDF("vec_id", "embedding")
+    val q = Ann.quantizeInt8(vecs)
+    val rows = vecs.join(q, "vec_id")
+      .select(col("vec_id"), col("embedding"), col("scale"), Ann.dequantizeInt8().as("deq"))
+      .collect()
+    rows.foreach { r =>
+      val orig = r.getSeq[Float](1); val s = r.getFloat(2); val deq = r.getSeq[Float](3)
+      deq.length shouldBe orig.length
+      orig.zip(deq).foreach { case (a, b) =>
+        math.abs(a - b) should be <= (s / 2 + 1e-6f)
+      }
+    }
+    // zero vector: scale exactly 0, dequantizes to zeros
+    val z = rows.find(_.getLong(0) == 3L).get
+    z.getFloat(2) shouldBe 0.0f
+    z.getSeq[Float](3).forall(_ == 0.0f) shouldBe true
+    // on real embeddings, quantized cosine keeps most top-5 neighbors
+    val e = embeddings
+    val deqTable = e.join(Ann.quantizeInt8(e), "vec_id")
+      .select(col("vec_id"), Ann.dequantizeInt8().as("embedding"))
+    val exact = Ann.bruteForceTopK(e.filter(col("vec_id") < 5), e, 5).collect()
+      .map(r => (r.getLong(0), r.getAs[Long]("cand_id"))).toSet
+    val approx = Ann.bruteForceTopK(
+        deqTable.filter(col("vec_id") < 5), deqTable, 5).collect()
+      .map(r => (r.getLong(0), r.getAs[Long]("cand_id"))).toSet
+    (exact intersect approx).size.toDouble / exact.size should be >= 0.6
+  }
+
   "Ann.bruteForceTopK" should "return k deterministic rows per query" in {
     val q = embeddings.filter(col("vec_id") < 8)
     val c = embeddings.filter(col("vec_id") >= 8)
