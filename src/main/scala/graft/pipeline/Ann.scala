@@ -100,6 +100,13 @@ object Ann {
     * would violate it deterministically). Zero/null vectors quantize to
     * scale 0 with all-zero codes. Pure per-row array arithmetic — no
     * shuffle, scales with scan throughput.
+    *
+    * Codegen note: the array HOFs here are interpreted (CodegenFallback)
+    * — the same accepted per-row trade as [[graft.pipeline.Dedup
+    * .shingles]], where the HOF runs once per ROW, not per candidate
+    * pair; if a full-corpus re-quantization ever becomes the bottleneck,
+    * the [[graft.functions.FloatVecDot]] pattern (custom codegen loop)
+    * is the upgrade path.
     */
   def quantizeInt8(df: DataFrame, idCol: String = "vec_id",
                    embCol: String = "embedding"): DataFrame = {
