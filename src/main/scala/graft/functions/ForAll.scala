@@ -22,7 +22,9 @@ import org.apache.spark.sql.types.{ArrayType, BooleanType, DataType}
   * validation scan's hot path, so this expression generates the element
   * loop INSIDE whole-stage codegen instead: the compiled predicate's
   * generated code is spliced into a plain Java `for` over the ArrayData,
-  * with the element exposed through a loop-local variable.
+  * with the element exposed through per-instance class fields (fields,
+  * not locals, so predicates large enough to be split into helper
+  * methods still compile).
   *
   * Three-valued semantics match `forall` exactly: false if any element
   * predicate is false, else null if any was null, else true; a null
@@ -30,7 +32,7 @@ import org.apache.spark.sql.types.{ArrayType, BooleanType, DataType}
   *
   * Mechanics: the predicate is built over an [[ElementVar]] placeholder
   * leaf. At codegen time the placeholder is rewritten to a
-  * [[BoundLoopVar]] that names the loop-local value/isNull variables; at
+  * [[BoundLoopVar]] that names the element value/isNull fields; at
   * interpreted-eval time it is rewritten (once per thread) to a
   * [[MutableElem]] slot the loop assigns. Extending
   * [[ConditionalExpression]] keeps common-subexpression elimination from
@@ -91,9 +93,17 @@ case class ForAllExpr(arr: Expression, elem: ElementVar, pred: Expression)
 
   override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
     val arrGen = arr.genCode(ctx)
-    val elemValue = ctx.freshName("faElem")
-    val elemIsNull = ctx.freshName("faElemIsNull")
+    // The element value/isNull MUST be class fields, not method locals:
+    // when the spliced predicate is large, Spark's splitExpressions
+    // extracts parts of predGen.code into separate helper methods that
+    // take only the input row — a method-local loop variable would be
+    // out of scope there and janino rejects the class ("faElemIsNull_0
+    // is not an rvalue"), silently dropping the whole predicate to
+    // interpreted mode. Fields are visible to split methods (the same
+    // approach Spark's own generated loops use).
     val javaType = CodeGenerator.javaType(elem.dataType)
+    val elemValue = ctx.addMutableState(javaType, "faElem")
+    val elemIsNull = ctx.addMutableState(CodeGenerator.JAVA_BOOLEAN, "faElemIsNull")
     val boundPred = pred.transform {
       case e: ElementVar if e.exprId == elem.exprId =>
         BoundLoopVar(e.dataType, elemValue, elemIsNull)
@@ -114,8 +124,8 @@ case class ForAllExpr(arr: Expression, elem: ElementVar, pred: Expression)
           int $n = $data.numElements();
           boolean $foundNull = false;
           boolean $allTrue = true;
-          $javaType $elemValue = ${CodeGenerator.defaultValue(elem.dataType)};
-          boolean $elemIsNull = true;
+          $elemValue = ${CodeGenerator.defaultValue(elem.dataType)};
+          $elemIsNull = true;
           for (int $i = 0; $i < $n; $i++) {
             $elemIsNull = $data.isNullAt($i);
             if (!$elemIsNull) {

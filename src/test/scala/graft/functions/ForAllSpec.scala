@@ -106,6 +106,62 @@ class ForAllSpec extends AnyFlatSpec with Matchers {
     n shouldBe (0 until 1000).count(i => i % 7 < 6)
   }
 
+  it should "compile under splitExpressions (large predicate, row-based codegen)" in {
+    // Regression: a predicate large enough that CaseWhen's codegen calls
+    // splitExpressionsWithCurrentInputs in row-based (GeneratePredicate)
+    // mode extracts helper methods that only receive the input row. When
+    // the element value/isNull were method-locals, those helpers
+    // referenced them out of scope and janino rejected the class
+    // ("faElemIsNull_0 is not an rvalue"), silently falling back to
+    // interpreted mode. Element vars are now class fields; this pins it
+    // by calling GeneratePredicate.generate directly — it THROWS on a
+    // compile failure instead of falling back.
+    import org.apache.spark.sql.catalyst.InternalRow
+    import org.apache.spark.sql.catalyst.expressions.BindReferences
+    import org.apache.spark.sql.catalyst.expressions.codegen.GeneratePredicate
+    import org.apache.spark.sql.catalyst.plans.logical.{Filter => LFilter}
+
+    // scalatest's Matchers shadows functions.length
+    val strlen = org.apache.spark.sql.functions.length _
+    def bigPred(x: org.apache.spark.sql.Column): org.apache.spark.sql.Column = {
+      val first = when(x === "s0", lit(true))
+      (1 until 60).foldLeft(first) { (acc, i) =>
+        acc.when(x === s"s$i" || strlen(x) > i + 100, lit(true))
+      }.otherwise(strlen(x) <= lit(2))
+    }
+
+    // spark.range (not a literal DF): ConvertToLocalRelation would fold
+    // a LocalRelation filter away before any codegen happened
+    val filtered = spark.range(50)
+      .select(array(concat(lit("s"), col("id")), concat(lit("t"), col("id"))).as("xs"))
+      .filter(ForAllFunctions.forallCodegen(col("xs"), StringType, bigPred))
+    val lf: LFilter = filtered.queryExecution.optimizedPlan.collectFirst {
+      case f: LFilter => f
+    }.getOrElse(fail("expected a Filter in the optimized plan"))
+    val bound = BindReferences.bindReference(
+      lf.condition,
+      new org.apache.spark.sql.catalyst.expressions.AttributeSeq(lf.child.output))
+
+    // (a) the shape genuinely splits: helper methods get extracted
+    val ctx = GeneratePredicate.newCodeGenContext()
+    bound.genCode(ctx)
+    ctx.declareAddedFunctions() should include("private")
+
+    // (b) the generated class compiles (throws on janino failure)...
+    val predicate = GeneratePredicate.generate(bound, false)
+    predicate.initialize(0)
+
+    // (c) ...and evaluates correctly through the generated code. The
+    // optimizer pushes the Filter below the Project, so the bound
+    // condition's input row is range's (id: bigint); xs = [s{id}, t{id}]
+    // and the predicate holds iff every element matches a branch or has
+    // length <= 2 — i.e. iff id < 10 ("t10" is the first 3-char miss).
+    predicate.eval(InternalRow(5L)) shouldBe true
+    predicate.eval(InternalRow(9L)) shouldBe true
+    predicate.eval(InternalRow(10L)) shouldBe false
+    predicate.eval(InternalRow(42L)) shouldBe false
+  }
+
   it should "reject a mistyped element at analysis" in {
     import spark.implicits._
     val df = Seq((1L, Seq("a"))).toDF("id", "xs")
