@@ -283,11 +283,15 @@ object SparkEntry {
             parent, parentKey, broadcastRegistry = bcast)
           .agg(count(lit(1)).as("orphans"))
           .select(lit(name).as("edge"), col("orphans"))
-      edge("lineitem->part", t("lineitem"), "l_partkey", t("part"), "p_partkey", bcast = true)
+      // broadcast only the FIXED-cardinality dimensions (nation=25,
+      // region=5). part/supplier/customer grow linearly with scale
+      // factor — broadcasting them would OOM at large SF instead of
+      // degrading to a shuffle anti-join, so those edges shuffle
+      edge("lineitem->part", t("lineitem"), "l_partkey", t("part"), "p_partkey", bcast = false)
         .unionByName(edge("lineitem->supplier", t("lineitem"), "l_suppkey",
-          t("supplier"), "s_suppkey", bcast = true))
+          t("supplier"), "s_suppkey", bcast = false))
         .unionByName(edge("orders->customer", t("orders"), "o_custkey",
-          t("customer"), "c_custkey", bcast = true))
+          t("customer"), "c_custkey", bcast = false))
         .unionByName(edge("customer->nation", t("customer"), "c_nationkey",
           t("nation"), "n_nationkey", bcast = true))
         .unionByName(edge("nation->region", t("nation"), "n_regionkey",

@@ -80,12 +80,28 @@ object ConstraintCompiler {
     * columns stay fully inside whole-stage codegen this way.
     */
   private def jsonActual(c: Column, dt: DataType): Column = {
+    // JsonRender pins to_json's DEFAULT semantics: null struct fields
+    // OMITTED. A session setting spark.sql.jsonGenerator.ignoreNullFields
+    // to false makes to_json render them as `"f":null`, so a
+    // struct-bearing tree must fall back to to_json there or the two
+    // renderers in one plan would disagree. Read once at compile time —
+    // the compiled plan pins whichever setting was active.
+    val ignoreNullFields =
+      org.apache.spark.sql.internal.SQLConf.get.jsonGeneratorIgnoreNullFields
     val rendered =
-      if (graft.functions.JsonRender.supports(dt))
+      if (graft.functions.JsonRender.supports(dt) &&
+          (ignoreNullFields || !containsStruct(dt)))
         org.apache.spark.sql.GraftSqlBridge.column(
           graft.functions.JsonRender(org.apache.spark.sql.GraftSqlBridge.expression(c)))
       else to_json(c)
     coalesce(rendered, lit("null"))
+  }
+
+  private def containsStruct(dt: DataType): Boolean = dt match {
+    case _: StructType => true
+    case ArrayType(et, _) => containsStruct(et)
+    case MapType(_, vt, _) => containsStruct(vt)
+    case _ => false
   }
 
   /** The escaped "/k1/k2/" key-prefix parts — ONE definition shared by

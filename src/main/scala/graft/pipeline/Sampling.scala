@@ -150,6 +150,11 @@ object Sampling {
       require(f >= 0.0 && f <= 1.0, s"split fraction for $n must be in [0,1], got $f") }
     require(splits.map(_._2).sum <= 1.0 + 1e-9,
       s"split fractions sum to ${splits.map(_._2).sum} > 1")
+    // withColumn would silently OVERWRITE an existing split column
+    // (e.g. re-splitting already-assigned output) — fail loud, matching
+    // explodeCopies/shardAssignMd5
+    require(!df.columns.contains("split"),
+      "input already carries a split column; rename it before re-splitting")
     val bounds = splits.scanLeft(0L) { case (acc, (_, f)) =>
       acc + math.round(f * Buckets) }.tail
     val bucket = bucketMd5(col(keyCol), salt)

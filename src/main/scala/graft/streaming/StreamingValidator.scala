@@ -98,6 +98,11 @@ object StreamingValidator {
                  windowLength: String = "1 minute", watermark: String = "5 minutes",
                  tsCol: String = "ts", eps: Double = 1e-9): DataFrame = {
     require(baseline.nonEmpty && baseline.values.sum > 0, "empty baseline histogram")
+    // null bucket values are folded into the "<null>" sentinel below; a
+    // baseline that legitimately contains that string as a key would
+    // silently merge real nulls into it, skewing KL/PSI for that bucket
+    require(!baseline.contains("<null>"),
+      "baseline key \"<null>\" collides with the null-bucket sentinel; rename it")
     val keys = baseline.keySet.toSeq.sorted
     val qTotal = baseline.values.sum.toDouble
     val b = coalesce(bucket.cast("string"), lit("<null>"))

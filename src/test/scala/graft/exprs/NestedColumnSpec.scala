@@ -179,6 +179,38 @@ class NestedColumnSpec extends AnyFlatSpec with Matchers {
     validate(structSchema, df) shouldBe Set.empty
   }
 
+  it should "render struct actual in lockstep with to_json when ignoreNullFields is off" in {
+    import spark.implicits._
+    import org.apache.spark.sql.functions.{col, to_json}
+    // all-null fields: minProperties fires and its `actual` renders the
+    // whole struct — "{}" under the default conf (null fields omitted),
+    // every field as null when ignoreNullFields=false. The compiler must
+    // fall back from JsonRender (which pins default semantics) to
+    // to_json for struct-bearing trees under the non-default conf, or
+    // the two renderers would disagree within one plan.
+    val df = Seq(("c1", 1, NestedColumnSpec.Meta(null, null, null, null)))
+      .toDF("conv_id", "turn_idx", "meta")
+    def minPropsActual(): String = {
+      val ts = TableSchemaCompiler.compileString(structSchema)
+        .fold(e => throw new IllegalArgumentException(e), identity)
+      Validator.violations(df, ts, Seq("conv_id", "turn_idx"))
+        .filter(col("constraint") === "minProperties")
+        .select(col("actual")).collect().map(_.getString(0)).head
+    }
+    def toJsonRendered(): String =
+      df.select(to_json(col("meta"))).collect().head.getString(0)
+
+    minPropsActual() shouldBe toJsonRendered() // default conf (JsonRender path)
+    val key = "spark.sql.jsonGenerator.ignoreNullFields"
+    val prev = spark.conf.get(key, "true")
+    spark.conf.set(key, "false")
+    try {
+      val a = minPropsActual()
+      a shouldBe toJsonRendered() // conf off: compiler falls back to to_json
+      a should include("null")    // and null fields are genuinely rendered
+    } finally spark.conf.set(key, prev)
+  }
+
   it should "reject at compile time a required property the struct cannot carry" in {
     import spark.implicits._
     val schema = """

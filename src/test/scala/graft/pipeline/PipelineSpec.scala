@@ -749,6 +749,12 @@ class PipelineSpec extends AnyFlatSpec with Matchers {
       .count() should be < 2000L
     an[IllegalArgumentException] should be thrownBy
       Sampling.assignSplitsMd5(df, "doc_id", Seq("a" -> 0.8, "b" -> 0.4))
+    // re-splitting already-assigned output would silently overwrite the
+    // split column — must fail loud like copy_idx/shard collisions do
+    an[IllegalArgumentException] should be thrownBy
+      Sampling.assignSplitsMd5(
+        Sampling.assignSplitsMd5(df, "doc_id", Seq("train" -> 1.0)),
+        "doc_id", Seq("train" -> 1.0))
   }
 
   "Sampling.shardAssignMd5" should "assign balanced shards with dense deterministic positions" in {

@@ -158,6 +158,18 @@ class StreamingSpec extends AnyFlatSpec with Matchers {
     } finally q.stop()
   }
 
+  it should "reject a baseline key that collides with the null-bucket sentinel" in {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val input = MemoryStream[Turn]
+    // real nulls fold into "<null>"; a baseline bucket literally named
+    // that would silently merge them — must fail loud instead
+    an[IllegalArgumentException] should be thrownBy
+      StreamingValidator.driftRates(input.toDF(),
+        Map("user" -> 1L, "<null>" -> 1L),
+        org.apache.spark.sql.functions.col("role"))
+  }
+
   it should "find near-dup pairs within the horizon and mirror batch jaccard" in {
     import spark.implicits._
     implicit val sqlCtx = spark.sqlContext
