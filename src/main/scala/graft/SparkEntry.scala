@@ -390,6 +390,20 @@ object SparkEntry {
       Multimodal.frameSample(Multimodal.asMediaTable(docs(s, dir)))
         .toDF().select(col("doc_id"), col("mime"), col("n_frames"), col("first_frame_md5"))),
 
+    // REAL image decode round-trip: plant a deterministic tiny PNG per
+    // doc_id (pixels are pure arithmetic in id/x/y), decode through the
+    // JDK ImageIO reader, emit dims + exact pixel sum. PNG is lossless,
+    // so DuckDB replays the expected values from the plant rule alone —
+    // any decoder deviation (dims, channel order, color management)
+    // breaks the hash
+    "multimodal_decode" -> ((s, dir) =>
+      Multimodal.decodeImages(Multimodal.plantPngTable(docs(s, dir).select(col("doc_id"))))
+        .toDF().select(col("doc_id"),
+          col("width").cast("long").as("width"),
+          col("height").cast("long").as("height"),
+          col("channels").cast("long").as("channels"),
+          col("pixel_sum"))),
+
     "text_subwords" -> ((s, dir) =>
       docs(s, dir).select(
         col("doc_id"),
@@ -1373,6 +1387,22 @@ object SparkEntry {
         |CASE WHEN octet_length(encode(text)) = 0 THEN NULL
         |     ELSE md5(substring(text, 1, 256)) END AS first_frame_md5
         |FROM documents""".stripMargin,
+
+    // replays the PNG plant rule arithmetically (no image library):
+    // doc_ids are nonnegative so DuckDB's % == the Spark side's floorMod
+    "multimodal_decode" ->
+      """SELECT d.doc_id,
+        |2 + (d.doc_id % 6) AS width,
+        |2 + (d.doc_id % 4) AS height,
+        |CAST(3 AS BIGINT) AS channels,
+        |CAST(SUM((31*d.doc_id + 7*gx.x + 13*gy.y) % 256
+        |       + (17*d.doc_id + 5*gx.x + 11*gy.y) % 256
+        |       + (29*d.doc_id + 3*gx.x + 19*gy.y) % 256) AS BIGINT) AS pixel_sum
+        |FROM documents d
+        |CROSS JOIN generate_series(0, 6) gx(x)
+        |CROSS JOIN generate_series(0, 4) gy(y)
+        |WHERE gx.x < 2 + (d.doc_id % 6) AND gy.y < 2 + (d.doc_id % 4)
+        |GROUP BY 1, 2, 3, 4""".stripMargin,
 
     "text_subwords" ->
       """SELECT doc_id,

@@ -6,13 +6,15 @@ import org.apache.spark.sql.functions._
 /** Multimodal-column plumbing: image/audio/video as opaque `binary`
   * columns with typed metadata, processed batch-wise per partition.
   *
-  * The Spark-side plumbing (schema, partition-wise batched iteration,
-  * output shape) is real and tested; the actual byte decode is a
-  * clearly-marked STUB (`stubDecode`) — codec libraries are not in this
-  * container. In production the stub body is replaced by the real
-  * decoder; nothing else changes: `mapPartitions` already gives the
-  * batch-per-executor-core shape a vectorized (Arrow/pandas-style)
-  * decode needs, and partitioning/metadata flow are identical.
+  * IMAGE decode is REAL: [[decodeImages]] uses the JDK's
+  * `javax.imageio` (PNG/JPEG/BMP/GIF ship with the JRE — no external
+  * codec needed) to produce dimensions, channel count, and exact pixel
+  * statistics, with undecodable bytes degrading to a typed
+  * `decoded=false` row instead of failing the job. Audio/video remain
+  * stand-ins (`stubDecode`/`frameSample`/`resample` — those codecs are
+  * not in this container): the `mapPartitions` batching, schema, and
+  * output shape are the production plumbing either way; swapping in a
+  * real audio/video codec changes only the per-row body.
   */
 object Multimodal {
 
@@ -50,6 +52,110 @@ object Multimodal {
     var i = 0
     while (i < bytes.length) { acc(i % dims) += (bytes(i) & 0xff); i += 1 }
     acc.map(v => if (bytes.length == 0) 0f else (v.toDouble / bytes.length).toFloat)
+  }
+
+  final case class ImageMeta(
+      doc_id: Long, mime: String, n_bytes: Int, decoded: Boolean,
+      width: Int, height: Int, channels: Int, pixel_sum: Long, pixel_md5: String)
+
+  /** REAL image decode over the binary column via the JDK's ImageIO
+    * (PNG/JPEG/BMP/GIF). Per row: dimensions, raster channel count, the
+    * exact sum of (r+g+b) over all pixels, and an md5 over the
+    * row-major 3-byte-per-pixel RGB stream — enough to pin a lossless
+    * round-trip bit-for-bit (the multimodal_decode gate does exactly
+    * that against a pure-arithmetic DuckDB oracle). Non-image mimes,
+    * empty payloads, and bytes no installed reader accepts yield a
+    * typed `decoded=false` row — one poison blob must not fail a
+    * 100-TB scan. One pass, no shuffle; decode cost is linear in pixel
+    * count and stays on the executor.
+    */
+  def decodeImages(media: DataFrame): Dataset[ImageMeta] = {
+    val spark = media.sparkSession
+    import spark.implicits._
+    media.select(col("doc_id"), col("mime"), col("media")).as[MediaRow]
+      .mapPartitions { rows =>
+        // no ImageIO tmp-file spill on executors; a few-MB image decodes
+        // straight from the heap byte array
+        javax.imageio.ImageIO.setUseCache(false)
+        val md = java.security.MessageDigest.getInstance("MD5")
+        rows.map { r =>
+          val bytes = mediaBytes(r)
+          def undecoded = ImageMeta(r.doc_id, r.mime, bytes.length,
+            decoded = false, -1, -1, -1, -1L, null)
+          if (r.mime == null || !r.mime.startsWith("image/") || bytes.isEmpty) undecoded
+          else try {
+            val img = javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(bytes))
+            if (img == null) undecoded // no registered reader for these bytes
+            else {
+              val w = img.getWidth
+              val h = img.getHeight
+              val channels = img.getRaster.getNumBands
+              md.reset()
+              var sum = 0L
+              val rowBuf = new Array[Int](w)
+              val rowBytes = new Array[Byte](w * 3)
+              var y = 0
+              while (y < h) {
+                img.getRGB(0, y, w, 1, rowBuf, 0, w) // bulk row fetch, sRGB-normalized
+                var x = 0
+                while (x < w) {
+                  val p = rowBuf(x)
+                  val rr = (p >> 16) & 0xff
+                  val gg = (p >> 8) & 0xff
+                  val bb = p & 0xff
+                  sum += rr + gg + bb
+                  rowBytes(x * 3) = rr.toByte
+                  rowBytes(x * 3 + 1) = gg.toByte
+                  rowBytes(x * 3 + 2) = bb.toByte
+                  x += 1
+                }
+                md.update(rowBytes)
+                y += 1
+              }
+              ImageMeta(r.doc_id, r.mime, bytes.length, decoded = true,
+                w, h, channels, sum, md.digest().map("%02x".format(_)).mkString)
+            }
+          } catch { case scala.util.control.NonFatal(_) => undecoded }
+        }
+      }
+  }
+
+  /** Deterministic tiny-PNG plant for the decode gate: each doc_id maps
+    * to a `(2 + id%6) x (2 + id%4)` RGB image whose pixel channels are
+    * pure arithmetic in (id, x, y) —
+    * `r=(31·id+7x+13y)%256, g=(17·id+5x+11y)%256, b=(29·id+3x+19y)%256`
+    * — encoded through the JDK PNG writer. PNG is lossless, so decoding
+    * the planted bytes back through [[decodeImages]] must reproduce the
+    * rule's dimensions and pixel sums EXACTLY, which a DuckDB oracle can
+    * verify from the arithmetic alone without any image library.
+    */
+  def plantPngTable(ids: DataFrame): DataFrame = {
+    val spark = ids.sparkSession
+    import spark.implicits._
+    ids.select(col("doc_id")).as[Long].mapPartitions { it =>
+      javax.imageio.ImageIO.setUseCache(false)
+      it.map { id =>
+        val w = (2 + Math.floorMod(id, 6L)).toInt
+        val h = (2 + Math.floorMod(id, 4L)).toInt
+        val img = new java.awt.image.BufferedImage(
+          w, h, java.awt.image.BufferedImage.TYPE_INT_RGB)
+        var y = 0
+        while (y < h) {
+          var x = 0
+          while (x < w) {
+            val rr = Math.floorMod(31L * id + 7L * x + 13L * y, 256L).toInt
+            val gg = Math.floorMod(17L * id + 5L * x + 11L * y, 256L).toInt
+            val bb = Math.floorMod(29L * id + 3L * x + 19L * y, 256L).toInt
+            img.setRGB(x, y, (rr << 16) | (gg << 8) | bb)
+            x += 1
+          }
+          y += 1
+        }
+        val bos = new java.io.ByteArrayOutputStream(256)
+        javax.imageio.ImageIO.write(img, "png", bos)
+        MediaRow(id, "image/png", bos.toByteArray)
+      }
+    }.toDF()
   }
 
   final case class MediaFrames(

@@ -445,6 +445,72 @@ class PipelineSpec extends AnyFlatSpec with Matchers {
     got.foreach(r => withClue(r.toString)(r.getLong(1) shouldBe r.getLong(0)))
   }
 
+  "Multimodal.decodeImages" should "decode a hand-built PNG to exact pixels" in {
+    import spark.implicits._
+    import javax.imageio.ImageIO
+    // 3x2 image with chosen pixel values, written through the JDK PNG
+    // encoder — lossless, so the decode must reproduce every channel
+    val px = Array( // (x, y, r, g, b)
+      (0, 0, 255, 0, 0), (1, 0, 0, 255, 0), (2, 0, 0, 0, 255),
+      (0, 1, 10, 20, 30), (1, 1, 0, 0, 0), (2, 1, 255, 255, 255))
+    val img = new java.awt.image.BufferedImage(3, 2, java.awt.image.BufferedImage.TYPE_INT_RGB)
+    px.foreach { case (x, y, r, g, b) => img.setRGB(x, y, (r << 16) | (g << 8) | b) }
+    val bos = new java.io.ByteArrayOutputStream
+    ImageIO.write(img, "png", bos)
+    val png = bos.toByteArray
+
+    val jbos = new java.io.ByteArrayOutputStream
+    ImageIO.write(img, "jpg", jbos) // lossy: gate only dims/decodability
+
+    val df = Seq(
+      (1L, "image/png", png),
+      (2L, "image/jpeg", jbos.toByteArray),
+      (3L, "image/png", "not an image".getBytes("UTF-8")), // no reader accepts
+      (4L, "text/plain", png)                              // non-image mime: skipped
+    ).toDF("doc_id", "mime", "media")
+    val out = Multimodal.decodeImages(df).collect().map(m => m.doc_id -> m).toMap
+
+    val p = out(1L)
+    p.decoded shouldBe true
+    (p.width, p.height, p.channels) shouldBe ((3, 2, 3))
+    p.pixel_sum shouldBe px.map { case (_, _, r, g, b) => r + g + b }.sum.toLong
+    // md5 over row-major r,g,b bytes
+    val md = java.security.MessageDigest.getInstance("MD5")
+    val rgb = px.sortBy { case (x, y, _, _, _) => (y, x) }
+      .flatMap { case (_, _, r, g, b) => Seq(r.toByte, g.toByte, b.toByte) }.toArray
+    p.pixel_md5 shouldBe md.digest(rgb).map("%02x".format(_)).mkString
+
+    val j = out(2L)
+    j.decoded shouldBe true
+    (j.width, j.height, j.channels) shouldBe ((3, 2, 3))
+
+    out(3L).decoded shouldBe false
+    out(3L).pixel_md5 shouldBe null
+    out(4L).decoded shouldBe false
+  }
+
+  it should "round-trip the planted PNG table against the plant rule" in {
+    import spark.implicits._
+    val ids = (0L until 40L).toDF("doc_id")
+    val out = Multimodal.decodeImages(Multimodal.plantPngTable(ids))
+      .collect().map(m => m.doc_id -> m).toMap
+    (0L until 40L).foreach { id =>
+      val m = out(id)
+      withClue(s"doc_id=$id: ") {
+        m.decoded shouldBe true
+        m.width shouldBe (2 + id % 6).toInt
+        m.height shouldBe (2 + id % 4).toInt
+        m.channels shouldBe 3
+        val expect = (for {
+          y <- 0 until m.height; x <- 0 until m.width
+        } yield Math.floorMod(31 * id + 7 * x + 13 * y, 256) +
+          Math.floorMod(17 * id + 5 * x + 11 * y, 256) +
+          Math.floorMod(29 * id + 3 * x + 19 * y, 256)).sum
+        m.pixel_sum shouldBe expect
+      }
+    }
+  }
+
   "Multimodal.frameSample" should "sample deterministic byte windows" in {
     import spark.implicits._
     val df = Seq(
