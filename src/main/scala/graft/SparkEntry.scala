@@ -613,6 +613,16 @@ object SparkEntry {
         .select(col("id").cast("long").as("doc_id"),
           col("comp").cast("long").as("component"))),
 
+    // the large-star/small-star O(log n)-round variant on the SAME LSH
+    // graph and the SAME recursive-CTE ground truth as
+    // neardup_components — both implementations gate-proven against
+    // DuckDB, not just against each other
+    "neardup_components_alt" -> ((s, dir) =>
+      Dedup.connectedComponentsAlternating(
+        Dedup.minhashPairs(dedupPool(s, dir), k = 24, bands = 12, threshold = 0.5))
+        .select(col("id").cast("long").as("doc_id"),
+          col("comp").cast("long").as("component"))),
+
     // the end state of the 100-TB near-dup recipe: one canonical doc
     // per component survives, all unpaired docs pass through
     "neardup_survivors" -> ((s, dir) =>
@@ -1111,6 +1121,12 @@ object SparkEntry {
          |SELECT id_a, id_b, ROUND(j, 6) AS jaccard FROM pairs WHERE j >= 0.5""".stripMargin,
 
     "neardup_components" ->
+      s"""WITH RECURSIVE $poolCte,
+         |$componentsCte
+         |SELECT CAST(node AS BIGINT) AS doc_id, CAST(component AS BIGINT) AS component
+         |FROM comp""".stripMargin,
+
+    "neardup_components_alt" ->
       s"""WITH RECURSIVE $poolCte,
          |$componentsCte
          |SELECT CAST(node AS BIGINT) AS doc_id, CAST(component AS BIGINT) AS component

@@ -22,9 +22,63 @@ import graft.streaming.StreamingValidator
   *
   * Prints `stream pass: N new violation rows (M total at <dir>)` and
   * exits 0 (no violations so far) / 2 (violations exist) / 1 (usage or
-  * compile error) — same protocol as the batch CLI.
+  * compile error) — same protocol as the batch CLI — plus 3 for
+  * SCHEMA DRIFT: the first invocation pins the directory's physical
+  * parquet schema at `outDir/_schema.json`; every later invocation
+  * re-reads the directory (with mergeSchema, so a type conflict among
+  * files is caught too) and refuses to run if a pinned column vanished
+  * or changed type, because silently reading a drifted file with the
+  * stale schema would either crash mid-batch or validate garbage.
+  * Added columns are tolerated (the compiled checks bind by name; new
+  * columns stay invisible until re-pinned). An operator re-pins by
+  * deleting `_schema.json` after fixing or accepting the change.
   */
 object ValidateStreamMain {
+
+  /** First run pins the physical schema; later runs verify it. Left =
+    * human-readable drift description (exit 3 at the CLI). Public for
+    * direct testing — main() only adds process plumbing around it.
+    */
+  def pinOrCheckSchema(spark: SparkSession, inputDir: String,
+                       outDir: String): Either[String, org.apache.spark.sql.types.StructType] = {
+    val physical =
+      try Right(spark.read.option("mergeSchema", "true").parquet(inputDir).schema)
+      catch {
+        // a type conflict BETWEEN files surfaces as a merge failure —
+        // that is drift too, not a fatal crash
+        case e: Exception if String.valueOf(e.getMessage).contains("merge") =>
+          Left("incompatible schemas among input files: " +
+            e.getMessage.linesIterator.take(4).mkString(" ").trim)
+      }
+    physical.flatMap { phys =>
+      val pinPath = new org.apache.hadoop.fs.Path(s"$outDir/_schema.json")
+      val fs = pinPath.getFileSystem(spark.sparkContext.hadoopConfiguration)
+      if (!fs.exists(pinPath)) {
+        val out = fs.create(pinPath, true)
+        try out.write(phys.json.getBytes(java.nio.charset.StandardCharsets.UTF_8))
+        finally out.close()
+        Right(phys)
+      } else {
+        val in = fs.open(pinPath)
+        val pinnedJson = try scala.io.Source.fromInputStream(in, "UTF-8").mkString finally in.close()
+        val pinned = org.apache.spark.sql.types.DataType.fromJson(pinnedJson)
+          .asInstanceOf[org.apache.spark.sql.types.StructType]
+        val physByName = phys.map(f => f.name -> f.dataType).toMap
+        val drifted = pinned.toSeq.flatMap { f =>
+          physByName.get(f.name) match {
+            case None => Some(s"${f.name}: missing (pinned ${f.dataType.simpleString})")
+            case Some(dt) if dt != f.dataType =>
+              Some(s"${f.name}: ${f.dataType.simpleString} -> ${dt.simpleString}")
+            case _ => None
+          }
+        }
+        val added = phys.map(_.name).filterNot(pinned.fieldNames.toSet)
+        if (added.nonEmpty)
+          System.err.println(s"note: new columns ignored until re-pinned: ${added.mkString(", ")}")
+        if (drifted.nonEmpty) Left(drifted.mkString("; ")) else Right(pinned)
+      }
+    }
+  }
 
   def main(args: Array[String]): Unit = args match {
     case Array(schemaPath, inputDir, outDir) =>
@@ -40,10 +94,17 @@ object ValidateStreamMain {
         .getOrCreate()
       spark.sparkContext.setLogLevel("WARN")
       try {
-        // file streams need an explicit schema; take it from the files
-        // present now (later files must share it — parquet evolution is
-        // the batch plane's bindReport concern)
-        val physical = spark.read.parquet(inputDir).schema
+        // file streams need an explicit schema; the FIRST invocation
+        // pins it from the files present then, and every later one
+        // checks the directory against the pin (exit 3 on drift) so the
+        // stream never silently reads a drifted file with a stale schema
+        val physical = pinOrCheckSchema(spark, inputDir, outDir) match {
+          case Left(drift) =>
+            System.err.println(s"schema drift at $inputDir: $drift " +
+              s"(delete $outDir/_schema.json to re-pin after fixing or accepting it)")
+            sys.exit(3)
+          case Right(s) => s
+        }
         val violationsDir = s"$outDir/violations"
         def totalViolations(): Long =
           try spark.read.parquet(violationsDir).count()

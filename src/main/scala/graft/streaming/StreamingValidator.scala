@@ -158,7 +158,10 @@ object StreamingValidator {
     * stateful operator in the plan. Unlike batch there is no bucket cap
     * (capping needs a count aggregation — more state); the horizon
     * itself bounds bucket population, and hot-content storms within a
-    * horizon are a monitoring concern, not a correctness one.
+    * horizon are a monitoring concern, not a correctness one — made
+    * MEASURABLE by the per-trigger "neardup_candidates" observe()
+    * metric below (candidate pairs grow ~quadratically in the hottest
+    * bucket's population, so a storm is unmissable in query progress).
     */
   def nearDupPairsWithinHorizon(stream: DataFrame, textCol: String = "text",
                                 idCol: String = "doc_id", tsCol: String = "ts",
@@ -207,6 +210,14 @@ object StreamingValidator {
       .filter((r: org.apache.spark.sql.Row) => r.getAs[Boolean]("__oriented"))
       .drop("__oriented")
       .filter(col("band") === firstCollidingBand)
+      // Hot-bucket visibility (the in-stream analogue of batch
+      // capBuckets' observe() drop metrics): there is no bucket cap
+      // within the horizon, so a hot-content storm — N near-identical
+      // docs in one horizon — surfaces as ~N²/2 candidate pairs. This
+      // per-trigger count (exact-verify input size) is the metric an
+      // operator alarms on; it lands in every QueryProgressEvent's
+      // observedMetrics under "neardup_candidates".
+      .observe("neardup_candidates", count(lit(1)).as("candidate_pairs"))
       .withColumn("jaccard", graft.pipeline.Dedup.jaccard(col("sh_a"), col("sh_b")))
       .filter(col("jaccard") >= threshold)
       // later of the two event times = when the pair became knowable

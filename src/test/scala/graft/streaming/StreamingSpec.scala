@@ -203,4 +203,26 @@ class StreamingSpec extends AnyFlatSpec with Matchers {
       got.head._3 shouldBe batch.head._3
     } finally q.stop()
   }
+
+  it should "surface a hot-content storm through the neardup_candidates metric" in {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val hot = "identical spam content repeated across the whole storm window exactly"
+    val input = MemoryStream[Doc]
+    val q = StreamingValidator.nearDupPairsWithinHorizon(
+        input.toDF(), watermark = "10 minutes", horizon = "10 minutes")
+      .writeStream.format("memory").queryName("sstorm").outputMode("append").start()
+    try {
+      // 12 identical docs inside one horizon: one hot bucket ->
+      // C(12,2) = 66 candidate pairs, quadratic in the storm size
+      input.addData((1L to 12L).map(i => Doc(i, hot, ts(i.toInt % 5))): _*)
+      q.processAllAvailable()
+      input.addData(Doc(99L, "watermark marker pushing every window closed", ts(55)))
+      q.processAllAvailable()
+      val candidates = q.recentProgress.toSeq
+        .flatMap(p => Option(p.observedMetrics.get("neardup_candidates")))
+        .map(_.getAs[Long]("candidate_pairs")).sum
+      candidates shouldBe 66L // the storm is measurable, not silent
+    } finally q.stop()
+  }
 }
