@@ -318,3 +318,39 @@ object ScalingBench {
     }
   }
 }
+
+/** A/B micro-bench for the int8 quantization kernel (BENCH.md round 5):
+  * codegen [[graft.functions.QuantizeInt8Codes]] vs the interpreted-HOF
+  * reference formulation, on a cached synthetic embedding table so only
+  * the quantize stage is timed. Prints per-variant best-of seconds.
+  */
+object QuantBench {
+  def main(args: Array[String]): Unit = {
+    import org.apache.spark.sql.functions._
+    val n = args.headOption.map(_.toLong).getOrElse(2000000L)
+    val dim = args.lift(1).map(_.toInt).getOrElse(64)
+    val reps = sys.env.getOrElse("SPARK_GRAFT_REPS", "5").toInt
+    val spark = BenchSession.open(sys.env.getOrElse("SPARK_GRAFT_CPUS", "32"))
+    val df = spark.range(n).select(col("id").as("vec_id"),
+      array((0 until dim).map(i =>
+        ((xxhash64(col("id"), lit(i)) % 1000).cast("float") / lit(100.0f)).cast("float")): _*)
+        .as("embedding")).cache()
+    df.count()
+    def time(f: => Long): Double = { val t0 = System.nanoTime(); f; (System.nanoTime() - t0) / 1e9 }
+    def fmt(v: Double) = String.format(java.util.Locale.ROOT, "%.3f", java.lang.Double.valueOf(v))
+    // element_at forces the whole q array to be computed; the filter
+    // count materializes every row without collecting data
+    def drive(q: org.apache.spark.sql.DataFrame): Long =
+      q.filter(element_at(col("q"), 1) =!= 126 || col("scale") > -1f).count()
+    val variants = Seq(
+      "codegen" -> (() => drive(graft.pipeline.Ann.quantizeInt8(df))),
+      "hof" -> (() => drive(graft.pipeline.Ann.quantizeInt8Hof(df))))
+    variants.foreach { case (name, f) => f() } // warm both plans
+    val results = variants.map { case (name, f) =>
+      name -> (1 to reps).map(_ => time(f())).min
+    }
+    val Seq(cg, hof) = results.map(_._2)
+    println(s"""QUANTBENCH {"rows":$n,"dim":$dim,"codegen_sec":${fmt(cg)},"hof_sec":${fmt(hof)},"speedup":${fmt(hof / cg)}}""")
+    spark.stop()
+  }
+}

@@ -3,7 +3,7 @@ package graft.functions
 import org.apache.spark.sql.Column
 import org.apache.spark.sql.catalyst.InternalRow
 import org.apache.spark.sql.catalyst.analysis.TypeCheckResult
-import org.apache.spark.sql.catalyst.expressions.{BinaryExpression, Expression}
+import org.apache.spark.sql.catalyst.expressions.{BinaryExpression, Expression, UnaryExpression}
 import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
 import org.apache.spark.sql.catalyst.util.ArrayData
 import org.apache.spark.sql.types._
@@ -75,6 +75,165 @@ case class FloatVecDot(left: Expression, right: Expression)
     copy(left = newLeft, right = newRight)
 }
 
+/** max(|x_i|) over the non-null elements of an `array<float>`, null when
+  * there are none — the codegen replacement for
+  * `array_max(transform(arr, abs))` (two interpreted HOFs) in the int8
+  * quantization path. Element ordering matches Spark's float ordering
+  * (`java.lang.Float.compare`: NaN greatest), so results are identical
+  * to the HOF form on every input.
+  */
+case class FloatVecMaxAbs(child: Expression) extends UnaryExpression {
+
+  override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
+    case ArrayType(FloatType, _) => TypeCheckResult.TypeCheckSuccess
+    case other => TypeCheckResult.TypeCheckFailure(
+      s"float_vec_max_abs needs array<float> input, got ${other.simpleString}")
+  }
+  override def dataType: DataType = FloatType
+  override def nullable: Boolean = true
+  override def nullIntolerant: Boolean = true
+  override def prettyName: String = "float_vec_max_abs"
+
+  override def nullSafeEval(a: Any): Any = {
+    val x = a.asInstanceOf[ArrayData]
+    val n = x.numElements()
+    var best = 0.0f
+    var found = false
+    var i = 0
+    while (i < n) {
+      if (!x.isNullAt(i)) {
+        val v = Math.abs(x.getFloat(i))
+        if (!found || java.lang.Float.compare(v, best) > 0) { best = v; found = true }
+      }
+      i += 1
+    }
+    if (found) best else null
+  }
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, x => {
+      val n = ctx.freshName("n")
+      val i = ctx.freshName("i")
+      val best = ctx.freshName("best")
+      val found = ctx.freshName("found")
+      val v = ctx.freshName("v")
+      s"""
+         |int $n = $x.numElements();
+         |float $best = 0.0f;
+         |boolean $found = false;
+         |for (int $i = 0; $i < $n; $i++) {
+         |  if (!$x.isNullAt($i)) {
+         |    float $v = Math.abs($x.getFloat($i));
+         |    if (!$found || java.lang.Float.compare($v, $best) > 0) { $best = $v; $found = true; }
+         |  }
+         |}
+         |if ($found) { ${ev.value} = $best; } else { ${ev.isNull} = true; }
+       """.stripMargin
+    })
+
+  override protected def withNewChildInternal(newChild: Expression): Expression =
+    copy(child = newChild)
+}
+
+/** Codegen int8 quantization codes for an `array<float>` embedding:
+  * `scale = maxAbs/127`, `q_i = clamp(round(x_i/scale), -127, 127)` as
+  * tinyint — one primitive loop pair (max scan + code emit) instead of
+  * four interpreted HOF passes. Exactly mirrors the HOF reference form
+  * ([[graft.pipeline.Ann.quantizeInt8Hof]], parity-pinned by spec):
+  * null elements stay null, a null/zero maxAbs yields all-zero codes of
+  * the same length, rounding is HALF-UP away from zero like Spark's
+  * `round` (`floor(|v|+0.5)` with the sign reapplied — equivalent to
+  * the BigDecimal HALF_UP rule for every |v| <= 127.5, this kernel's
+  * whole range by construction).
+  */
+case class QuantizeInt8Codes(child: Expression) extends UnaryExpression {
+
+  override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
+    case ArrayType(FloatType, _) => TypeCheckResult.TypeCheckSuccess
+    case other => TypeCheckResult.TypeCheckFailure(
+      s"quantize_int8_codes needs array<float> input, got ${other.simpleString}")
+  }
+  override def dataType: DataType = ArrayType(ByteType, containsNull = true)
+  override def nullable: Boolean = true
+  override def nullIntolerant: Boolean = true
+  override def prettyName: String = "quantize_int8_codes"
+
+  override def nullSafeEval(a: Any): Any = {
+    val x = a.asInstanceOf[ArrayData]
+    val n = x.numElements()
+    var best = 0.0f
+    var found = false
+    var j = 0
+    while (j < n) {
+      if (!x.isNullAt(j)) {
+        val v = Math.abs(x.getFloat(j))
+        if (!found || java.lang.Float.compare(v, best) > 0) { best = v; found = true }
+      }
+      j += 1
+    }
+    val maxAbs: Any = if (found) best else null
+    val out = new Array[Any](n)
+    if (maxAbs == null || maxAbs.asInstanceOf[Float] == 0.0f) {
+      var i = 0
+      while (i < n) { out(i) = 0.toByte; i += 1 } // zero branch keeps nulls at 0 like the HOF form
+    } else {
+      val scale = (maxAbs.asInstanceOf[Float].toDouble / 127.0).toFloat
+      var i = 0
+      while (i < n) {
+        if (!x.isNullAt(i)) {
+          val r = x.getFloat(i).toDouble / scale.toDouble
+          val rounded = { val m = Math.floor(Math.abs(r) + 0.5d); if (r < 0) -m else m }
+          out(i) = Math.max(-127d, Math.min(127d, rounded)).toByte
+        }
+        i += 1
+      }
+    }
+    new org.apache.spark.sql.catalyst.util.GenericArrayData(out)
+  }
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, x => {
+      val n = ctx.freshName("n")
+      val i = ctx.freshName("i")
+      val best = ctx.freshName("best")
+      val found = ctx.freshName("found")
+      val v = ctx.freshName("v")
+      val out = ctx.freshName("out")
+      val scale = ctx.freshName("scale")
+      val r = ctx.freshName("r")
+      val m = ctx.freshName("m")
+      s"""
+         |int $n = $x.numElements();
+         |float $best = 0.0f;
+         |boolean $found = false;
+         |for (int $i = 0; $i < $n; $i++) {
+         |  if (!$x.isNullAt($i)) {
+         |    float $v = Math.abs($x.getFloat($i));
+         |    if (!$found || java.lang.Float.compare($v, $best) > 0) { $best = $v; $found = true; }
+         |  }
+         |}
+         |Object[] $out = new Object[$n];
+         |if (!$found || $best == 0.0f) {
+         |  for (int $i = 0; $i < $n; $i++) { $out[$i] = java.lang.Byte.valueOf((byte) 0); }
+         |} else {
+         |  float $scale = (float) (((double) $best) / 127.0d);
+         |  for (int $i = 0; $i < $n; $i++) {
+         |    if (!$x.isNullAt($i)) {
+         |      double $r = ((double) $x.getFloat($i)) / ((double) $scale);
+         |      double $m = Math.floor(Math.abs($r) + 0.5d);
+         |      if ($r < 0) { $m = -$m; }
+         |      $out[$i] = java.lang.Byte.valueOf((byte) Math.max(-127.0d, Math.min(127.0d, $m)));
+         |    }
+         |  }
+         |}
+         |${ev.value} = new org.apache.spark.sql.catalyst.util.GenericArrayData($out);
+       """.stripMargin
+    })
+
+  override protected def withNewChildInternal(newChild: Expression): Expression =
+    copy(child = newChild)
+}
+
 object VectorFunctions {
   import org.apache.spark.sql.GraftSqlBridge
   def floatVecDot(a: Column, b: Column): Column =
@@ -83,4 +242,10 @@ object VectorFunctions {
   /** L2 norm via the same kernel. */
   def floatVecNorm(a: Column): Column =
     org.apache.spark.sql.functions.sqrt(floatVecDot(a, a))
+
+  def floatVecMaxAbs(a: Column): Column =
+    GraftSqlBridge.column(FloatVecMaxAbs(GraftSqlBridge.expression(a)))
+
+  def quantizeInt8Codes(a: Column): Column =
+    GraftSqlBridge.column(QuantizeInt8Codes(GraftSqlBridge.expression(a)))
 }

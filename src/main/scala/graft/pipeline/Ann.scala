@@ -101,15 +101,36 @@ object Ann {
     * scale 0 with all-zero codes. Pure per-row array arithmetic — no
     * shuffle, scales with scan throughput.
     *
-    * Codegen note: the array HOFs here are interpreted (CodegenFallback)
-    * — the same accepted per-row trade as [[graft.pipeline.Dedup
-    * .shingles]], where the HOF runs once per ROW, not per candidate
-    * pair; if a full-corpus re-quantization ever becomes the bottleneck,
-    * the [[graft.functions.FloatVecDot]] pattern (custom codegen loop)
-    * is the upgrade path.
+    * Codegen: the production path runs two custom primitive-loop
+    * expressions ([[graft.functions.FloatVecMaxAbs]] /
+    * [[graft.functions.QuantizeInt8Codes]], the FloatVecDot pattern) —
+    * measured ~6x faster than the interpreted-HOF formulation this
+    * replaced (BENCH.md round-5 A/B). The HOF form survives as
+    * [[quantizeInt8Hof]], the executable reference semantics the parity
+    * spec pins the kernel against element-for-element.
     */
   def quantizeInt8(df: DataFrame, idCol: String = "vec_id",
                    embCol: String = "embedding"): DataFrame = {
+    import graft.functions.VectorFunctions.{floatVecMaxAbs, quantizeInt8Codes}
+    df.select(
+      col(idCol),
+      (floatVecMaxAbs(col(embCol)) / lit(127.0f)).cast("float").as("scale"),
+      quantizeInt8Codes(col(embCol)).as("q"))
+  }
+
+  /** The original higher-order-function formulation of [[quantizeInt8]]
+    * — interpreted (HOFs are CodegenFallback) but expressed entirely in
+    * built-ins, kept as the REFERENCE implementation: PipelineSpec
+    * asserts the codegen kernel reproduces it element-for-element
+    * (nulls, zero/empty vectors, rounding ties, clamping) on randomized
+    * input. The null-element case is made EXPLICIT here: the earlier
+    * formulation ran the clamp as `greatest(-127, least(127, round))`
+    * and least/greatest SKIP null arguments, so a null element silently
+    * quantized to code 127 (max positive!) instead of staying null — a
+    * missing dimension must stay missing.
+    */
+  private[graft] def quantizeInt8Hof(df: DataFrame, idCol: String = "vec_id",
+                                     embCol: String = "embedding"): DataFrame = {
     val maxAbs = array_max(transform(col(embCol), x => abs(x)))
     val scale = (maxAbs / lit(127.0f)).cast("float")
     df.select(
@@ -118,7 +139,8 @@ object Ann {
       when(coalesce(maxAbs, lit(0.0f)) === 0.0f,
         transform(col(embCol), _ => lit(0).cast("tinyint")))
         .otherwise(transform(col(embCol), x =>
-          greatest(lit(-127), least(lit(127), round(x / scale))).cast("tinyint")))
+          when(x.isNull, lit(null).cast("tinyint"))
+            .otherwise(greatest(lit(-127), least(lit(127), round(x / scale))).cast("tinyint"))))
         .as("q"))
   }
 

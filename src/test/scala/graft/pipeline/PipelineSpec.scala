@@ -406,6 +406,40 @@ class PipelineSpec extends AnyFlatSpec with Matchers {
     (exact intersect approx).size.toDouble / exact.size should be >= 0.6
   }
 
+  it should "reproduce the HOF reference element-for-element (codegen kernel parity)" in {
+    import org.apache.spark.sql.Row
+    import org.apache.spark.sql.types._
+    // edge shapes the kernel must match exactly: rounding ties (HALF_UP
+    // away from zero, where Math.round would differ), empty / all-null /
+    // zero vectors, null elements, whole-null arrays, tiny magnitudes
+    val edge: Seq[(Long, Seq[Any])] = Seq(
+      (1000L, Seq(1.5f, -2.5f, 63.5f, -63.5f, 127.0f)),
+      (1001L, Seq.empty[Any]),
+      (1002L, Seq(null, 3.0f, null)),
+      (1003L, Seq(0.0f, -0.0f, 0.0f)),
+      (1004L, Seq(null, null)),
+      (1005L, Seq(1e-30f, -1e-30f, 2e-30f)),
+      (1006L, null))
+    val rnd = new scala.util.Random(11)
+    val rand: Seq[(Long, Seq[Any])] = (0L until 300L).map { i =>
+      (i, Seq.fill(16)(
+        if (rnd.nextInt(10) == 0) null else ((rnd.nextFloat() - 0.5f) * 200f): Any))
+    }
+    val schema = StructType(Seq(
+      StructField("vec_id", LongType, nullable = false),
+      StructField("embedding", ArrayType(FloatType, containsNull = true), nullable = true)))
+    val df = spark.createDataFrame(
+      spark.sparkContext.parallelize((edge ++ rand).map { case (id, a) => Row(id, a) }, 4),
+      schema)
+    def dump(q: org.apache.spark.sql.DataFrame) =
+      q.orderBy("vec_id").collect().map { r =>
+        (r.getLong(0),
+          if (r.isNullAt(1)) null else r.getFloat(1),
+          if (r.isNullAt(2)) null else r.getSeq[Any](2))
+      }.toSeq
+    dump(Ann.quantizeInt8(df)) shouldBe dump(Ann.quantizeInt8Hof(df))
+  }
+
   "Ann.bruteForceTopK" should "return k deterministic rows per query" in {
     val q = embeddings.filter(col("vec_id") < 8)
     val c = embeddings.filter(col("vec_id") >= 8)
