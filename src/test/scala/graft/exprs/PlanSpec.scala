@@ -169,7 +169,12 @@ class PlanSpec extends AnyFlatSpec with Matchers {
     val dirty = graft.sources.DirtyDerive.fromLineitem(spark, sfDir)
     for (q <- Seq("v_arrays", "v_maps", "v_structs", "v_array_oneof")) {
       val df = graft.SparkEntry.queries(q)(spark, sfDir)
-      val fallbacks = df.queryExecution.executedPlan.flatMap(_.expressions)
+      // sparkPlan, NOT executedPlan: under AQE the executedPlan of an
+      // unexecuted query is an opaque AdaptiveSparkPlanExec with ZERO
+      // children, so traversing it finds no expressions and the
+      // assertion passes vacuously (round-5 find — the round-4 form of
+      // this test pinned nothing)
+      val fallbacks = df.queryExecution.sparkPlan.flatMap(_.expressions)
         .flatMap(_.collect { case e: CodegenFallback => e })
       // round 4: INCLUDING the `actual` renderer — JsonRender replaced
       // to_json, so the whole emission plan is codegen, no exclusions
@@ -177,5 +182,19 @@ class PlanSpec extends AnyFlatSpec with Matchers {
         fallbacks shouldBe empty)
     }
     dirty.columns should contain("tags") // the fixture actually carries the arrays
+  }
+
+  it should "leave no CodegenFallback in the int8 quantization plan (round 5)" in {
+    import org.apache.spark.sql.catalyst.expressions.codegen.CodegenFallback
+    // the PRODUCTION operator plan (the embed_quantize gate query wraps
+    // it in a zip_with/aggregate bound-check harness that is gate-only
+    // arithmetic); quantizeInt8 previously ran four interpreted HOF
+    // passes — the codegen kernel must keep it fallback-free
+    val e = spark.read.parquet(s"$sfDir/embeddings.parquet")
+    val df = graft.pipeline.Ann.quantizeInt8(e)
+    val fallbacks = df.queryExecution.sparkPlan.flatMap(_.expressions)
+      .flatMap(_.collect { case e: CodegenFallback => e })
+    withClue(s"fallbacks: ${fallbacks.map(_.prettyName).distinct}: ")(
+      fallbacks shouldBe empty)
   }
 }
