@@ -148,44 +148,72 @@ object BenchOne {
   * executors is the closest in-sandbox analogue of the north_rule's
   * "N and 4N executors" criterion. Prints one JSON line.
   */
+/** Scaffolding shared by the local-cluster scaling benches: executor
+  * classpath resolution, the session recipe, and the generate-if-absent
+  * input guard — in ONE place so a fix to any of them (e.g. the
+  * stopped-cluster starvation workaround, the relative-classpath bug)
+  * cannot silently diverge between the scan-shaped and shuffle-shaped
+  * benches.
+  */
+private[graft] object LocalClusterBench {
+  // resolve from this class's own code source so the bench works from
+  // any CWD (a relative path gave executors an empty classpath)
+  lazy val classesDir: String = Option(getClass.getProtectionDomain.getCodeSource)
+    .map(cs => new java.io.File(cs.getLocation.toURI).getAbsolutePath)
+    .getOrElse(new java.io.File("target/scala-2.13/classes").getAbsolutePath)
+
+  def coresPerExec: Int = sys.env.getOrElse("SPARK_GRAFT_EXEC_CORES", "4").toInt
+  def execMemMb: Int = sys.env.getOrElse("SPARK_GRAFT_EXEC_MEM_MB", "8192").toInt
+
+  def session(executors: Int, shufflePartitions: Int): SparkSession = {
+    val s = SparkSession.builder()
+      .master(s"local-cluster[$executors,$coresPerExec,$execMemMb]")
+      .config("spark.executor.extraClassPath", classesDir)
+      .config("spark.sql.shuffle.partitions", shufflePartitions.toString)
+      .config("spark.sql.adaptive.enabled", "true")
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    s.sparkContext.setLogLevel("WARN")
+    s
+  }
+
+  /** Generate `input` with a plain local session if absent, leaving no
+    * active/default session behind (a leftover would shadow the
+    * local-cluster session the measurement needs).
+    */
+  def ensureInput(input: String)(write: SparkSession => Unit): Unit =
+    if (!new java.io.File(s"$input/_SUCCESS").exists()) {
+      val gen = SparkSession.builder().master("local[32]")
+        .config("spark.ui.enabled", "false").getOrCreate()
+      gen.sparkContext.setLogLevel("WARN")
+      write(gen)
+      gen.stop()
+      SparkSession.clearActiveSession(); SparkSession.clearDefaultSession()
+    }
+
+  def teardown(s: SparkSession): Unit = {
+    s.stop()
+    SparkSession.clearActiveSession(); SparkSession.clearDefaultSession()
+  }
+}
+
 object ClusterScalingBench {
   def main(args: Array[String]): Unit = {
+    import LocalClusterBench._
     val rows = sys.env.getOrElse("SPARK_GRAFT_SCALE_ROWS", "32000000").toLong
     // default dir keyed by row count: the two scaling benches previously
     // shared one dir with different default sizes, and the _SUCCESS check
     // silently reused whichever input was generated first
     val input = sys.env.getOrElse("SPARK_GRAFT_SCALE_DIR", s"/tmp/graft_scaling_input_$rows")
-    val coresPerExec = sys.env.getOrElse("SPARK_GRAFT_EXEC_CORES", "4").toInt
-    val execMemMb = sys.env.getOrElse("SPARK_GRAFT_EXEC_MEM_MB", "8192").toInt
-    // resolve from this class's own code source so the bench works from
-    // any CWD (a relative path gave executors an empty classpath)
-    val classesDir = Option(getClass.getProtectionDomain.getCodeSource)
-      .map(cs => new java.io.File(cs.getLocation.toURI).getAbsolutePath)
-      .getOrElse(new java.io.File("target/scala-2.13/classes").getAbsolutePath)
 
-    def session(executors: Int): SparkSession = {
-      val s = SparkSession.builder()
-        .master(s"local-cluster[$executors,$coresPerExec,$execMemMb]")
-        .config("spark.executor.extraClassPath", classesDir)
-        .config("spark.sql.shuffle.partitions", (executors * coresPerExec).toString)
-        .config("spark.sql.adaptive.enabled", "true")
-        .config("spark.sql.session.timeZone", "UTC")
-        .config("spark.ui.enabled", "false")
-        .getOrCreate()
-      s.sparkContext.setLogLevel("WARN")
-      s
-    }
+    def session(executors: Int): SparkSession =
+      LocalClusterBench.session(executors, executors * coresPerExec)
 
-    // ensure input exists (generate with a plain local session)
-    if (!new java.io.File(s"$input/_SUCCESS").exists()) {
-      val gen = SparkSession.builder().master("local[32]")
-        .config("spark.ui.enabled", "false").getOrCreate()
-      gen.sparkContext.setLogLevel("WARN")
+    ensureInput(input) { gen =>
       graft.sources.TranscriptGen
         .generate(gen, rows / 8, 8, graft.sources.TranscriptGen.all)
         .repartition(128).write.mode("overwrite").parquet(input)
-      gen.stop()
-      SparkSession.clearActiveSession(); SparkSession.clearDefaultSession()
     }
     val schema = graft.compile.TableSchemaCompiler
       .compileString(SparkEntry.querySchema).toOption.get
@@ -201,10 +229,7 @@ object ClusterScalingBench {
           (System.nanoTime() - t0) / 1e9
         }
         (df.count(), times.min)
-      } finally {
-        s.stop()
-        SparkSession.clearActiveSession(); SparkSession.clearDefaultSession()
-      }
+      } finally teardown(s)
     }
 
     args.headOption match {
@@ -372,13 +397,9 @@ object QuantBench {
 object ShuffleScalingBench {
   def main(args: Array[String]): Unit = {
     import org.apache.spark.sql.functions._
+    import LocalClusterBench._
     val docs = sys.env.getOrElse("SPARK_GRAFT_SHUFFLE_DOCS", "2000000").toLong
     val input = sys.env.getOrElse("SPARK_GRAFT_SHUFFLE_DIR", s"/tmp/graft_shuffle_input_$docs")
-    val coresPerExec = sys.env.getOrElse("SPARK_GRAFT_EXEC_CORES", "4").toInt
-    val execMemMb = sys.env.getOrElse("SPARK_GRAFT_EXEC_MEM_MB", "8192").toInt
-    val classesDir = Option(getClass.getProtectionDomain.getCodeSource)
-      .map(cs => new java.io.File(cs.getLocation.toURI).getAbsolutePath)
-      .getOrElse(new java.io.File("target/scala-2.13/classes").getAbsolutePath)
 
     def corpus(s: SparkSession, n: Long) = {
       val pairBase = expr("id div 2")
@@ -396,25 +417,14 @@ object ShuffleScalingBench {
       }
       s.range(n).select(col("id").as("doc_id"), concat_ws(" ", toks: _*).as("text"))
     }
-    if (!new java.io.File(s"$input/_SUCCESS").exists()) {
-      val gen = SparkSession.builder().master("local[32]")
-        .config("spark.ui.enabled", "false").getOrCreate()
-      gen.sparkContext.setLogLevel("WARN")
+    ensureInput(input) { gen =>
       corpus(gen, docs).repartition(128).write.mode("overwrite").parquet(input)
-      gen.stop()
-      SparkSession.clearActiveSession(); SparkSession.clearDefaultSession()
     }
 
     def run(executors: Int): (Long, Long, Double) = {
-      val s = SparkSession.builder()
-        .master(s"local-cluster[$executors,$coresPerExec,$execMemMb]")
-        .config("spark.executor.extraClassPath", classesDir)
-        .config("spark.sql.shuffle.partitions", (executors * coresPerExec * 2).toString)
-        .config("spark.sql.adaptive.enabled", "true")
-        .config("spark.sql.session.timeZone", "UTC")
-        .config("spark.ui.enabled", "false")
-        .getOrCreate()
-      s.sparkContext.setLogLevel("WARN")
+      // 2x cores for the join-heavy plan: the band self-join's exchange
+      // benefits from finer partitions than the scan-shaped flagship
+      val s = LocalClusterBench.session(executors, executors * coresPerExec * 2)
       try {
         val df = s.read.parquet(input)
         def pairs() = graft.pipeline.Dedup
@@ -426,10 +436,7 @@ object ShuffleScalingBench {
           (System.nanoTime() - t0) / 1e9
         }
         (df.count(), p, times.min)
-      } finally {
-        s.stop()
-        SparkSession.clearActiveSession(); SparkSession.clearDefaultSession()
-      }
+      } finally teardown(s)
     }
 
     // one measurement per JVM (stopped local-clusters starve follow-up

@@ -140,11 +140,21 @@ case class FloatVecMaxAbs(child: Expression) extends UnaryExpression {
   * tinyint — one primitive loop pair (max scan + code emit) instead of
   * four interpreted HOF passes. Exactly mirrors the HOF reference form
   * ([[graft.pipeline.Ann.quantizeInt8Hof]], parity-pinned by spec):
-  * null elements stay null, a null/zero maxAbs yields all-zero codes of
-  * the same length, rounding is HALF-UP away from zero like Spark's
-  * `round` (`floor(|v|+0.5)` with the sign reapplied — equivalent to
-  * the BigDecimal HALF_UP rule for every |v| <= 127.5, this kernel's
-  * whole range by construction).
+  * null elements stay NULL in every branch (a missing dimension stays
+  * missing); an absent, zero, or NON-FINITE maxAbs (empty/all-null/
+  * zero vector, or any NaN/Inf element poisoning the max) degenerates
+  * to all-zero codes — the scale column still carries the null/0/NaN/
+  * Inf marker, so callers can detect the degenerate vectors.
+  *
+  * Rounding is HALF-UP away from zero like Spark's `round`:
+  * `floor(|v|+0.5)` with the sign reapplied. This is exactly the
+  * BigDecimal HALF_UP rule on this kernel's input domain: v is a
+  * float/float quotient widened to double, and such a quotient
+  * `a/b` (24-bit significands) is either an exact half-integer tie
+  * (handled: away from zero) or at least `1/(2b) > 2^-26` away from
+  * one, while the `|v|+0.5` addition error is at most `2^-45` at
+  * |v|<=127.5 — too small to cross a rounding boundary, so the fast
+  * form cannot misround where BigDecimal would not.
   */
 case class QuantizeInt8Codes(child: Expression) extends UnaryExpression {
 
@@ -171,13 +181,15 @@ case class QuantizeInt8Codes(child: Expression) extends UnaryExpression {
       }
       j += 1
     }
-    val maxAbs: Any = if (found) best else null
     val out = new Array[Any](n)
-    if (maxAbs == null || maxAbs.asInstanceOf[Float] == 0.0f) {
+    if (!found || best == 0.0f || !java.lang.Float.isFinite(best)) {
+      // degenerate scale (empty/all-null/zero vector, or any non-finite
+      // element poisoning maxAbs): all-zero codes, null elements STAY
+      // null — a missing dimension must stay missing in every branch
       var i = 0
-      while (i < n) { out(i) = 0.toByte; i += 1 } // zero branch keeps nulls at 0 like the HOF form
+      while (i < n) { if (!x.isNullAt(i)) out(i) = 0.toByte; i += 1 }
     } else {
-      val scale = (maxAbs.asInstanceOf[Float].toDouble / 127.0).toFloat
+      val scale = (best.toDouble / 127.0).toFloat
       var i = 0
       while (i < n) {
         if (!x.isNullAt(i)) {
@@ -213,8 +225,10 @@ case class QuantizeInt8Codes(child: Expression) extends UnaryExpression {
          |  }
          |}
          |Object[] $out = new Object[$n];
-         |if (!$found || $best == 0.0f) {
-         |  for (int $i = 0; $i < $n; $i++) { $out[$i] = java.lang.Byte.valueOf((byte) 0); }
+         |if (!$found || $best == 0.0f || !java.lang.Float.isFinite($best)) {
+         |  for (int $i = 0; $i < $n; $i++) {
+         |    if (!$x.isNullAt($i)) { $out[$i] = java.lang.Byte.valueOf((byte) 0); }
+         |  }
          |} else {
          |  float $scale = (float) (((double) $best) / 127.0d);
          |  for (int $i = 0; $i < $n; $i++) {

@@ -33,16 +33,28 @@ class ValidateStreamSchemaSpec extends AnyFlatSpec with Matchers {
     pin(in, out) shouldBe first
   }
 
-  it should "flag a type-drifted file appearing mid-stream" in {
+  it should "flag a type conflict among the initial files at pin time" in {
     import spark.implicits._
     val (in, out) = freshDirs()
     Seq((1L, "a")).toDF("id", "text").write.mode("append").parquet(in)
-    pin(in, out).isRight shouldBe true
-    // mid-stream arrival: same column, different type -> merge conflict
     Seq(("oops", "b")).toDF("id", "text").write.mode("append").parquet(in)
+    // first run merges every footer: the conflict is drift, not a crash
     val drift = pin(in, out)
     drift.isLeft shouldBe true
     drift.left.toOption.get.toLowerCase should include("incompatible")
+  }
+
+  it should "classify a mid-batch read failure on a drifted file as drift" in {
+    // the per-invocation prelude samples ONE footer (O(1) in total file
+    // count), so a drifted file can first surface as a task failure
+    // inside the stream; the CLI maps that to exit 3 via this classifier
+    val convert = new org.apache.spark.sql.execution.datasources
+      .SchemaColumnConvertNotSupportedException("id", "INT64", "BINARY")
+    val wrapped = new RuntimeException("stage failed",
+      new RuntimeException("task failed", convert))
+    ValidateStreamMain.isSchemaDriftFailure(wrapped) shouldBe true
+    ValidateStreamMain.isSchemaDriftFailure(
+      new RuntimeException("disk full", new java.io.IOException("no space"))) shouldBe false
   }
 
   it should "flag a pinned column that vanished or changed type wholesale" in {

@@ -419,7 +419,12 @@ class PipelineSpec extends AnyFlatSpec with Matchers {
       (1003L, Seq(0.0f, -0.0f, 0.0f)),
       (1004L, Seq(null, null)),
       (1005L, Seq(1e-30f, -1e-30f, 2e-30f)),
-      (1006L, null))
+      (1006L, null),
+      // non-finite elements poison maxAbs -> degenerate all-zero codes
+      // (scale keeps the NaN/Inf marker); both implementations agree
+      (1007L, Seq(Float.NaN, 1.0f)),
+      (1008L, Seq(Float.PositiveInfinity, -2.0f, null)),
+      (1009L, Seq(Float.NegativeInfinity, 3.0f)))
     val rnd = new scala.util.Random(11)
     val rand: Seq[(Long, Seq[Any])] = (0L until 300L).map { i =>
       (i, Seq.fill(16)(
@@ -434,7 +439,10 @@ class PipelineSpec extends AnyFlatSpec with Matchers {
     def dump(q: org.apache.spark.sql.DataFrame) =
       q.orderBy("vec_id").collect().map { r =>
         (r.getLong(0),
-          if (r.isNullAt(1)) null else r.getFloat(1),
+          // bit pattern, not the float: Scala's boxed numeric equality is
+          // IEEE (NaN != NaN), which would fail the NaN-scale rows even
+          // when both sides agree
+          if (r.isNullAt(1)) null else java.lang.Float.floatToIntBits(r.getFloat(1)),
           if (r.isNullAt(2)) null else r.getSeq[Any](2))
       }.toSeq
     dump(Ann.quantizeInt8(df)) shouldBe dump(Ann.quantizeInt8Hof(df))
