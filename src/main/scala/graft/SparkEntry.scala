@@ -404,6 +404,27 @@ object SparkEntry {
           col("channels").cast("long").as("channels"),
           col("pixel_sum"))),
 
+    // BPE tokenizer training: 8 merge rounds over the corpus word
+    // census. The oracle replays the whole cascade (census, weighted
+    // pair counts, deterministic argmax, literal-replace merge) stage
+    // by stage — one wrong tie-break or rewrite anywhere diverges
+    // every later merge
+    "bpe_merges" -> ((s, dir) => TextOps.bpeMerges(docs(s, dir), numMerges = 8)),
+
+    // C4-style line-level boilerplate removal over a deterministic
+    // multi-line staging of the corpus (the raw docs are single-line):
+    // a header line shared by ALL docs and a footer shared by ~1/7 of
+    // them must go; every unique body line must survive byte-for-byte
+    // in original order (the corpus has no text shared by >= 25 docs,
+    // so no body line crosses the threshold at any provided SF)
+    "boilerplate_removal" -> ((s, dir) => {
+      val staged = docs(s, dir).select(col("doc_id"),
+        concat_ws("\n", lit("=== COMMON HEADER ==="), col("text"),
+          concat(lit("footer "), (col("doc_id") % 7).cast("string"))).as("text"))
+      TextOps.removeBoilerplate(staged, minDocs = 25)
+        .select(col("doc_id"), col("text"))
+    }),
+
     "text_subwords" -> ((s, dir) =>
       docs(s, dir).select(
         col("doc_id"),
@@ -809,6 +830,39 @@ object SparkEntry {
             .otherwise(0L)).as("found_at_1"))
     })
   )
+
+  /** Generated stage-by-stage DuckDB replay of [[graft.pipeline.TextOps
+    * .bpeMerges]]: c0 = the symbol-encoded word census, then per merge
+    * round i a pair-count CTE (p_i), a deterministic 1-row argmax
+    * (m_i), and the literal-replace rewrite (c_{i+1}) — the same
+    * 2-space-separator encoding as the Spark side, so plain `replace`
+    * IS the BPE merge rule on both engines.
+    */
+  private def bpeMergesOracle(numMerges: Int): String = {
+    val seed =
+      """w AS MATERIALIZED (SELECT word, CAST(COUNT(*) AS BIGINT) AS n FROM (
+        |  SELECT unnest(regexp_split_to_array(trim(text), '\s+')) AS word FROM documents) t
+        |  WHERE word <> '' GROUP BY word),
+        |c0 AS MATERIALIZED (SELECT ' ' || array_to_string(
+        |  list_transform(range(1, length(word) + 1), i -> substr(word, i, 1)), '  ')
+        |  || '  </w> ' AS sym, n FROM w)""".stripMargin
+    val stages = (0 until numMerges).map { i =>
+      s"""p$i AS MATERIALIZED (
+         |  SELECT struct_extract(pr, 'l') AS l, struct_extract(pr, 'r') AS r,
+         |         CAST(SUM(n) AS BIGINT) AS cnt
+         |  FROM (SELECT n, unnest(list_transform(ts[1:len(ts)-1], (x, k) -> {'l': x, 'r': ts[k+1]})) AS pr
+         |        FROM (SELECT n, string_split(trim(sym), '  ') AS ts FROM c$i))
+         |  GROUP BY 1, 2),
+         |m$i AS MATERIALIZED (SELECT l, r, cnt FROM p$i ORDER BY cnt DESC, l ASC, r ASC LIMIT 1),
+         |c${i + 1} AS MATERIALIZED (SELECT replace(sym,
+         |    ' ' || (SELECT l FROM m$i) || '  ' || (SELECT r FROM m$i) || ' ',
+         |    ' ' || (SELECT l FROM m$i) || (SELECT r FROM m$i) || ' ') AS sym, n FROM c$i)""".stripMargin
+    }
+    val finals = (0 until numMerges).map(i =>
+      s"SELECT CAST($i AS BIGINT) AS step, l AS left_sym, r AS right_sym, cnt AS pair_count FROM m$i")
+      .mkString(" UNION ALL ")
+    s"WITH $seed,\n${stages.mkString(",\n")}\n$finals"
+  }
 
   def oracleSql: Map[String, String] = Map(
     "v_violations" ->
@@ -1403,6 +1457,36 @@ object SparkEntry {
         |CASE WHEN octet_length(encode(text)) = 0 THEN NULL
         |     ELSE md5(substring(text, 1, 256)) END AS first_frame_md5
         |FROM documents""".stripMargin,
+
+    // stage-by-stage replay of the merge cascade; every CTE is
+    // MATERIALIZED (DuckDB re-inlines plain CTEs per reference — c_i is
+    // referenced twice per stage, which would re-evaluate the whole
+    // prefix exponentially). The indexed lambda is 1-based, so ts[k+1]
+    // is the right neighbor of slice element k
+    "bpe_merges" -> bpeMergesOracle(8),
+
+    // replays the line census + removal + ordered reassembly; DuckDB's
+    // indexed lambda is 1-based vs posexplode's 0-based, but pos only
+    // ORDERS the reassembly, it is never emitted
+    "boilerplate_removal" ->
+      """WITH staged AS (
+        |  SELECT doc_id, '=== COMMON HEADER ===' || chr(10) || text || chr(10)
+        |         || 'footer ' || CAST(doc_id % 7 AS VARCHAR) AS text
+        |  FROM documents),
+        |ln AS (
+        |  SELECT doc_id, struct_extract(s, 'pos') AS pos, struct_extract(s, 'line') AS line
+        |  FROM (SELECT doc_id,
+        |          unnest(list_transform(string_split(text, chr(10)),
+        |            (x, i) -> {'pos': i, 'line': x})) AS s
+        |        FROM staged)),
+        |hot AS (
+        |  SELECT line FROM (SELECT line, COUNT(DISTINCT doc_id) AS n FROM ln GROUP BY line)
+        |  WHERE n >= 25),
+        |kept AS (
+        |  SELECT doc_id, string_agg(line, chr(10) ORDER BY pos) AS text
+        |  FROM ln WHERE line NOT IN (SELECT line FROM hot) GROUP BY doc_id)
+        |SELECT d.doc_id, COALESCE(k.text, '') AS text
+        |FROM staged d LEFT JOIN kept k USING (doc_id)""".stripMargin,
 
     // replays the PNG plant rule arithmetically (no image library):
     // doc_ids are nonnegative so DuckDB's % == the Spark side's floorMod

@@ -297,4 +297,120 @@ object TextOps {
       when(s === best && best > 0, lit(name.stripPrefix("score_"))).otherwise(acc)
     }
   }
+
+  /** BPE merge training (the tokenizer-training primitive
+    * [[tokenPairCounts]] is the one-shot form of): `numMerges` rounds
+    * of count-adjacent-symbol-pairs → merge the most frequent pair,
+    * over the corpus WORD CENSUS. Returns the learned merge table
+    * `(step, left_sym, right_sym, pair_count)` — deterministic ties
+    * broken by (count desc, left asc, right asc), the order the merges
+    * must later be APPLIED in.
+    *
+    * Scale shape: the only corpus-sized job is the word census (one
+    * explode + count agg, shuffle bounded by distinct words); every
+    * merge round then runs on the census alone — pair counts weighted
+    * by word frequency, a 1-row argmax to the driver (the merge
+    * DECISION is driver-state by nature, like a quantile threshold),
+    * and a literal-`replace` rewrite. Symbol strings use a 2-space
+    * separator with 1-space padding, which makes left-to-right
+    * non-overlapping literal replacement EXACTLY the BPE merge rule
+    * (consecutive occurrences share a boundary space: 1+1 spaces
+    * remain, so the next occurrence still matches — no regex, no
+    * lookbehind, replayable on RE2-only engines like the DuckDB
+    * oracle). Each round caches its census and frees the previous one.
+    *
+    * Words containing a literal `</w>` or 2+ consecutive spaces cannot
+    * occur (the census tokenizes on whitespace); a corpus whose tokens
+    * embed the end-marker string itself is out of scope.
+    */
+  def bpeMerges(docs: DataFrame, numMerges: Int, textCol: String = "text"): DataFrame = {
+    require(numMerges >= 1, s"numMerges must be >= 1, got $numMerges")
+    val spark = docs.sparkSession
+    import spark.implicits._
+    val words = docs
+      .select(explode(split(trim(col(textCol)), "\\s+")).as("w"))
+      .filter(col("w") =!= "")
+      .groupBy("w").agg(count(lit(1)).as("n"))
+    var census = words.select(
+      concat(lit(" "), array_join(split(col("w"), ""), "  "), lit("  </w> ")).as("sym"),
+      col("n")).cache()
+    census.count()
+    val merges = scala.collection.mutable.ArrayBuffer.empty[(Long, String, String, Long)]
+    var step = 0
+    var exhausted = false
+    while (step < numMerges && !exhausted) {
+      val ts = split(trim(col("sym")), "  ")
+      val top = census
+        .select(col("n"), explode(zip_with(
+          slice(ts, lit(1), size(ts) - 1), slice(ts, lit(2), size(ts) - 1),
+          (a, b) => struct(a.as("l"), b.as("r")))).as("pr"))
+        .groupBy(col("pr.l").as("l"), col("pr.r").as("r"))
+        .agg(sum(col("n")).as("cnt"))
+        .orderBy(col("cnt").desc, col("l").asc, col("r").asc)
+        .limit(1).collect()
+      if (top.isEmpty) exhausted = true
+      else {
+        val (l, r, cnt) = (top(0).getString(0), top(0).getString(1), top(0).getLong(2))
+        merges += ((step.toLong, l, r, cnt))
+        val next = census.withColumn("sym",
+          replace(col("sym"), lit(s" $l  $r "), lit(s" $l$r "))).cache()
+        next.count()
+        census.unpersist()
+        census = next
+        step += 1
+      }
+    }
+    census.unpersist()
+    merges.toSeq.toDF("step", "left_sym", "right_sym", "pair_count")
+  }
+
+  /** Lines occurring in at least `minDocs` DISTINCT documents — the
+    * boilerplate census behind [[removeBoilerplate]] (C4-style: nav
+    * bars, cookie banners, license headers repeat across pages; a line
+    * repeated within ONE doc counts once). One explode + per-doc
+    * distinct + one count agg; the result is small by construction
+    * (boilerplate = high-frequency lines), so callers can broadcast it.
+    */
+  def boilerplateLines(docs: DataFrame, minDocs: Long, textCol: String = "text",
+                       idCol: String = "doc_id"): DataFrame = {
+    require(minDocs >= 2, s"minDocs must be >= 2 (got $minDocs): every line is in >= 1 doc")
+    docs.select(col(idCol), explode(split(col(textCol), "\n")).as("line"))
+      .distinct()
+      .groupBy("line").agg(count(lit(1)).as("n_docs"))
+      .filter(col("n_docs") >= minDocs)
+  }
+
+  /** C4-style line-level boilerplate removal: drop every line that
+    * occurs in >= `minDocs` distinct documents, reassembling each doc's
+    * remaining lines in their original order. Documents whose EVERY
+    * line is boilerplate produce an empty-text row (kept, not dropped —
+    * downstream length filters decide their fate explicitly).
+    *
+    * Scale shape: detection is the [[boilerplateLines]] census; removal
+    * is a left-anti join of the exploded lines against the (small) hot
+    * set — Spark broadcasts it when it fits, and the
+    * [[contaminationHitsBloom]] Bloom-prune pattern is the upgrade path
+    * if a pathological corpus ever makes it large. Reassembly is ONE
+    * groupBy(doc) with an in-group sort by line position (array_sort of
+    * (pos, line) structs — never an unpartitioned window). The per-row
+    * transform extracting lines from structs is an interpreted HOF,
+    * once per document — the same accepted trade as Dedup.shingles.
+    */
+  def removeBoilerplate(docs: DataFrame, minDocs: Long, textCol: String = "text",
+                        idCol: String = "doc_id"): DataFrame = {
+    val lines = docs
+      .select(col(idCol), posexplode(split(col(textCol), "\n")).as(Seq("pos", "line")))
+    val hot = boilerplateLines(docs, minDocs, textCol, idCol).select("line")
+    val kept = lines.join(hot, Seq("line"), "left_anti")
+    // all-boilerplate docs vanish from `kept`; restore them with empty
+    // text so the operator is row-preserving (auditable removal)
+    docs.select(col(idCol))
+      .join(
+        kept.groupBy(col(idCol))
+          .agg(array_join(
+            transform(array_sort(collect_list(struct(col("pos"), col("line")))),
+              x => x.getField("line")), "\n").as(textCol)),
+        Seq(idCol), "left")
+      .select(col(idCol), coalesce(col(textCol), lit("")).as(textCol))
+  }
 }

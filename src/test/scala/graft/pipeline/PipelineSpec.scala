@@ -648,6 +648,50 @@ class PipelineSpec extends AnyFlatSpec with Matchers {
     hits shouldBe Map(1L -> 1L, 3L -> 1L) // doc1 shares bench's only gram; bench self-hits
   }
 
+  "TextOps.bpeMerges" should "learn the hand-computed merge sequence with deterministic ties" in {
+    import spark.implicits._
+    // census: low x3, lower x1, newest x2
+    val docs = Seq((1L, "low low lower"), (2L, "newest newest  low")).toDF("doc_id", "text")
+    val merges = TextOps.bpeMerges(docs, numMerges = 3)
+      .collect().map(r => (r.getLong(0), r.getString(1), r.getString(2), r.getLong(3))).toList
+    // step 0: (l,o) and (o,w) tie at 4 -> lexically smaller left wins
+    // step 1: (lo,w) 4; step 2: (low,</w>) 3
+    merges shouldBe List(
+      (0L, "l", "o", 4L), (1L, "lo", "w", 4L), (2L, "low", "</w>", 3L))
+
+    // exhaustion: a single 1-char word runs out of pairs after 1 merge
+    val tiny = Seq((1L, "a")).toDF("doc_id", "text")
+    TextOps.bpeMerges(tiny, numMerges = 5)
+      .collect().map(r => (r.getString(1), r.getString(2))).toList shouldBe
+      List(("a", "</w>"))
+  }
+
+  "TextOps.removeBoilerplate" should "drop cross-doc repeated lines, keep order, preserve rows" in {
+    import spark.implicits._
+    val docs = Seq(
+      (1L, "BOILER\nunique one\nBOILER\nlast one"), // in-doc repeat counts once for census
+      (2L, "unique two\nBOILER"),
+      (3L, "BOILER\nunique three"),
+      (4L, "BOILER"),                                // all-boilerplate -> empty text, row kept
+      (5L, "solo\nsolo")                             // repeated only WITHIN one doc -> stays
+    ).toDF("doc_id", "text")
+
+    val census = TextOps.boilerplateLines(docs, minDocs = 3)
+      .collect().map(r => (r.getString(0), r.getLong(1))).toMap
+    census shouldBe Map("BOILER" -> 4L) // docs 1-4; "solo" counted once, below bar
+
+    val out = TextOps.removeBoilerplate(docs, minDocs = 3)
+      .collect().map(r => (r.getLong(0), r.getString(1))).toMap
+    out shouldBe Map(
+      1L -> "unique one\nlast one", // BOTH occurrences removed, order kept
+      2L -> "unique two",
+      3L -> "unique three",
+      4L -> "",
+      5L -> "solo\nsolo")
+    an[IllegalArgumentException] should be thrownBy
+      TextOps.removeBoilerplate(docs, minDocs = 1) // would delete every line
+  }
+
   "TextOps.vocabulary" should "rank tokens by corpus frequency with deterministic ties" in {
     import spark.implicits._
     val df = Seq((1L, "b a a"), (2L, "a b c"), (3L, "c b")).toDF("doc_id", "text")
