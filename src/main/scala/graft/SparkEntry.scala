@@ -411,6 +411,16 @@ object SparkEntry {
     // every later merge
     "bpe_merges" -> ((s, dir) => TextOps.bpeMerges(docs(s, dir), numMerges = 8)),
 
+    // train-then-apply: the learned 8-merge table re-tokenizes the
+    // corpus; per-doc counts under the learned vocab must match the
+    // oracle's replay of the full cascade + vocab-apply join
+    "bpe_encode" -> ((s, dir) => {
+      val merges = TextOps.bpeMerges(docs(s, dir), numMerges = 8)
+        .collect().sortBy(_.getLong(0))
+        .map(r => (r.getString(1), r.getString(2))).toSeq
+      TextOps.bpeTokenCounts(docs(s, dir), merges)
+    }),
+
     // C4-style line-level boilerplate removal over a deterministic
     // multi-line staging of the corpus (the raw docs are single-line):
     // a header line shared by ALL docs and a footer shared by ~1/7 of
@@ -838,12 +848,12 @@ object SparkEntry {
     * 2-space-separator encoding as the Spark side, so plain `replace`
     * IS the BPE merge rule on both engines.
     */
-  private def bpeMergesOracle(numMerges: Int): String = {
+  private def bpeCascade(numMerges: Int): String = {
     val seed =
       """w AS MATERIALIZED (SELECT word, CAST(COUNT(*) AS BIGINT) AS n FROM (
         |  SELECT unnest(regexp_split_to_array(trim(text), '\s+')) AS word FROM documents) t
         |  WHERE word <> '' GROUP BY word),
-        |c0 AS MATERIALIZED (SELECT ' ' || array_to_string(
+        |c0 AS MATERIALIZED (SELECT word, ' ' || array_to_string(
         |  list_transform(range(1, length(word) + 1), i -> substr(word, i, 1)), '  ')
         |  || '  </w> ' AS sym, n FROM w)""".stripMargin
     val stages = (0 until numMerges).map { i =>
@@ -854,15 +864,33 @@ object SparkEntry {
          |        FROM (SELECT n, string_split(trim(sym), '  ') AS ts FROM c$i))
          |  GROUP BY 1, 2),
          |m$i AS MATERIALIZED (SELECT l, r, cnt FROM p$i ORDER BY cnt DESC, l ASC, r ASC LIMIT 1),
-         |c${i + 1} AS MATERIALIZED (SELECT replace(sym,
+         |c${i + 1} AS MATERIALIZED (SELECT word, replace(sym,
          |    ' ' || (SELECT l FROM m$i) || '  ' || (SELECT r FROM m$i) || ' ',
          |    ' ' || (SELECT l FROM m$i) || (SELECT r FROM m$i) || ' ') AS sym, n FROM c$i)""".stripMargin
     }
+    s"$seed,\n${stages.mkString(",\n")}"
+  }
+
+  private def bpeMergesOracle(numMerges: Int): String = {
     val finals = (0 until numMerges).map(i =>
       s"SELECT CAST($i AS BIGINT) AS step, l AS left_sym, r AS right_sym, cnt AS pair_count FROM m$i")
       .mkString(" UNION ALL ")
-    s"WITH $seed,\n${stages.mkString(",\n")}\n$finals"
+    s"WITH ${bpeCascade(numMerges)}\n$finals"
   }
+
+  /** The final census stage keys every distinct word to its learned
+    * token sequence; per-doc counts are a words->census join — the same
+    * vocab-apply shape as the Spark side.
+    */
+  private def bpeEncodeOracle(numMerges: Int): String =
+    // NB: never stripMargin across the interpolated cascade — it would
+    // eat one pipe of the cascade's own `||` concatenations
+    s"WITH ${bpeCascade(numMerges)}\n" +
+      """SELECT d.doc_id, CAST(SUM(len(string_split(trim(c.sym), '  '))) AS BIGINT) AS n_bpe_tokens
+        |FROM (SELECT doc_id, unnest(regexp_split_to_array(trim(text), '\s+')) AS word
+        |      FROM documents) d
+        |""".stripMargin +
+      s"JOIN c$numMerges c USING (word) WHERE d.word <> '' GROUP BY d.doc_id"
 
   def oracleSql: Map[String, String] = Map(
     "v_violations" ->
@@ -1464,6 +1492,8 @@ object SparkEntry {
     // prefix exponentially). The indexed lambda is 1-based, so ts[k+1]
     // is the right neighbor of slice element k
     "bpe_merges" -> bpeMergesOracle(8),
+
+    "bpe_encode" -> bpeEncodeOracle(8),
 
     // replays the line census + removal + ordered reassembly; DuckDB's
     // indexed lambda is 1-based vs posexplode's 0-based, but pos only

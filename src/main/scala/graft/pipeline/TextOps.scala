@@ -364,6 +364,32 @@ object TextOps {
     merges.toSeq.toDF("step", "left_sym", "right_sym", "pair_count")
   }
 
+  /** Apply a learned BPE merge table (from [[bpeMerges]], in training
+    * order): per-document token counts under the learned vocabulary —
+    * the "how long is my corpus in my tokenizer" primitive that sizes
+    * training runs. The scalable vocab-apply shape: each DISTINCT word
+    * is encoded ONCE (seed symbols + the merge cascade as chained
+    * literal replaces, all codegen), then the corpus words join the
+    * encoded census and one agg sums per doc — the corpus never carries
+    * symbol strings through a shuffle, only (word, doc_id). Documents
+    * with no words (empty text) produce no row, matching the oracle's
+    * join semantics.
+    */
+  def bpeTokenCounts(docs: DataFrame, merges: Seq[(String, String)],
+                     textCol: String = "text", idCol: String = "doc_id"): DataFrame = {
+    val wordsOf = explode(split(trim(col(textCol)), "\\s+")).as("word")
+    val distinctWords = docs.select(wordsOf).filter(col("word") =!= "").distinct()
+    val seed = concat(lit(" "), array_join(split(col("word"), ""), "  "), lit("  </w> "))
+    val encoded = merges.foldLeft(seed) { case (sym, (l, r)) =>
+      replace(sym, lit(s" $l  $r "), lit(s" $l$r "))
+    }
+    val wordTokens = distinctWords
+      .select(col("word"), size(split(trim(encoded), "  ")).cast("long").as("n_toks"))
+    docs.select(col(idCol), wordsOf).filter(col("word") =!= "")
+      .join(wordTokens, "word")
+      .groupBy(col(idCol)).agg(sum(col("n_toks")).as("n_bpe_tokens"))
+  }
+
   /** Lines occurring in at least `minDocs` DISTINCT documents — the
     * boilerplate census behind [[removeBoilerplate]] (C4-style: nav
     * bars, cookie banners, license headers repeat across pages; a line

@@ -664,6 +664,13 @@ class PipelineSpec extends AnyFlatSpec with Matchers {
     TextOps.bpeMerges(tiny, numMerges = 5)
       .collect().map(r => (r.getString(1), r.getString(2))).toList shouldBe
       List(("a", "</w>"))
+
+    // apply the learned table: low -> [low] (1), lower -> low e r </w>
+    // (4), newest -> n e w e s t </w> (7, untouched by these merges)
+    val counts = TextOps.bpeTokenCounts(docs,
+        merges.map(m => (m._2, m._3)))
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toMap
+    counts shouldBe Map(1L -> 6L, 2L -> 15L)
   }
 
   "TextOps.removeBoilerplate" should "drop cross-doc repeated lines, keep order, preserve rows" in {
