@@ -660,6 +660,16 @@ object SparkEntry {
       Dedup.nearDupSurvivors(dedupPool(s, dir), k = 24, bands = 12, threshold = 0.5)
         .select(col("doc_id").cast("long").as("doc_id"))),
 
+    // keep-policy variant: the LONGEST member of each cluster survives
+    // (ties -> smallest id); the pool's 'qq zz'-suffixed near-copies are
+    // longer than their bases, so this genuinely flips survivors vs the
+    // min-id rule — the oracle replays the argmax over the same
+    // recursive-CTE components
+    "neardup_survivors_quality" -> ((s, dir) =>
+      Dedup.nearDupSurvivorsBy(dedupPool(s, dir), length(col("text")),
+          k = 24, bands = 12, threshold = 0.5)
+        .select(col("doc_id").cast("long").as("doc_id"))),
+
     // deterministic hash sampling (md5-replayable variant so the oracle
     // recomputes membership bit-for-bit; the xxhash64 production variant
     // is equivalence-tested in PipelineSpec)
@@ -1219,6 +1229,18 @@ object SparkEntry {
          |$componentsCte
          |SELECT CAST(doc_id AS BIGINT) AS doc_id FROM pool
          |WHERE doc_id NOT IN (SELECT node FROM comp WHERE component < node)""".stripMargin,
+
+    "neardup_survivors_quality" ->
+      s"""WITH RECURSIVE $poolCte,
+         |$componentsCte,
+         |scored AS (SELECT c.node, c.component, length(p.text) AS score
+         |           FROM comp c JOIN pool p ON c.node = p.doc_id),
+         |keep AS (SELECT keep_id FROM (
+         |  SELECT node AS keep_id,
+         |         ROW_NUMBER() OVER (PARTITION BY component ORDER BY score DESC, node ASC) AS rn
+         |  FROM scored) t WHERE rn = 1)
+         |SELECT CAST(doc_id AS BIGINT) AS doc_id FROM pool
+         |WHERE doc_id NOT IN (SELECT node FROM comp WHERE node NOT IN (SELECT keep_id FROM keep))""".stripMargin,
 
     // membership bucket = low 60 bits of md5(key || salt) mod 1e6 — the
     // exact rule Sampling.bucketMd5 compiles (Spark: conv(hex,16,10);

@@ -336,6 +336,36 @@ object Dedup {
     df.join(losers, Seq(idCol), "left_anti")
   }
 
+  /** Near-dup survivors with a caller-chosen KEEP POLICY: one survivor
+    * per component — the member maximizing `score`, ties broken by
+    * smallest id (deterministic). [[nearDupSurvivors]] keeps the min-id
+    * member (cheapest, id-only); production dedup usually keeps the
+    * highest-QUALITY member of each cluster (longest text, best quality
+    * score, newest crawl). Null scores rank worst. Same scale shape:
+    * the iteration and the argmax see only (id, comp, score) — document
+    * payloads never enter a shuffle until the final left-anti join.
+    */
+  def nearDupSurvivorsBy(df: DataFrame, score: Column,
+                         textCol: String = "text", idCol: String = "doc_id",
+                         k: Int = 16, bands: Int = 4, threshold: Double = 0.7,
+                         maxBucket: Int = 4096, shingleN: Int = 3): DataFrame = {
+    val comps = connectedComponents(
+      minhashPairs(df, textCol, idCol, k, bands, threshold, maxBucket, shingleN))
+    val scored = df.select(col(idCol).as("id"), score.cast("double").as("__score"))
+      .join(comps, "id")
+    // min(struct(-score, id)) = (max score, then min id); null scores
+    // coalesce to -inf so they never beat a real score
+    val keep = scored.groupBy(col("comp"))
+      .agg(min(struct(
+        (-coalesce(col("__score"), lit(Double.NegativeInfinity))).as("ns"),
+        col("id").as("id"))).as("b"))
+      .select(col("b.id").as("keep_id"))
+    val losers = comps.select(col("id"))
+      .join(keep, col("id") === col("keep_id"), "left_anti")
+      .select(col("id").as(idCol))
+    df.join(losers, Seq(idCol), "left_anti")
+  }
+
   /** Exact n-gram Jaccard similarity of two shingle arrays. */
   def jaccard(a: Column, b: Column): Column = {
     val inter = size(array_intersect(array_distinct(a), array_distinct(b))).cast("double")

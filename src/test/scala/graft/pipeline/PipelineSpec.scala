@@ -113,6 +113,36 @@ class PipelineSpec extends AnyFlatSpec with Matchers {
     } finally pool.unpersist()
   }
 
+  "Dedup.nearDupSurvivorsBy" should "keep the best-scoring member per cluster" in {
+    val pool = graft.SparkEntry.dedupPool(spark, sfDir).cache()
+    try {
+      val comps = Dedup.connectedComponents(
+        Dedup.minhashPairs(pool, k = 24, bands = 12, threshold = 0.5)).cache()
+      try {
+        val survivors = Dedup.nearDupSurvivorsBy(pool,
+            org.apache.spark.sql.functions.length(col("text")),
+            k = 24, bands = 12, threshold = 0.5)
+          .select("doc_id").collect().map(_.getLong(0)).toSet
+        val len = pool.select(col("doc_id"), org.apache.spark.sql.functions.length(col("text")))
+          .collect().map(r => r.getLong(0) -> r.getInt(1)).toMap
+        val byComp = comps.collect().map(r => (r.getLong(0), r.getLong(1)))
+          .groupBy(_._2).view.mapValues(_.map(_._1).toSet).toMap
+        var flipped = 0
+        byComp.foreach { case (c, members) =>
+          val best = members.toSeq.sortBy(id => (-len(id), id)).head
+          withClue(s"component $c: ")(members.intersect(survivors) shouldBe Set(best))
+          if (best != members.min) flipped += 1
+        }
+        // the policy genuinely differs from min-id on this pool (the
+        // 'qq zz' near-copies are longer than their bases)
+        flipped should be > 0
+        val paired = byComp.values.flatten.toSet
+        val all = pool.select("doc_id").collect().map(_.getLong(0)).toSet
+        survivors.diff(paired) shouldBe all.diff(paired) // unpaired pass through
+      } finally comps.unpersist()
+    } finally pool.unpersist()
+  }
+
   "Sampling" should "be a pure function of (key, salt): partition-layout invariant, monotone, on-rate" in {
     import spark.implicits._
     val keys = (0L until 20000L).toDF("k")
