@@ -21,6 +21,8 @@ import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo}
   *    users fall back to `rlike` consciously rather than silently)
   *  - `regex_compiles(str)`          -> boolean ([[graft.functions.RegexCompiles]])
   *  - `json_render(value)`           -> string  ([[graft.functions.JsonRender]])
+  *  - `float_vec_max_abs(a)`         -> float   ([[graft.functions.FloatVecMaxAbs]])
+  *  - `quantize_int8(a)`             -> array<tinyint> ([[graft.functions.QuantizeInt8Codes]])
   */
 class GraftExtensions extends (SparkSessionExtensions => Unit) {
   override def apply(ext: SparkSessionExtensions): Unit =
@@ -61,7 +63,11 @@ object GraftExtensions {
     one("regex_compiles", "regex_compiles(str) - TRUE iff the value compiles as a regular expression (format:\"regex\")", 1,
       args => graft.functions.RegexCompiles(args.head)),
     one("json_render", "json_render(value) - codegen JSON rendering, byte-identical to to_json on supported types", 1,
-      args => graft.functions.JsonRender(args.head)))
+      args => graft.functions.JsonRender(args.head)),
+    one("float_vec_max_abs", "float_vec_max_abs(a) - max |x_i| over a float array's non-null elements (null if none)", 1,
+      args => graft.functions.FloatVecMaxAbs(args.head)),
+    one("quantize_int8", "quantize_int8(a) - symmetric int8 codes (scale = max_abs/127); pair with float_vec_max_abs for the scale", 1,
+      args => graft.functions.QuantizeInt8Codes(args.head)))
 
   /** Register into an already-running session (extensions configs only
     * apply at session construction).

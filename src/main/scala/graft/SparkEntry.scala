@@ -421,6 +421,26 @@ object SparkEntry {
       TextOps.bpeTokenCounts(docs(s, dir), merges)
     }),
 
+    // within-doc line dedup over a staged fixture that plants an
+    // immediate duplicate pair AND a far duplicate (first line repeated
+    // at the end): both must collapse to the first occurrence, order
+    // preserved
+    "dedup_lines_withindoc" -> ((s, dir) => {
+      val staged = docs(s, dir).select(col("doc_id"),
+        concat_ws("\n", col("text"),
+          concat(lit("dup "), (col("doc_id") % 3).cast("string")),
+          concat(lit("dup "), (col("doc_id") % 3).cast("string")),
+          col("text")).as("text"))
+      staged.select(col("doc_id"), TextOps.dedupLinesWithinDoc(col("text")).as("text"))
+    }),
+
+    // corpus-unigram LM quality score; ROUND(6) absorbs float-sum
+    // association order and libm ln ulp differences (same precedent as
+    // ngram_jaccard / tfidf)
+    "lm_logprob" -> ((s, dir) =>
+      TextOps.unigramLogProb(docs(s, dir))
+        .select(col("doc_id"), round(col("lm_logprob"), 6).as("lm_logprob"))),
+
     // C4-style line-level boilerplate removal over a deterministic
     // multi-line staging of the corpus (the raw docs are single-line):
     // a header line shared by ALL docs and a footer shared by ~1/7 of
@@ -1507,6 +1527,33 @@ object SparkEntry {
         |CASE WHEN octet_length(encode(text)) = 0 THEN NULL
         |     ELSE md5(substring(text, 1, 256)) END AS first_frame_md5
         |FROM documents""".stripMargin,
+
+    // first-occurrence order replayed via ROW_NUMBER over position
+    // (DuckDB's list_distinct does not document order preservation)
+    "dedup_lines_withindoc" ->
+      """WITH staged AS (
+        |  SELECT doc_id, text || chr(10) || 'dup ' || CAST(doc_id % 3 AS VARCHAR)
+        |         || chr(10) || 'dup ' || CAST(doc_id % 3 AS VARCHAR) || chr(10) || text AS text
+        |  FROM documents),
+        |ln AS (
+        |  SELECT doc_id, struct_extract(s, 'pos') AS pos, struct_extract(s, 'line') AS line
+        |  FROM (SELECT doc_id, unnest(list_transform(string_split(text, chr(10)),
+        |          (x, i) -> {'pos': i, 'line': x})) AS s FROM staged)),
+        |firsts AS (
+        |  SELECT doc_id, pos, line,
+        |         ROW_NUMBER() OVER (PARTITION BY doc_id, line ORDER BY pos) AS rn
+        |  FROM ln)
+        |SELECT doc_id, string_agg(line, chr(10) ORDER BY pos) AS text
+        |FROM firsts WHERE rn = 1 GROUP BY doc_id""".stripMargin,
+
+    "lm_logprob" ->
+      """WITH toks AS (
+        |  SELECT doc_id, unnest(regexp_split_to_array(trim(text), '\s+')) AS t FROM documents),
+        |toks2 AS (SELECT * FROM toks WHERE t <> ''),
+        |lm AS (SELECT t, CAST(COUNT(*) AS BIGINT) AS cnt FROM toks2 GROUP BY t),
+        |tot AS (SELECT CAST(SUM(cnt) AS BIGINT) AS total FROM lm)
+        |SELECT doc_id, ROUND(AVG(ln(CAST(cnt AS DOUBLE) / total)), 6) AS lm_logprob
+        |FROM toks2 JOIN lm USING (t), tot GROUP BY doc_id""".stripMargin,
 
     // stage-by-stage replay of the merge cascade; every CTE is
     // MATERIALIZED (DuckDB re-inlines plain CTEs per reference — c_i is

@@ -364,6 +364,42 @@ object TextOps {
     merges.toSeq.toDF("step", "left_sym", "right_sym", "pair_count")
   }
 
+  /** Within-document line dedup (the C4 paragraph rule's line-level
+    * form): keep the FIRST occurrence of each line, preserving order.
+    * Pure per-row expression — `array_distinct` keeps first-occurrence
+    * order and is codegen (a collection expression, not a HOF); no
+    * shuffle at all. Complements [[removeBoilerplate]], which dedups
+    * lines ACROSS documents.
+    */
+  def dedupLinesWithinDoc(text: Column): Column =
+    array_join(array_distinct(split(text, "\n")), "\n")
+
+  /** Corpus-unigram log-probability score (the CCNet-style LM quality
+    * signal, with the corpus itself as the LM): per document, the mean
+    * over tokens of `ln(count(token) / total_tokens)`. Repetitive or
+    * in-domain documents score high (close to 0); documents full of
+    * rare garbage score very negative — threshold with
+    * [[graft.stats.Stats.aboveQuantileApprox]] like any quality score.
+    *
+    * Scale shape: one tokenize+count builds the LM (shuffle bounded by
+    * distinct tokens), the grand total is a broadcast one-row agg (lazy,
+    * like tfidf's N), and scoring is a token->LM join + one per-doc avg.
+    * Tokenless documents produce no row (join semantics — there is
+    * nothing to score).
+    */
+  def unigramLogProb(docs: DataFrame, textCol: String = "text",
+                     idCol: String = "doc_id"): DataFrame = {
+    val toks = docs
+      .select(col(idCol), explode(split(trim(col(textCol)), "\\s+")).as("t"))
+      .filter(col("t") =!= "")
+    val lm = toks.groupBy("t").agg(count(lit(1)).as("cnt"))
+    val total = lm.agg(sum(col("cnt")).as("total"))
+    toks.join(lm, "t")
+      .crossJoin(broadcast(total))
+      .groupBy(col(idCol))
+      .agg(avg(log(col("cnt").cast("double") / col("total"))).as("lm_logprob"))
+  }
+
   /** Apply a learned BPE merge table (from [[bpeMerges]], in training
     * order): per-document token counts under the learned vocabulary —
     * the "how long is my corpus in my tokenizer" primitive that sizes

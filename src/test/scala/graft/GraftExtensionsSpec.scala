@@ -63,6 +63,20 @@ class GraftExtensionsSpec extends AnyFlatSpec with Matchers {
       spark.sql("SELECT json_render(named_struct('t', current_timestamp()))").collect()
   }
 
+  it should "expose the int8 quantization kernels to spark.sql" in {
+    val r = spark.sql(
+      """SELECT float_vec_max_abs(v) AS m, quantize_int8(v) AS q
+        |FROM VALUES (array(CAST(-2 AS FLOAT), CAST(1 AS FLOAT), CAST(NULL AS FLOAT))),
+        |            (array(CAST(0 AS FLOAT))),
+        |            (CAST(NULL AS ARRAY<FLOAT>)) AS t(v)""".stripMargin).collect()
+    r(0).getFloat(0) shouldBe 2.0f
+    r(0).getSeq[Any](1) shouldBe Seq(-127.toByte, 64.toByte, null)
+    r(1).getFloat(0) shouldBe 0.0f
+    r(1).getSeq[Any](1) shouldBe Seq(0.toByte) // degenerate scale branch
+    r(2).isNullAt(0) shouldBe true
+    r(2).isNullAt(1) shouldBe true
+  }
+
   it should "apply the same registrations through the extensions class" in {
     // the config route (spark.sql.extensions) drives this same instance;
     // verify the injector enumerates every registration without error

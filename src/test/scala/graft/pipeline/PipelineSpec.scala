@@ -703,6 +703,33 @@ class PipelineSpec extends AnyFlatSpec with Matchers {
     counts shouldBe Map(1L -> 6L, 2L -> 15L)
   }
 
+  "TextOps.dedupLinesWithinDoc" should "keep first occurrences in order" in {
+    import spark.implicits._
+    val out = Seq(
+      (1L, "a\nb\na\nc\nb"), // far + adjacent repeats
+      (2L, "x"),
+      (3L, "")               // empty text -> single empty line, unchanged
+    ).toDF("doc_id", "text")
+      .select(col("doc_id"), TextOps.dedupLinesWithinDoc(col("text")).as("t"))
+      .collect().map(r => (r.getLong(0), r.getString(1))).toMap
+    out shouldBe Map(1L -> "a\nb\nc", 2L -> "x", 3L -> "")
+  }
+
+  "TextOps.unigramLogProb" should "score repetitive docs higher than rare-token docs" in {
+    import spark.implicits._
+    // corpus: "the" x4, "rare" x1, "unique" x1  -> total 6
+    val docs = Seq((1L, "the the the"), (2L, "the rare"), (3L, "unique"), (4L, "  "))
+      .toDF("doc_id", "text")
+    val out = TextOps.unigramLogProb(docs)
+      .collect().map(r => (r.getLong(0), r.getDouble(1))).toMap
+    val ln = (x: Double) => math.log(x)
+    out(1L) shouldBe ln(4.0 / 6) +- 1e-12
+    out(2L) shouldBe (ln(4.0 / 6) + ln(1.0 / 6)) / 2 +- 1e-12
+    out(3L) shouldBe ln(1.0 / 6) +- 1e-12
+    out.contains(4L) shouldBe false // tokenless doc: nothing to score
+    out(1L) should be > out(3L)     // common beats rare
+  }
+
   "TextOps.removeBoilerplate" should "drop cross-doc repeated lines, keep order, preserve rows" in {
     import spark.implicits._
     val docs = Seq(
