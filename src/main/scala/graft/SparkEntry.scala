@@ -876,7 +876,10 @@ object SparkEntry {
     * round i a pair-count CTE (p_i), a deterministic 1-row argmax
     * (m_i), and the literal-replace rewrite (c_{i+1}) — the same
     * 2-space-separator encoding as the Spark side, so plain `replace`
-    * IS the BPE merge rule on both engines.
+    * IS the BPE merge rule on both engines. When the corpus exhausts
+    * its merges before `numMerges` rounds, m_i is EMPTY and the scalar
+    * subqueries go NULL — the CASE guard makes c_{i+1} the identity
+    * then (matching Spark's early stop) instead of NULLing every sym.
     */
   private def bpeCascade(numMerges: Int): String = {
     val seed =
@@ -894,9 +897,12 @@ object SparkEntry {
          |        FROM (SELECT n, string_split(trim(sym), '  ') AS ts FROM c$i))
          |  GROUP BY 1, 2),
          |m$i AS MATERIALIZED (SELECT l, r, cnt FROM p$i ORDER BY cnt DESC, l ASC, r ASC LIMIT 1),
-         |c${i + 1} AS MATERIALIZED (SELECT word, replace(sym,
-         |    ' ' || (SELECT l FROM m$i) || '  ' || (SELECT r FROM m$i) || ' ',
-         |    ' ' || (SELECT l FROM m$i) || (SELECT r FROM m$i) || ' ') AS sym, n FROM c$i)""".stripMargin
+         |c${i + 1} AS MATERIALIZED (SELECT word, CASE
+         |    WHEN (SELECT COUNT(*) FROM m$i) = 0 THEN sym
+         |    ELSE replace(sym,
+         |      ' ' || (SELECT l FROM m$i) || '  ' || (SELECT r FROM m$i) || ' ',
+         |      ' ' || (SELECT l FROM m$i) || (SELECT r FROM m$i) || ' ')
+         |    END AS sym, n FROM c$i)""".stripMargin
     }
     s"$seed,\n${stages.mkString(",\n")}"
   }

@@ -4,10 +4,17 @@ import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.functions._
 
 /** Text-analysis operators for a training-data pipeline: token counting,
-  * quality scoring, language-ID scoring, and document fingerprinting.
-  * All pure `functions._` Column expressions (whole-stage codegen; no
-  * UDFs, no shuffles) — per-row cost only, so the same expressions run
-  * at 100 TB bounded by scan throughput.
+  * quality scoring, language-ID scoring, and document fingerprinting,
+  * plus the corpus-level text operators (vocabulary, TF-IDF,
+  * decontamination, BPE train/apply, boilerplate removal, unigram-LM
+  * scoring).
+  *
+  * Cost model: the `Column`-returning helpers are pure `functions._`
+  * expressions (whole-stage codegen; no UDFs, no shuffles) — per-row
+  * cost only, bounded by scan throughput at 100 TB. The
+  * `DataFrame`-returning corpus operators DO shuffle; each documents
+  * its own scale shape (what shuffles, what's broadcast, what reaches
+  * the driver) in its Scaladoc.
   */
 object TextOps {
 
@@ -331,38 +338,49 @@ object TextOps {
       .select(explode(split(trim(col(textCol)), "\\s+")).as("w"))
       .filter(col("w") =!= "")
       .groupBy("w").agg(count(lit(1)).as("n"))
-    var census = words.select(
-      concat(lit(" "), array_join(split(col("w"), ""), "  "), lit("  </w> ")).as("sym"),
-      col("n")).cache()
-    census.count()
     val merges = scala.collection.mutable.ArrayBuffer.empty[(Long, String, String, Long)]
-    var step = 0
-    var exhausted = false
-    while (step < numMerges && !exhausted) {
-      val ts = split(trim(col("sym")), "  ")
-      val top = census
-        .select(col("n"), explode(zip_with(
-          slice(ts, lit(1), size(ts) - 1), slice(ts, lit(2), size(ts) - 1),
-          (a, b) => struct(a.as("l"), b.as("r")))).as("pr"))
-        .groupBy(col("pr.l").as("l"), col("pr.r").as("r"))
-        .agg(sum(col("n")).as("cnt"))
-        .orderBy(col("cnt").desc, col("l").asc, col("r").asc)
-        .limit(1).collect()
-      if (top.isEmpty) exhausted = true
-      else {
-        val (l, r, cnt) = (top(0).getString(0), top(0).getString(1), top(0).getLong(2))
-        merges += ((step.toLong, l, r, cnt))
-        val next = census.withColumn("sym",
-          replace(col("sym"), lit(s" $l  $r "), lit(s" $l$r "))).cache()
-        next.count()
-        census.unpersist()
-        census = next
-        step += 1
+    var census = words.select(bpeSeedSym(col("w")).as("sym"), col("n")).cache()
+    try {
+      census.count()
+      var step = 0
+      var exhausted = false
+      while (step < numMerges && !exhausted) {
+        val ts = split(trim(col("sym")), "  ")
+        val top = census
+          .select(col("n"), explode(zip_with(
+            slice(ts, lit(1), size(ts) - 1), slice(ts, lit(2), size(ts) - 1),
+            (a, b) => struct(a.as("l"), b.as("r")))).as("pr"))
+          .groupBy(col("pr.l").as("l"), col("pr.r").as("r"))
+          .agg(sum(col("n")).as("cnt"))
+          .orderBy(col("cnt").desc, col("l").asc, col("r").asc)
+          .limit(1).collect()
+        if (top.isEmpty) exhausted = true
+        else {
+          val (l, r, cnt) = (top(0).getString(0), top(0).getString(1), top(0).getLong(2))
+          merges += ((step.toLong, l, r, cnt))
+          val next = census.withColumn("sym", bpeMergeStep(col("sym"), l, r)).cache()
+          try next.count()
+          catch { case t: Throwable => next.unpersist(); throw t }
+          census.unpersist()
+          census = next
+          step += 1
+        }
       }
-    }
-    census.unpersist()
+    } finally census.unpersist() // frees the live round on success AND failure
     merges.toSeq.toDF("step", "left_sym", "right_sym", "pair_count")
   }
+
+  /** The BPE symbol encoding train and apply MUST share byte-for-byte:
+    * seed = chars joined by the 2-space separator, 1-space padding,
+    * ` </w> ` end marker. See [[bpeMerges]] for why this makes plain
+    * literal `replace` exactly the BPE merge rule.
+    */
+  private def bpeSeedSym(word: Column): Column =
+    concat(lit(" "), array_join(split(word, ""), "  "), lit("  </w> "))
+
+  /** One BPE merge rewrite (train and apply share it — see [[bpeSeedSym]]). */
+  private def bpeMergeStep(sym: Column, l: String, r: String): Column =
+    replace(sym, lit(s" $l  $r "), lit(s" $l$r "))
 
   /** Within-document line dedup (the C4 paragraph rule's line-level
     * form): keep the FIRST occurrence of each line, preserving order.
@@ -381,49 +399,58 @@ object TextOps {
     * rare garbage score very negative — threshold with
     * [[graft.stats.Stats.aboveQuantileApprox]] like any quality score.
     *
-    * Scale shape: one tokenize+count builds the LM (shuffle bounded by
-    * distinct tokens), the grand total is a broadcast one-row agg (lazy,
-    * like tfidf's N), and scoring is a token->LM join + one per-doc avg.
+    * Scale shape: ONE tokenize aggregates to per-doc (doc, token, c)
+    * counts — the LM derives from that aggregate (shuffle bounded by
+    * distinct tokens, exchange reuse shares the first shuffle, the
+    * tfidf shape), the grand total is a broadcast one-row agg (lazy,
+    * like tfidf's N), and scoring is a counts->LM join (one row per
+    * DISTINCT (doc, token), not per occurrence) + one per-doc
+    * count-weighted mean: sum(c*ln p)/sum(c) == the per-token average.
     * Tokenless documents produce no row (join semantics — there is
     * nothing to score).
     */
   def unigramLogProb(docs: DataFrame, textCol: String = "text",
                      idCol: String = "doc_id"): DataFrame = {
-    val toks = docs
+    val grouped = docs
       .select(col(idCol), explode(split(trim(col(textCol)), "\\s+")).as("t"))
       .filter(col("t") =!= "")
-    val lm = toks.groupBy("t").agg(count(lit(1)).as("cnt"))
+      .groupBy(col(idCol), col("t")).agg(count(lit(1)).as("c"))
+    val lm = grouped.groupBy("t").agg(sum(col("c")).as("cnt"))
     val total = lm.agg(sum(col("cnt")).as("total"))
-    toks.join(lm, "t")
+    grouped.join(lm, "t")
       .crossJoin(broadcast(total))
       .groupBy(col(idCol))
-      .agg(avg(log(col("cnt").cast("double") / col("total"))).as("lm_logprob"))
+      .agg((sum(col("c").cast("double") * log(col("cnt").cast("double") / col("total")))
+        / sum(col("c")).cast("double")).as("lm_logprob"))
   }
 
   /** Apply a learned BPE merge table (from [[bpeMerges]], in training
     * order): per-document token counts under the learned vocabulary —
     * the "how long is my corpus in my tokenizer" primitive that sizes
-    * training runs. The scalable vocab-apply shape: each DISTINCT word
-    * is encoded ONCE (seed symbols + the merge cascade as chained
-    * literal replaces, all codegen), then the corpus words join the
-    * encoded census and one agg sums per doc — the corpus never carries
-    * symbol strings through a shuffle, only (word, doc_id). Documents
-    * with no words (empty text) produce no row, matching the oracle's
-    * join semantics.
+    * training runs. The scalable vocab-apply shape: ONE tokenize
+    * aggregates to per-doc (doc, word, c) counts; the distinct-word
+    * census derives from that aggregate (exchange reuse shares the
+    * shuffle) and each DISTINCT word is encoded ONCE (seed symbols +
+    * the merge cascade as chained literal replaces, all codegen); the
+    * counts join the encoded census (one row per DISTINCT (doc, word),
+    * not per occurrence) and one agg sums `c * n_toks` per doc — the
+    * corpus never carries symbol strings through a shuffle, only
+    * (word, doc_id, c). Documents with no words (empty text) produce
+    * no row, matching the oracle's join semantics.
     */
   def bpeTokenCounts(docs: DataFrame, merges: Seq[(String, String)],
                      textCol: String = "text", idCol: String = "doc_id"): DataFrame = {
-    val wordsOf = explode(split(trim(col(textCol)), "\\s+")).as("word")
-    val distinctWords = docs.select(wordsOf).filter(col("word") =!= "").distinct()
-    val seed = concat(lit(" "), array_join(split(col("word"), ""), "  "), lit("  </w> "))
-    val encoded = merges.foldLeft(seed) { case (sym, (l, r)) =>
-      replace(sym, lit(s" $l  $r "), lit(s" $l$r "))
+    val wordCounts = docs
+      .select(col(idCol), explode(split(trim(col(textCol)), "\\s+")).as("word"))
+      .filter(col("word") =!= "")
+      .groupBy(col(idCol), col("word")).agg(count(lit(1)).as("c"))
+    val encoded = merges.foldLeft(bpeSeedSym(col("word"))) {
+      case (sym, (l, r)) => bpeMergeStep(sym, l, r)
     }
-    val wordTokens = distinctWords
+    val wordTokens = wordCounts.select("word").distinct()
       .select(col("word"), size(split(trim(encoded), "  ")).cast("long").as("n_toks"))
-    docs.select(col(idCol), wordsOf).filter(col("word") =!= "")
-      .join(wordTokens, "word")
-      .groupBy(col(idCol)).agg(sum(col("n_toks")).as("n_bpe_tokens"))
+    wordCounts.join(wordTokens, "word")
+      .groupBy(col(idCol)).agg(sum(col("c") * col("n_toks")).as("n_bpe_tokens"))
   }
 
   /** Lines occurring in at least `minDocs` DISTINCT documents — the

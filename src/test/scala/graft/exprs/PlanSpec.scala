@@ -187,9 +187,9 @@ class PlanSpec extends AnyFlatSpec with Matchers {
   it should "keep boilerplate removal window-free with a census anti-join (round 5)" in {
     val plan = graft.SparkEntry.queries("boilerplate_removal")(spark, sfDir)
       .queryExecution.sparkPlan.toString
-    plan should include("LeftAnti")                  // removal = anti-join vs the hot set
-    plan.toLowerCase should not include "window("    // reassembly sorts IN-group, no window
-    plan should include("partial_collect_list")      // map-side combine before the exchange
+    plan should include("LeftAnti")              // removal = anti-join vs the hot set
+    plan should not include "Window"             // reassembly sorts IN-group, no window
+    plan should include("partial_collect_list")  // map-side combine before the exchange
   }
 
   it should "leave no CodegenFallback in the int8 quantization plan (round 5)" in {
