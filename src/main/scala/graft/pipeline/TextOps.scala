@@ -428,15 +428,20 @@ object TextOps {
     * order): per-document token counts under the learned vocabulary —
     * the "how long is my corpus in my tokenizer" primitive that sizes
     * training runs. The scalable vocab-apply shape: ONE tokenize
-    * aggregates to per-doc (doc, word, c) counts; the distinct-word
-    * census derives from that aggregate (exchange reuse shares the
-    * shuffle) and each DISTINCT word is encoded ONCE (seed symbols +
-    * the merge cascade as chained literal replaces, all codegen); the
-    * counts join the encoded census (one row per DISTINCT (doc, word),
-    * not per occurrence) and one agg sums `c * n_toks` per doc — the
-    * corpus never carries symbol strings through a shuffle, only
-    * (word, doc_id, c). Documents with no words (empty text) produce
-    * no row, matching the oracle's join semantics.
+    * aggregates to per-doc (doc, word, c) counts (map-side combine
+    * collapses occurrences before the shuffle), the merge cascade
+    * (seed symbols + chained literal replaces, all codegen) projects
+    * `n_toks` directly over the aggregate — once per DISTINCT
+    * (doc, word) pair, no second scan, no census join — and one agg
+    * sums `c * n_toks` per doc. The corpus never carries symbol
+    * strings through a shuffle, only (doc_id, word, c). (The
+    * alternative — encode each distinct WORD once and join — scans
+    * and tokenizes the corpus twice because the optimizer collapses
+    * any shared-aggregate formulation of the census; k extra codegen
+    * replaces per pair is the cheaper side of that trade for the
+    * modest merge tables this chained-replace form targets.)
+    * Documents with no words (empty text) produce no row, matching
+    * the oracle's join semantics.
     */
   def bpeTokenCounts(docs: DataFrame, merges: Seq[(String, String)],
                      textCol: String = "text", idCol: String = "doc_id"): DataFrame = {
@@ -447,9 +452,9 @@ object TextOps {
     val encoded = merges.foldLeft(bpeSeedSym(col("word"))) {
       case (sym, (l, r)) => bpeMergeStep(sym, l, r)
     }
-    val wordTokens = wordCounts.select("word").distinct()
-      .select(col("word"), size(split(trim(encoded), "  ")).cast("long").as("n_toks"))
-    wordCounts.join(wordTokens, "word")
+    wordCounts
+      .select(col(idCol), col("c"),
+        size(split(trim(encoded), "  ")).cast("long").as("n_toks"))
       .groupBy(col(idCol)).agg(sum(col("c") * col("n_toks")).as("n_bpe_tokens"))
   }
 

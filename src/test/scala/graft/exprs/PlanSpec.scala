@@ -205,4 +205,25 @@ class PlanSpec extends AnyFlatSpec with Matchers {
     withClue(s"fallbacks: ${fallbacks.map(_.prettyName).distinct}: ")(
       fallbacks shouldBe empty)
   }
+
+  it should "tokenize once in the unigram LM score (grouped agg reused by LM and probe) (round 5)" in {
+    val docs = spark.read.parquet(s"$sfDir/documents.parquet")
+    val df = graft.pipeline.TextOps.unigramLogProb(docs)
+    df.collect() // reuse materializes at runtime under AQE (stage reuse)
+    val plan = df.queryExecution.executedPlan.toString
+    withClue(s"plan:\n$plan\n")(
+      plan should include regex "ReusedExchange|ReusedQueryStage|TableCacheQueryStage")
+  }
+
+  it should "tokenize once in BPE vocab-apply: one scan, two exchanges, no join (round 5)" in {
+    val docs = spark.read.parquet(s"$sfDir/documents.parquet")
+    val df = graft.pipeline.TextOps.bpeTokenCounts(docs, Seq(("e", "</w>"), ("t", "h")))
+    val plan = df.queryExecution.executedPlan.toString
+    withClue(s"plan:\n$plan\n") {
+      plan should not include "Join"                                      // cascade projects over the agg, no census join
+      "Scan parquet".r.findAllIn(plan).size shouldBe 1                    // one tokenize
+      shuffleCount(df) shouldBe 2                                         // (doc,word) pairs, then per-doc sum
+      plan should include("partial_count")                                // map-side combine before the pair shuffle
+    }
+  }
 }
