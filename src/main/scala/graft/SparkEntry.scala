@@ -441,6 +441,23 @@ object SparkEntry {
       TextOps.unigramLogProb(docs(s, dir))
         .select(col("doc_id"), round(col("lm_logprob"), 6).as("lm_logprob"))),
 
+    // CCNet-style head/middle/tail terciles of the LM score. Buckets
+    // are assigned over the ROUNDED score (the value the lm_logprob
+    // gate proves byte-equal across engines) so the quantile thresholds
+    // and >= comparisons are float-exact on both sides
+    "lm_buckets" -> ((s, dir) => {
+      val scored = TextOps.unigramLogProb(docs(s, dir))
+        .select(col("doc_id"), round(col("lm_logprob"), 6).as("lm_logprob"))
+      Stats.bucketByQuantilesExact(scored, "lm_logprob",
+        Seq(1.0 / 3, 2.0 / 3), Seq("tail", "middle", "head"))
+    }),
+
+    // domain balancing: keep the 10 longest docs per source (ties by
+    // doc_id) via the bounded per-group heap — the no-window top-N
+    "domain_cap" -> ((s, dir) =>
+      Sampling.capPerGroup(docs(s, dir).withColumn("score", col("n_chars").cast("double")),
+        n = 10, groupCol = "source", scoreCol = "score")),
+
     // C4-style line-level boilerplate removal over a deterministic
     // multi-line staging of the corpus (the raw docs are single-line):
     // a header line shared by ALL docs and a footer shared by ~1/7 of
@@ -1560,6 +1577,35 @@ object SparkEntry {
         |tot AS (SELECT CAST(SUM(cnt) AS BIGINT) AS total FROM lm)
         |SELECT doc_id, ROUND(AVG(ln(CAST(cnt AS DOUBLE) / total)), 6) AS lm_logprob
         |FROM toks2 JOIN lm USING (t), tot GROUP BY doc_id""".stripMargin,
+
+    // terciles over the ROUNDED score (byte-equal across engines per
+    // the lm_logprob gate), so quantile_cont interpolation and the >=
+    // boundary comparisons are float-exact on both sides; fraction
+    // literals are the exact doubles scala's 1.0/3 and 2.0/3 print as
+    "lm_buckets" ->
+      """WITH toks AS (
+        |  SELECT doc_id, unnest(regexp_split_to_array(trim(text), '\s+')) AS t FROM documents),
+        |toks2 AS (SELECT * FROM toks WHERE t <> ''),
+        |lm AS (SELECT t, CAST(COUNT(*) AS BIGINT) AS cnt FROM toks2 GROUP BY t),
+        |tot AS (SELECT CAST(SUM(cnt) AS BIGINT) AS total FROM lm),
+        |scored AS (
+        |  SELECT doc_id, ROUND(AVG(ln(CAST(cnt AS DOUBLE) / total)), 6) AS lm_logprob
+        |  FROM toks2 JOIN lm USING (t), tot GROUP BY doc_id),
+        |thr AS (SELECT quantile_cont(lm_logprob, 0.3333333333333333) AS t1,
+        |               quantile_cont(lm_logprob, 0.6666666666666666) AS t2 FROM scored)
+        |SELECT doc_id, lm_logprob,
+        |  CASE WHEN lm_logprob >= t2 THEN 'head'
+        |       WHEN lm_logprob >= t1 THEN 'middle'
+        |       ELSE 'tail' END AS bucket
+        |FROM scored, thr""".stripMargin,
+
+    "domain_cap" ->
+      """SELECT source, doc_id, CAST(n_chars AS DOUBLE) AS score, CAST(rn AS BIGINT) AS rank
+        |FROM (SELECT source, doc_id, n_chars,
+        |        ROW_NUMBER() OVER (PARTITION BY source
+        |          ORDER BY CAST(n_chars AS DOUBLE) DESC, doc_id ASC) AS rn
+        |      FROM documents)
+        |WHERE rn <= 10""".stripMargin,
 
     // stage-by-stage replay of the merge cascade; every CTE is
     // MATERIALIZED (DuckDB re-inlines plain CTEs per reference — c_i is

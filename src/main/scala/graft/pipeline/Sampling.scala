@@ -214,4 +214,28 @@ object Sampling {
             .orderBy(col("__h"), col(keyCol))).cast("long") - 1L)
       .drop("__h")
   }
+
+  /** Per-group cap: keep the best `n` rows of each group under
+    * (score DESC, id ASC) — the domain-balancing primitive (cap docs
+    * per source/domain so one crawl host cannot dominate the mix).
+    * Returns (group, id, score, rank) with rank 1..n, deterministic.
+    *
+    * Scale shape: a bounded top-k heap per group
+    * ([[graft.functions.TopKAggregator]]) — map-side partial
+    * aggregation caps each task's contribution at n rows per group, so the
+    * exchange carries O(groups * n * tasks), NOT the
+    * `row_number().over(Window.partitionBy(group))` shape that shuffles
+    * and sorts EVERY row of a hot domain into one partition (the skew
+    * cliff this operator exists to prevent).
+    */
+  def capPerGroup(df: DataFrame, n: Int, groupCol: String, scoreCol: String,
+                  idCol: String = "doc_id"): DataFrame = {
+    require(n > 0, s"cap must be > 0, got $n")
+    df.groupBy(col(groupCol))
+      .agg(graft.functions.TopK.topK(n)(col(scoreCol).cast("double"),
+        col(idCol).cast("long")).as("__top"))
+      .select(col(groupCol), posexplode(col("__top")).as(Seq("__pos", "__t")))
+      .select(col(groupCol), col("__t._2").as(idCol),
+        col("__t._1").as(scoreCol), (col("__pos") + 1).cast("long").as("rank"))
+  }
 }

@@ -144,6 +144,47 @@ object Stats {
       .drop("__thr")
   }
 
+  /** Quantile-bucket assignment (the CCNet head/middle/tail shape):
+    * split rows into `labels.size` buckets at the quantile fractions
+    * `qs` of `valueExpr` — labels ordered LOW to HIGH score, a row
+    * lands in the highest bucket whose threshold it meets (`>=`, the
+    * same boundary [[aboveQuantileExact]] uses; a NULL score meets no
+    * threshold and lands in the lowest bucket). ONE exact-percentile
+    * aggregation computes every threshold, broadcast into a map-side
+    * CASE — same plan shape as the cutoff, one extra column out.
+    *
+    * Same estimator caveat as the cutoffs: exact buffers distinct
+    * values on one reducer — use [[bucketByQuantilesApprox]] for a
+    * continuous score over a 100-TB corpus.
+    */
+  def bucketByQuantilesExact(df: DataFrame, valueExpr: String, qs: Seq[Double],
+                             labels: Seq[String]): DataFrame =
+    bucketWith(df, valueExpr,
+      s"percentile($valueExpr, array(${qs.mkString(",")}))", qs, labels)
+
+  /** Bounded-memory sketch form of [[bucketByQuantilesExact]]. */
+  def bucketByQuantilesApprox(df: DataFrame, valueExpr: String, qs: Seq[Double],
+                              labels: Seq[String], accuracy: Int = 10000): DataFrame =
+    bucketWith(df, valueExpr,
+      s"approx_percentile($valueExpr, array(${qs.mkString(",")}), $accuracy)", qs, labels)
+
+  private def bucketWith(df: DataFrame, valueExpr: String, thrExpr: String,
+                         qs: Seq[Double], labels: Seq[String]): DataFrame = {
+    require(labels.size == qs.size + 1,
+      s"need ${qs.size + 1} labels for ${qs.size} thresholds, got ${labels.size}")
+    require(qs == qs.sorted && qs.forall(q => q > 0.0 && q < 1.0),
+      s"quantile fractions must be sorted and in (0,1), got $qs")
+    val thr = df.agg(expr(thrExpr).as("__thrs"))
+    val v = expr(valueExpr).cast("double")
+    // outermost WHEN checks the highest threshold: bucket = last label
+    // whose threshold the value meets
+    val assign = labels.zipWithIndex.tail.foldLeft(lit(labels.head)) {
+      case (acc, (lab, i)) =>
+        when(v >= col("__thrs").getItem(i - 1).cast("double"), lit(lab)).otherwise(acc)
+    }
+    df.crossJoin(broadcast(thr)).withColumn("bucket", assign).drop("__thrs")
+  }
+
   /** Long-format profile: (column, count, null_count, min, max,
     * approx_distinct) — one row per column, all from the single agg row.
     */

@@ -993,6 +993,25 @@ class PipelineSpec extends AnyFlatSpec with Matchers {
     again.toSeq shouldBe out.sortBy(_._1).toSeq
   }
 
+  "Sampling.capPerGroup" should "keep the best n per group under (score desc, id asc)" in {
+    import spark.implicits._
+    // group a: scores 3,2,2,1 with a tie at 2 -> cap 2 keeps id 10 (3.0)
+    // then id 11 (2.0, lower id wins the tie); group b is under the cap
+    val df = Seq(
+      ("a", 10L, 3.0), ("a", 12L, 2.0), ("a", 11L, 2.0), ("a", 13L, 1.0),
+      ("b", 20L, 5.0)).toDF("source", "doc_id", "score")
+    val got = Sampling.capPerGroup(df, n = 2, groupCol = "source", scoreCol = "score")
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getDouble(2), r.getLong(3)))
+      .sortBy(t => (t._1, t._4))
+    got.toSeq shouldBe Seq(
+      ("a", 10L, 3.0, 1L), ("a", 11L, 2.0, 2L), ("b", 20L, 5.0, 1L))
+    // deterministic across partitionings (the heap merge is associative)
+    val again = Sampling.capPerGroup(df.repartition(5), 2, "source", "score")
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getDouble(2), r.getLong(3)))
+      .sortBy(t => (t._1, t._4))
+    again.toSeq shouldBe got.toSeq
+  }
+
   "Packing.packChunks" should "assign contiguous global offsets regardless of input partitioning" in {
     import spark.implicits._
     val df = Seq((1L, "a b c"), (2L, ""), (3L, "d e"), (4L, "f g h i"), (5L, "j"))

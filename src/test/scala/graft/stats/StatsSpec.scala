@@ -104,4 +104,25 @@ class StatsSpec extends AnyFlatSpec with Matchers {
     // for the vast majority of draws; sanity: keeps roughly 10%
     approx.toDouble shouldBe (500.0 +- 50.0)
   }
+
+  "Stats.bucketByQuantilesExact" should "assign terciles with >= boundaries, nulls lowest" in {
+    import spark.implicits._
+    // 1..9: terciles at quantile_cont(1/3)=11/3~3.67 and (2/3)=19/3~6.33
+    val df = ((1 to 9).map(Some(_)) :+ None).toDF("v")
+    val got = Stats.bucketByQuantilesExact(df, "v", Seq(1.0 / 3, 2.0 / 3),
+        Seq("tail", "middle", "head"))
+      .collect().map(r => (Option(r.get(0)), r.getString(1))).toSet
+    val want = Set(
+      Some(1) -> "tail", Some(2) -> "tail", Some(3) -> "tail",
+      Some(4) -> "middle", Some(5) -> "middle", Some(6) -> "middle",
+      Some(7) -> "head", Some(8) -> "head", Some(9) -> "head",
+      None -> "tail") // null meets no threshold -> lowest bucket
+    got shouldBe want.map { case (k, v) => (k: Option[Any], v) }
+    // a value exactly AT a threshold goes up: with 0..10 the median is 5
+    val at = Stats.bucketByQuantilesExact((0 to 10).toDF("v"), "v", Seq(0.5),
+        Seq("lo", "hi"))
+      .collect().map(r => (r.getInt(0), r.getString(1))).toMap
+    at(5) shouldBe "hi"
+    at(4) shouldBe "lo"
+  }
 }
