@@ -434,6 +434,17 @@ object SparkEntry {
       staged.select(col("doc_id"), TextOps.dedupLinesWithinDoc(col("text")).as("text"))
     }),
 
+    // cross-doc duplicated 8-token spans over the NATURAL corpus — the
+    // exact-dup doc groups guarantee hot spans exist unplanted (same
+    // naturalness precedent as the events gates)
+    "dup_spans" -> ((s, dir) => Dedup.dupSpans(docs(s, dir), n = 8)),
+
+    // substring-level dedup: every token covered by a cross-doc
+    // duplicated 8-gram removed, survivors reassembled in order; the
+    // oracle replays grams -> hot set -> coverage -> anti-join ->
+    // ordered reassembly
+    "dup_span_removal" -> ((s, dir) => Dedup.removeDupSpans(docs(s, dir), n = 8)),
+
     // corpus-unigram LM quality score; ROUND(6) absorbs float-sum
     // association order and libm ln ulp differences (same precedent as
     // ngram_jaccard / tfidf)
@@ -923,6 +934,23 @@ object SparkEntry {
     }
     s"$seed,\n${stages.mkString(",\n")}"
   }
+
+  /** Shared CTE prefix for the span-dedup oracles: tokenized docs (tt),
+    * positional n-grams (g, 0-based starts; DuckDB's indexed lambda and
+    * list slices are 1-based), and the cross-doc duplicated gram set
+    * (hot).
+    */
+  private def spanCte(n: Int): String =
+    s"""tt AS MATERIALIZED (
+       |  SELECT doc_id, regexp_split_to_array(trim(text), '\\s+') AS ts FROM documents),
+       |g AS MATERIALIZED (
+       |  SELECT doc_id, struct_extract(s, 'start') AS start, struct_extract(s, 'gram') AS gram
+       |  FROM (SELECT doc_id, unnest(list_transform(range(1, len(ts) - $n + 2),
+       |          i -> {'start': i - 1, 'gram': array_to_string(ts[i:i + $n - 1], ' ')})) AS s
+       |        FROM tt WHERE len(ts) >= $n)),
+       |hot AS MATERIALIZED (
+       |  SELECT gram, CAST(COUNT(DISTINCT doc_id) AS BIGINT) AS n_docs
+       |  FROM g GROUP BY gram HAVING COUNT(DISTINCT doc_id) >= 2)""".stripMargin
 
   private def bpeMergesOracle(numMerges: Int): String = {
     val finals = (0 until numMerges).map(i =>
@@ -1568,6 +1596,26 @@ object SparkEntry {
         |  FROM ln)
         |SELECT doc_id, string_agg(line, chr(10) ORDER BY pos) AS text
         |FROM firsts WHERE rn = 1 GROUP BY doc_id""".stripMargin,
+
+    "dup_spans" ->
+      s"WITH ${spanCte(8)}\nSELECT gram, n_docs FROM hot",
+
+    "dup_span_removal" ->
+      (s"WITH ${spanCte(8)},\n" +
+        """tok AS (
+          |  SELECT doc_id, struct_extract(s, 'pos') AS pos, struct_extract(s, 'tok') AS tok
+          |  FROM (SELECT doc_id, unnest(list_transform(ts, (x, k) -> {'pos': k - 1, 'tok': x})) AS s
+          |        FROM tt)),
+          |covered AS MATERIALIZED (
+          |  SELECT DISTINCT g.doc_id, g.start + r.d AS pos
+          |  FROM g JOIN hot USING (gram) CROSS JOIN (SELECT unnest(range(8)) AS d) r),
+          |kept AS (
+          |  SELECT t.doc_id, t.pos, t.tok FROM tok t
+          |  ANTI JOIN covered c ON (t.doc_id = c.doc_id AND t.pos = c.pos))
+          |SELECT d.doc_id, COALESCE(k.text, '') AS text
+          |FROM documents d LEFT JOIN (
+          |  SELECT doc_id, array_to_string(list(tok ORDER BY pos), ' ') AS text
+          |  FROM kept GROUP BY doc_id) k USING (doc_id)""".stripMargin),
 
     "lm_logprob" ->
       """WITH toks AS (

@@ -475,4 +475,79 @@ object Dedup {
       .filter(col("hamming") <= maxHamming)
       .distinct()
   }
+
+  /** Positional token n-grams: (id, start, gram) with `start` the
+    * 0-based token offset and `gram` the space-joined, case-preserving
+    * n tokens (unlike [[shingles]], which lowercases and drops
+    * positions — span REMOVAL must address exact tokens). Docs with
+    * fewer than n tokens yield no grams.
+    */
+  private def spanGrams(docs: DataFrame, n: Int, textCol: String,
+                        idCol: String): DataFrame = {
+    require(n >= 2, s"span gram size must be >= 2, got $n")
+    val toks = split(trim(col(textCol)), "\\s+")
+    val grams = when(size(toks) >= n,
+      transform(sequence(lit(0), size(toks) - n),
+        i => array_join(slice(toks, i + 1, lit(n)), " ")))
+      .otherwise(array().cast("array<string>"))
+    docs.select(col(idCol), posexplode(grams).as(Seq("start", "gram")))
+  }
+
+  /** Token n-gram spans duplicated ACROSS documents (the substring-dedup
+    * census of Lee et al., "Deduplicating Training Data Makes Language
+    * Models Better", at n-gram-span granularity): grams occurring in at
+    * least `minDocs` DISTINCT docs, with their doc counts.
+    *
+    * Scale shape: one explode + count-distinct agg — the shuffle
+    * carries distinct (gram, doc) pairs after partial dedup, bounded by
+    * corpus gram volume; the RESULT is the duplicated subset only. At
+    * 100 TB the gram strings themselves dominate the exchange —
+    * xxhash64(gram) keys (collision-checked like [[minhashPairs]]'
+    * verify stage) and a Bloom prune a la `contaminationHitsBloom` are
+    * the documented upgrade; the string form here is byte-exact and
+    * collision-free for verification.
+    */
+  def dupSpans(docs: DataFrame, n: Int, minDocs: Int = 2,
+               textCol: String = "text", idCol: String = "doc_id"): DataFrame = {
+    require(minDocs >= 2, s"minDocs must be >= 2 (got $minDocs): every gram is in >= 1 doc")
+    spanGrams(docs, n, textCol, idCol)
+      .groupBy("gram").agg(countDistinct(col(idCol)).as("n_docs"))
+      .filter(col("n_docs") >= minDocs)
+  }
+
+  /** Remove every token covered by a cross-document duplicated n-gram
+    * span ([[dupSpans]]), reassembling each doc's surviving tokens in
+    * order. Operates on the WHITESPACE TOKEN stream: output text is
+    * single-space joined (whitespace-normalized) even where nothing was
+    * removed — the downstream-tokenizer view of the text, which is what
+    * span dedup protects. Within-doc repeats are NOT removed (that is
+    * [[graft.pipeline.TextOps.dedupLinesWithinDoc]] / dupNgramRatio
+    * territory); row-preserving — fully-covered docs become empty text.
+    *
+    * Scale shape: gram census as [[dupSpans]]; coverage = grams join
+    * the (duplicated-subset) hot set -> explode to n positions ->
+    * distinct; removal is a left-anti join on (doc, pos); reassembly is
+    * ONE groupBy(doc) with in-group array_sort by position — the
+    * [[graft.pipeline.TextOps.removeBoilerplate]] shape, never a
+    * window.
+    */
+  def removeDupSpans(docs: DataFrame, n: Int, minDocs: Int = 2,
+                     textCol: String = "text", idCol: String = "doc_id"): DataFrame = {
+    val grams = spanGrams(docs, n, textCol, idCol)
+    val hot = dupSpans(docs, n, minDocs, textCol, idCol).select("gram")
+    val covered = grams.join(hot, "gram")
+      .select(col(idCol), explode(sequence(col("start"), col("start") + lit(n - 1))).as("pos"))
+      .distinct()
+    val toks = docs.select(col(idCol),
+      posexplode(split(trim(col(textCol)), "\\s+")).as(Seq("pos", "tok")))
+    val kept = toks.join(covered, Seq(idCol, "pos"), "left_anti")
+    docs.select(col(idCol))
+      .join(
+        kept.groupBy(col(idCol))
+          .agg(array_join(
+            transform(array_sort(collect_list(struct(col("pos"), col("tok")))),
+              x => x.getField("tok")), " ").as(textCol)),
+        Seq(idCol), "left")
+      .select(col(idCol), coalesce(col(textCol), lit("")).as(textCol))
+  }
 }

@@ -206,6 +206,14 @@ class PlanSpec extends AnyFlatSpec with Matchers {
       fallbacks shouldBe empty)
   }
 
+  it should "keep span dedup window-free: coverage anti-join + in-group reassembly (round 5)" in {
+    val plan = graft.SparkEntry.queries("dup_span_removal")(spark, sfDir)
+      .queryExecution.sparkPlan.toString
+    plan should include("LeftAnti")             // removal = anti-join vs covered positions
+    plan should not include "Window"            // reassembly sorts IN-group, no window
+    plan should include("partial_collect_list") // map-side combine before the exchange
+  }
+
   it should "tokenize once in the unigram LM score (grouped agg reused by LM and probe) (round 5)" in {
     val docs = spark.read.parquet(s"$sfDir/documents.parquet")
     val df = graft.pipeline.TextOps.unigramLogProb(docs)

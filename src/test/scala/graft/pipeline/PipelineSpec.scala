@@ -756,6 +756,37 @@ class PipelineSpec extends AnyFlatSpec with Matchers {
       TextOps.removeBoilerplate(docs, minDocs = 1) // would delete every line
   }
 
+  "Dedup.removeDupSpans" should "cut cross-doc duplicated spans only, preserve rows and order" in {
+    import spark.implicits._
+    // docs 1 and 2 share the 3-gram "x y z" (doc 1 twice: overlapping
+    // coverage merges); doc 3's "p q r" repeats only WITHIN the doc;
+    // doc 4 is entirely one shared span -> empty text; doc 5 too short
+    val docs = Seq(
+      (1L, "a x y z b x y z"),
+      (2L, "x y z c"),
+      (3L, "p q r p q r s"),
+      (4L, "x y z"),
+      (5L, "t u")
+    ).toDF("doc_id", "text")
+
+    val hot = Dedup.dupSpans(docs, n = 3)
+      .collect().map(r => (r.getString(0), r.getLong(1))).toMap
+    hot shouldBe Map("x y z" -> 3L) // docs 1, 2, 4; "p q r" is one doc
+
+    val out = Dedup.removeDupSpans(docs, n = 3)
+      .collect().map(r => (r.getLong(0), r.getString(1))).toMap
+    out shouldBe Map(
+      1L -> "a b",          // both occurrences cut, survivors in order
+      2L -> "c",
+      3L -> "p q r p q r s", // within-doc repeat is NOT this operator's job
+      4L -> "",              // fully covered -> row kept, empty text
+      5L -> "t u")           // shorter than n: no grams, untouched
+    // deterministic across partitionings
+    val again = Dedup.removeDupSpans(docs.repartition(5), n = 3)
+      .collect().map(r => (r.getLong(0), r.getString(1))).toMap
+    again shouldBe out
+  }
+
   "TextOps.vocabulary" should "rank tokens by corpus frequency with deterministic ties" in {
     import spark.implicits._
     val df = Seq((1L, "b a a"), (2L, "a b c"), (3L, "c b")).toDF("doc_id", "text")
