@@ -952,6 +952,22 @@ object SparkEntry {
        |  SELECT gram, CAST(COUNT(DISTINCT doc_id) AS BIGINT) AS n_docs
        |  FROM g GROUP BY gram HAVING COUNT(DISTINCT doc_id) >= 2)""".stripMargin
 
+  /** Shared CTE prefix for the unigram-LM oracles: whitespace tokens
+    * (toks2), corpus LM counts (lm), grand total (tot), and the per-doc
+    * ROUND(6) score (scored). lm_logprob selects from `scored`
+    * directly; lm_buckets layers terciles on top — one definition so
+    * the two gates cannot drift to different score semantics.
+    */
+  private val lmScoredCte: String =
+    """toks AS (
+      |  SELECT doc_id, unnest(regexp_split_to_array(trim(text), '\s+')) AS t FROM documents),
+      |toks2 AS (SELECT * FROM toks WHERE t <> ''),
+      |lm AS (SELECT t, CAST(COUNT(*) AS BIGINT) AS cnt FROM toks2 GROUP BY t),
+      |tot AS (SELECT CAST(SUM(cnt) AS BIGINT) AS total FROM lm),
+      |scored AS (
+      |  SELECT doc_id, ROUND(AVG(ln(CAST(cnt AS DOUBLE) / total)), 6) AS lm_logprob
+      |  FROM toks2 JOIN lm USING (t), tot GROUP BY doc_id)""".stripMargin
+
   private def bpeMergesOracle(numMerges: Int): String = {
     val finals = (0 until numMerges).map(i =>
       s"SELECT CAST($i AS BIGINT) AS step, l AS left_sym, r AS right_sym, cnt AS pair_count FROM m$i")
@@ -1618,34 +1634,21 @@ object SparkEntry {
           |  FROM kept GROUP BY doc_id) k USING (doc_id)""".stripMargin),
 
     "lm_logprob" ->
-      """WITH toks AS (
-        |  SELECT doc_id, unnest(regexp_split_to_array(trim(text), '\s+')) AS t FROM documents),
-        |toks2 AS (SELECT * FROM toks WHERE t <> ''),
-        |lm AS (SELECT t, CAST(COUNT(*) AS BIGINT) AS cnt FROM toks2 GROUP BY t),
-        |tot AS (SELECT CAST(SUM(cnt) AS BIGINT) AS total FROM lm)
-        |SELECT doc_id, ROUND(AVG(ln(CAST(cnt AS DOUBLE) / total)), 6) AS lm_logprob
-        |FROM toks2 JOIN lm USING (t), tot GROUP BY doc_id""".stripMargin,
+      s"WITH $lmScoredCte\nSELECT doc_id, lm_logprob FROM scored",
 
     // terciles over the ROUNDED score (byte-equal across engines per
     // the lm_logprob gate), so quantile_cont interpolation and the >=
     // boundary comparisons are float-exact on both sides; fraction
     // literals are the exact doubles scala's 1.0/3 and 2.0/3 print as
     "lm_buckets" ->
-      """WITH toks AS (
-        |  SELECT doc_id, unnest(regexp_split_to_array(trim(text), '\s+')) AS t FROM documents),
-        |toks2 AS (SELECT * FROM toks WHERE t <> ''),
-        |lm AS (SELECT t, CAST(COUNT(*) AS BIGINT) AS cnt FROM toks2 GROUP BY t),
-        |tot AS (SELECT CAST(SUM(cnt) AS BIGINT) AS total FROM lm),
-        |scored AS (
-        |  SELECT doc_id, ROUND(AVG(ln(CAST(cnt AS DOUBLE) / total)), 6) AS lm_logprob
-        |  FROM toks2 JOIN lm USING (t), tot GROUP BY doc_id),
-        |thr AS (SELECT quantile_cont(lm_logprob, 0.3333333333333333) AS t1,
-        |               quantile_cont(lm_logprob, 0.6666666666666666) AS t2 FROM scored)
-        |SELECT doc_id, lm_logprob,
-        |  CASE WHEN lm_logprob >= t2 THEN 'head'
-        |       WHEN lm_logprob >= t1 THEN 'middle'
-        |       ELSE 'tail' END AS bucket
-        |FROM scored, thr""".stripMargin,
+      (s"WITH $lmScoredCte,\n" +
+        """thr AS (SELECT quantile_cont(lm_logprob, 0.3333333333333333) AS t1,
+          |               quantile_cont(lm_logprob, 0.6666666666666666) AS t2 FROM scored)
+          |SELECT doc_id, lm_logprob,
+          |  CASE WHEN lm_logprob >= t2 THEN 'head'
+          |       WHEN lm_logprob >= t1 THEN 'middle'
+          |       ELSE 'tail' END AS bucket
+          |FROM scored, thr""".stripMargin),
 
     "domain_cap" ->
       """SELECT source, doc_id, CAST(n_chars AS DOUBLE) AS score, CAST(rn AS BIGINT) AS rank

@@ -1,6 +1,9 @@
 package graft.functions
 
+import scala.reflect.runtime.universe.TypeTag
+
 import org.apache.spark.sql.{Column, Encoder, Encoders}
+import org.apache.spark.sql.catalyst.encoders.ExpressionEncoder
 import org.apache.spark.sql.expressions.Aggregator
 import org.apache.spark.sql.functions.udaf
 
@@ -15,27 +18,31 @@ import org.apache.spark.sql.functions.udaf
   * merge. Wall-clock and shuffle volume become O(|queries| * k * tasks)
   * instead of O(|queries| * |candidates|).
   *
-  * Ordering is (score DESC, id ASC) — the same deterministic tiebreak
-  * the window form used, so results are bit-identical.
+  * Ordering is (score DESC, id ASC under `Ordering[I]`) — the same
+  * deterministic tiebreak the window form used, so results are
+  * bit-identical. `I` is the id type (long ids for numeric keys, string
+  * ids for URL/hash keys); ids must be non-null — callers filter.
   */
-final class TopKAggregator(k: Int)
-    extends Aggregator[(Double, Long), List[(Double, Long)], Seq[(Double, Long)]] {
+final class TopKAggregator[I: Ordering: TypeTag](k: Int)
+    extends Aggregator[(Double, I), List[(Double, I)], Seq[(Double, I)]] {
 
   require(k > 0, "k must be positive")
+
+  private val iOrd = implicitly[Ordering[I]]
 
   // (score desc, id asc): a is strictly better than b. Double.compare
   // gives a TOTAL order (NaN sorts greatest, matching Spark's descending
   // sort semantics) — a naive `>` is not total under NaN, which would
   // make results partition-order-dependent and break merge associativity.
-  private def better(a: (Double, Long), b: (Double, Long)): Boolean = {
+  private def better(a: (Double, I), b: (Double, I)): Boolean = {
     val c = java.lang.Double.compare(a._1, b._1)
-    c > 0 || (c == 0 && a._2 < b._2)
+    c > 0 || (c == 0 && iOrd.lt(a._2, b._2))
   }
 
-  override def zero: List[(Double, Long)] = Nil
+  override def zero: List[(Double, I)] = Nil
 
   /** Insert into a size-capped sorted list (k is small; O(k) insert). */
-  override def reduce(buf: List[(Double, Long)], a: (Double, Long)): List[(Double, Long)] = {
+  override def reduce(buf: List[(Double, I)], a: (Double, I)): List[(Double, I)] = {
     if (buf.sizeIs >= k && !better(a, buf.last)) buf
     else {
       val (front, back) = buf.span(better(_, a))
@@ -43,9 +50,9 @@ final class TopKAggregator(k: Int)
     }
   }
 
-  override def merge(b1: List[(Double, Long)], b2: List[(Double, Long)]): List[(Double, Long)] = {
+  override def merge(b1: List[(Double, I)], b2: List[(Double, I)]): List[(Double, I)] = {
     // merge two sorted lists, keep best k
-    val out = List.newBuilder[(Double, Long)]
+    val out = List.newBuilder[(Double, I)]
     var (x, y) = (b1, b2); var n = 0
     while (n < k && (x.nonEmpty || y.nonEmpty)) {
       if (y.isEmpty || (x.nonEmpty && better(x.head, y.head))) { out += x.head; x = x.tail }
@@ -55,19 +62,26 @@ final class TopKAggregator(k: Int)
     out.result()
   }
 
-  override def finish(r: List[(Double, Long)]): Seq[(Double, Long)] = r
+  override def finish(r: List[(Double, I)]): Seq[(Double, I)] = r
 
-  override def bufferEncoder: Encoder[List[(Double, Long)]] =
-    org.apache.spark.sql.catalyst.encoders.ExpressionEncoder[List[(Double, Long)]]()
-  override def outputEncoder: Encoder[Seq[(Double, Long)]] =
-    org.apache.spark.sql.catalyst.encoders.ExpressionEncoder[Seq[(Double, Long)]]()
+  override def bufferEncoder: Encoder[List[(Double, I)]] =
+    ExpressionEncoder[List[(Double, I)]]()
+  override def outputEncoder: Encoder[Seq[(Double, I)]] =
+    ExpressionEncoder[Seq[(Double, I)]]()
 }
 
 object TopK {
   /** `topK(k)(score, id)` aggregation column: array of (score `_1`,
-    * id `_2`) structs, best-first under (score desc, id asc).
+    * id `_2`) structs, best-first under (score desc, id asc). Long ids.
     */
   def topK(k: Int)(score: Column, id: Column): Column =
-    udaf(new TopKAggregator(k), Encoders.tuple(Encoders.scalaDouble, Encoders.scalaLong))
+    udaf(new TopKAggregator[Long](k), Encoders.tuple(Encoders.scalaDouble, Encoders.scalaLong))
+      .apply(score, id)
+
+  /** [[topK]] with STRING ids (URLs, content hashes): tiebreak is
+    * lexical id ASC. Ids must be non-null (callers filter).
+    */
+  def topKStr(k: Int)(score: Column, id: Column): Column =
+    udaf(new TopKAggregator[String](k), Encoders.tuple(Encoders.scalaDouble, Encoders.STRING))
       .apply(score, id)
 }

@@ -541,13 +541,6 @@ object Dedup {
     val toks = docs.select(col(idCol),
       posexplode(split(trim(col(textCol)), "\\s+")).as(Seq("pos", "tok")))
     val kept = toks.join(covered, Seq(idCol, "pos"), "left_anti")
-    docs.select(col(idCol))
-      .join(
-        kept.groupBy(col(idCol))
-          .agg(array_join(
-            transform(array_sort(collect_list(struct(col("pos"), col("tok")))),
-              x => x.getField("tok")), " ").as(textCol)),
-        Seq(idCol), "left")
-      .select(col(idCol), coalesce(col(textCol), lit("")).as(textCol))
+    TextOps.reassembleInOrder(docs, kept, "tok", " ", textCol, idCol)
   }
 }

@@ -219,6 +219,11 @@ object Sampling {
     * (score DESC, id ASC) — the domain-balancing primitive (cap docs
     * per source/domain so one crawl host cannot dominate the mix).
     * Returns (group, id, score, rank) with rank 1..n, deterministic.
+    * Ids may be integral (returned widened to long, numeric ASC
+    * tiebreak) or string (URL/content-hash ids, lexical ASC tiebreak);
+    * any other id type fails loud at plan time. Scores must be numeric
+    * (returned as double). Rows with a null score or null id cannot be
+    * ranked and are dropped before aggregation.
     *
     * Scale shape: a bounded top-k heap per group
     * ([[graft.functions.TopKAggregator]]) — map-side partial
@@ -230,10 +235,25 @@ object Sampling {
     */
   def capPerGroup(df: DataFrame, n: Int, groupCol: String, scoreCol: String,
                   idCol: String = "doc_id"): DataFrame = {
+    import org.apache.spark.sql.types._
     require(n > 0, s"cap must be > 0, got $n")
-    df.groupBy(col(groupCol))
-      .agg(graft.functions.TopK.topK(n)(col(scoreCol).cast("double"),
-        col(idCol).cast("long")).as("__top"))
+    require(df.schema(scoreCol).dataType.isInstanceOf[NumericType],
+      s"capPerGroup score column '$scoreCol' must be numeric, got " +
+        s"${df.schema(scoreCol).dataType} (ranking needs a numeric order)")
+    // null score/id rows cannot be ranked deterministically — drop them
+    // up front (the aggregator's tuple encoder is non-nullable)
+    val clean = df.filter(col(scoreCol).isNotNull && col(idCol).isNotNull)
+    val top = df.schema(idCol).dataType match {
+      case ByteType | ShortType | IntegerType | LongType =>
+        graft.functions.TopK.topK(n)(col(scoreCol).cast("double"), col(idCol).cast("long"))
+      case StringType =>
+        graft.functions.TopK.topKStr(n)(col(scoreCol).cast("double"), col(idCol))
+      case dt => throw new IllegalArgumentException(
+        s"capPerGroup id column '$idCol' must be integral (numeric id ASC tiebreak) " +
+          s"or string (lexical ASC tiebreak), got $dt — cast explicitly to choose")
+    }
+    clean.groupBy(col(groupCol))
+      .agg(top.as("__top"))
       .select(col(groupCol), posexplode(col("__top")).as(Seq("__pos", "__t")))
       .select(col(groupCol), col("__t._2").as(idCol),
         col("__t._1").as(scoreCol), (col("__pos") + 1).cast("long").as("rank"))

@@ -496,15 +496,29 @@ object TextOps {
       .select(col(idCol), posexplode(split(col(textCol), "\n")).as(Seq("pos", "line")))
     val hot = boilerplateLines(docs, minDocs, textCol, idCol).select("line")
     val kept = lines.join(hot, Seq("line"), "left_anti")
-    // all-boilerplate docs vanish from `kept`; restore them with empty
-    // text so the operator is row-preserving (auditable removal)
+    reassembleInOrder(docs, kept, "line", "\n", textCol, idCol)
+  }
+
+  /** Row-preserving ordered reassembly shared by [[removeBoilerplate]]
+    * and [[graft.pipeline.Dedup.removeDupSpans]]: group the surviving
+    * (id, pos, piece) rows back into one text per document, sorted by
+    * position IN-group (array_sort of (pos, piece) structs — never an
+    * unpartitioned window), then left-join against the full id set so
+    * documents whose every piece was removed keep their row with empty
+    * text (auditable removal; downstream length filters decide their
+    * fate explicitly). The per-row transform extracting pieces from
+    * structs is an interpreted HOF, once per document — the same
+    * accepted trade as Dedup.shingles.
+    */
+  private[pipeline] def reassembleInOrder(docs: DataFrame, kept: DataFrame,
+                                          pieceCol: String, sep: String,
+                                          textCol: String, idCol: String): DataFrame =
     docs.select(col(idCol))
       .join(
         kept.groupBy(col(idCol))
           .agg(array_join(
-            transform(array_sort(collect_list(struct(col("pos"), col("line")))),
-              x => x.getField("line")), "\n").as(textCol)),
+            transform(array_sort(collect_list(struct(col("pos"), col(pieceCol)))),
+              x => x.getField(pieceCol)), sep).as(textCol)),
         Seq(idCol), "left")
       .select(col(idCol), coalesce(col(textCol), lit("")).as(textCol))
-  }
 }

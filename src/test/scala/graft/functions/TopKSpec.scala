@@ -36,7 +36,7 @@ class TopKSpec extends AnyFlatSpec with Matchers {
   } yield (s, id)
 
   "TopKAggregator" should "equal sorted-take-k under any partitioning" in {
-    val agg = new TopKAggregator(5)
+    val agg = new TopKAggregator[Long](5)
     check(Prop.forAll(Gen.listOf(rowGen), Gen.chooseNum(1, 7)) { (rows, parts) =>
       val chunks = if (rows.isEmpty) Seq(Nil) else rows.grouped(math.max(1, rows.size / parts)).toSeq
       val buffers = chunks.map(_.foldLeft(agg.zero)(agg.reduce))
@@ -46,7 +46,7 @@ class TopKSpec extends AnyFlatSpec with Matchers {
   }
 
   it should "merge associatively and commutatively" in {
-    val agg = new TopKAggregator(3)
+    val agg = new TopKAggregator[Long](3)
     check(Prop.forAll(Gen.listOf(rowGen), Gen.listOf(rowGen), Gen.listOf(rowGen)) { (a, b, c) =>
       def buf(xs: Seq[(Double, Long)]) = xs.foldLeft(agg.zero)(agg.reduce)
       val (ba, bb, bc) = (buf(a), buf(b), buf(c))
@@ -59,7 +59,7 @@ class TopKSpec extends AnyFlatSpec with Matchers {
   }
 
   it should "keep the buffer bounded at k" in {
-    val agg = new TopKAggregator(4)
+    val agg = new TopKAggregator[Long](4)
     val big = (1 to 1000).map(i => (i / 3.0, i.toLong))
     val buf = big.foldLeft(agg.zero)(agg.reduce)
     buf.size shouldBe 4

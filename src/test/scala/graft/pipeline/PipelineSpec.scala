@@ -1043,6 +1043,30 @@ class PipelineSpec extends AnyFlatSpec with Matchers {
     again.toSeq shouldBe got.toSeq
   }
 
+  it should "rank string ids lexically, drop unrankable rows, reject other id types" in {
+    import spark.implicits._
+    // string ids (URLs — the common crawl-data case): lexical ASC
+    // tiebreak at score 2.0 keeps "u/10" over "u/9"; null score and
+    // null id rows cannot be ranked and are dropped, not crashed on
+    val df = Seq(
+      ("a", "u/9", Some(2.0)), ("a", "u/10", Some(2.0)), ("a", "u/5", Some(3.0)),
+      ("a", "u/drop", None), ("b", null.asInstanceOf[String], Some(9.0)),
+      ("b", "u/1", Some(1.0))).toDF("source", "doc_id", "score")
+    val got = Sampling.capPerGroup(df, n = 2, groupCol = "source", scoreCol = "score")
+      .collect().map(r => (r.getString(0), r.getString(1), r.getDouble(2), r.getLong(3)))
+      .sortBy(t => (t._1, t._4))
+    got.toSeq shouldBe Seq(
+      ("a", "u/5", 3.0, 1L), ("a", "u/10", 2.0, 2L), ("b", "u/1", 1.0, 1L))
+    // unsupported id types fail loud at plan time, not mid-job
+    val bad = Seq(("a", Array(1.0), 1.0)).toDF("source", "doc_id", "score")
+    an[IllegalArgumentException] should be thrownBy
+      Sampling.capPerGroup(bad, 1, "source", "score")
+    // non-numeric scores fail loud too
+    val badScore = Seq(("a", 1L, "high")).toDF("source", "doc_id", "score")
+    an[IllegalArgumentException] should be thrownBy
+      Sampling.capPerGroup(badScore, 1, "source", "score")
+  }
+
   "Packing.packChunks" should "assign contiguous global offsets regardless of input partitioning" in {
     import spark.implicits._
     val df = Seq((1L, "a b c"), (2L, ""), (3L, "d e"), (4L, "f g h i"), (5L, "j"))

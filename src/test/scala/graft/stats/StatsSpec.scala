@@ -125,4 +125,33 @@ class StatsSpec extends AnyFlatSpec with Matchers {
     at(5) shouldBe "hi"
     at(4) shouldBe "lo"
   }
+
+  "Stats.bucketByQuantilesApprox" should "track the exact buckets within a rank band" in {
+    import spark.implicits._
+    // continuous all-distinct score: the production shape for the
+    // approx form (exact would put every value on one reducer)
+    val df = (1 to 5000).map(i => math.sin(i.toDouble) * 1000 + i * 0.001).toDF("score")
+    val labels = Seq("tail", "middle", "head")
+    def counts(out: org.apache.spark.sql.DataFrame) =
+      out.groupBy("bucket").count().collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    val exact = counts(Stats.bucketByQuantilesExact(df, "score", Seq(1.0 / 3, 2.0 / 3), labels))
+    val approx = counts(Stats.bucketByQuantilesApprox(df, "score", Seq(1.0 / 3, 2.0 / 3), labels))
+    labels.foreach { l =>
+      math.abs(approx(l) - exact(l)).toDouble should be <= (0.01 * 5000)
+    }
+    // int-typed column: approx_percentile is type-preserving (returns
+    // actual INT data values, no interpolation) — the threshold cast in
+    // bucketWith must still assign every value and respect ordering
+    val ints = ((1 to 9).map(Some(_)) :+ None).toDF("v")
+    val gotInt = Stats.bucketByQuantilesApprox(ints, "v", Seq(1.0 / 3, 2.0 / 3), labels)
+      .collect().map(r => (Option(r.get(0)), r.getString(1))).toMap
+    gotInt(None) shouldBe "tail" // null meets no threshold -> lowest
+    gotInt(Some(1)) shouldBe "tail"
+    gotInt(Some(9)) shouldBe "head"
+    // bucket assignment is monotone in v
+    val order = labels.zipWithIndex.toMap
+    (1 to 8).foreach { v =>
+      order(gotInt(Some(v))) should be <= order(gotInt(Some(v + 1)))
+    }
+  }
 }
