@@ -5,7 +5,7 @@ import org.apache.spark.sql.functions._
 import graft.compile.TableSchemaCompiler
 import graft.exprs.Validator
 import graft.integrity.Integrity
-import graft.pipeline.{Ann, Conversations, Dedup, Multimodal, Packing, Sampling, TextOps}
+import graft.pipeline.{Ann, AsOf, Conversations, Dedup, Multimodal, Packing, Sampling, TextOps}
 import graft.sources.{DirtyDerive, TranscriptDerive}
 import graft.stats.Stats
 
@@ -265,6 +265,28 @@ object SparkEntry {
         maxGapSeconds = 30L * 60)
         .select(col("conv_id").cast("long").as("user_id"), col("n_turns"),
           col("n_sessions"), col("role_repeat_ratio"))),
+
+    // event-time as-of join: each purchase attached to the user's most
+    // recent at-or-before view (ties on ts -> greatest event_id);
+    // purchases with no prior view keep null payloads. The oracle is
+    // DuckDB's NATIVE ASOF LEFT JOIN — an independent algorithm, not a
+    // window replay
+    "asof_join" -> ((s, dir) => {
+      val ev = s.read.parquet(s"$dir/events.parquet")
+      AsOf.asofJoin(
+        left = ev.filter(col("event_type") === "purchase"),
+        right = ev.filter(col("event_type") === "view"),
+        keyCol = "user_id", tsCol = "ts",
+        payloadCols = Seq("event_id", "ts", "value"), seqCol = "event_id")
+        .select(col("event_id"), col("user_id"),
+          col("asof_event_id"), col("asof_value"),
+          // events ts is TIMESTAMP_NTZ (parquet int64); unix_micros wants
+          // TIMESTAMP. The NTZ->LTZ cast shifts both operands by the same
+          // session-tz offset, so the difference is exact (and every entry
+          // point pins spark.sql.session.timeZone=UTC anyway)
+          (unix_micros(col("ts").cast("timestamp")) -
+            unix_micros(col("asof_ts").cast("timestamp"))).as("lag_us"))
+    }),
 
     // multi-edge referential integrity over the full TPC-H-ish star:
     // each FK edge is one anti-join (broadcast for the small parents),
@@ -823,6 +845,12 @@ object SparkEntry {
       Stats.aboveQuantileExact(docs(s, dir), "n_chars", 0.5)
         .select(col("doc_id"), col("n_chars"))),
 
+    // per-SOURCE cutoff (the CCNet per-language shape): each doc is
+    // judged against its own source's 0.75-quantile, not the corpus's
+    "quality_filter_bygroup" -> ((s, dir) =>
+      Stats.aboveQuantileByGroupExact(docs(s, dir), "n_chars", 0.75, "source")
+        .select(col("doc_id"), col("source"), col("n_chars"))),
+
     // the whole recipe end to end: exact dedup -> quality cutoff ->
     // deterministic sample -> sequence packing. Every stage is the
     // production operator; the oracle replays the full chain.
@@ -1116,6 +1144,21 @@ object SparkEntry {
 
     // same replay as conv_structure over the events mapping; the
     // FLOOR(epoch) pin matters here — events carry sub-second ts
+    // ties on (user_id, ts) are pre-resolved to the greatest event_id so
+    // DuckDB's ASOF JOIN (which picks an arbitrary row among exact-ts
+    // ties) matches the operator's deterministic seq tiebreak
+    "asof_join" ->
+      """WITH p AS (SELECT * FROM events WHERE event_type = 'purchase'),
+        |v AS (
+        |  SELECT user_id, ts, event_id, value FROM (
+        |    SELECT user_id, ts, event_id, value,
+        |           ROW_NUMBER() OVER (PARTITION BY user_id, ts ORDER BY event_id DESC) AS rn
+        |    FROM events WHERE event_type = 'view') WHERE rn = 1)
+        |SELECT p.event_id, p.user_id, v.event_id AS asof_event_id,
+        |       v.value AS asof_value,
+        |       epoch_us(p.ts) - epoch_us(v.ts) AS lag_us
+        |FROM p ASOF LEFT JOIN v ON p.user_id = v.user_id AND p.ts >= v.ts""".stripMargin,
+
     "events_structure" ->
       """WITH o AS (SELECT user_id, event_type AS role, props,
         |        CAST(FLOOR(epoch(ts)) AS BIGINT) AS tsec,
@@ -1447,6 +1490,14 @@ object SparkEntry {
       """SELECT doc_id, n_chars FROM documents
         |WHERE CAST(n_chars AS DOUBLE) >=
         |  (SELECT quantile_cont(CAST(n_chars AS DOUBLE), 0.5) FROM documents)""".stripMargin,
+
+    "quality_filter_bygroup" ->
+      """WITH thr AS (
+        |  SELECT source, quantile_cont(CAST(n_chars AS DOUBLE), 0.75) AS t
+        |  FROM documents GROUP BY source)
+        |SELECT d.doc_id, d.source, d.n_chars
+        |FROM documents d JOIN thr USING (source)
+        |WHERE CAST(d.n_chars AS DOUBLE) >= t""".stripMargin,
 
     "pipeline_endtoend" ->
       """WITH surv AS (

@@ -144,6 +144,47 @@ object Stats {
       .drop("__thr")
   }
 
+  /** Per-GROUP quantile cutoff (the CCNet per-language form of
+    * [[aboveQuantileExact]]): a row is kept iff `valueExpr` reaches the
+    * q-quantile of its OWN group's distribution — one threshold per
+    * language/domain/source, so a low-resource group is not filtered
+    * against the dominant group's distribution. A NULL group is a
+    * group like any other (null-safe threshold join), not a silent
+    * drop.
+    *
+    * Scale shape: thresholds come from ONE groupBy(group) percentile
+    * aggregation — |groups| rows, broadcast-sized by construction —
+    * attached with a broadcast null-safe equi-join; the filter stays a
+    * map-side scan. Same explicit Exact/Approx split as the global
+    * cutoffs: exact buffers one entry per DISTINCT value per group on
+    * the reducers — fine for low-cardinality measures and oracle
+    * replays; [[aboveQuantileByGroupApprox]] is the production form
+    * for a continuous score over a 100-TB corpus.
+    */
+  def aboveQuantileByGroupExact(df: DataFrame, valueExpr: String, q: Double,
+                                groupCol: String): DataFrame =
+    aboveQuantileByGroupWith(df, valueExpr, s"percentile($valueExpr, $q)", q, groupCol)
+
+  /** Bounded-memory sketch form of [[aboveQuantileByGroupExact]]
+    * (approx_percentile partial-aggregates map-side per group).
+    */
+  def aboveQuantileByGroupApprox(df: DataFrame, valueExpr: String, q: Double,
+                                 groupCol: String, accuracy: Int = 10000): DataFrame =
+    aboveQuantileByGroupWith(df, valueExpr,
+      s"approx_percentile($valueExpr, $q, $accuracy)", q, groupCol)
+
+  private def aboveQuantileByGroupWith(df: DataFrame, valueExpr: String,
+                                       thrExpr: String, q: Double,
+                                       groupCol: String): DataFrame = {
+    require(q >= 0.0 && q <= 1.0, s"quantile must be in [0,1], got $q")
+    require(!df.columns.contains("__grp") && !df.columns.contains("__thr"),
+      "input already carries a __grp/__thr column; rename it before the cutoff")
+    val thr = df.groupBy(col(groupCol).as("__grp")).agg(expr(thrExpr).as("__thr"))
+    df.join(broadcast(thr), col(groupCol) <=> col("__grp"))
+      .filter(expr(valueExpr).cast("double") >= col("__thr").cast("double"))
+      .drop("__grp", "__thr")
+  }
+
   /** Quantile-bucket assignment (the CCNet head/middle/tail shape):
     * split rows into `labels.size` buckets at the quantile fractions
     * `qs` of `valueExpr` — labels ordered LOW to HIGH score, a row

@@ -153,6 +153,18 @@ class PlanSpec extends AnyFlatSpec with Matchers {
     shuffleCount(df) shouldBe 1
   }
 
+  "as-of join" should "shuffle once on the key with a key-partitioned window, no cross product" in {
+    val df = graft.SparkEntry.queries("asof_join")(spark, sfDir)
+    // the union-and-carry-forward form: ONE hash exchange on user_id
+    // feeding a key-partitioned running window — never the naive
+    // theta-join's per-key cross product, never a global sort
+    shuffleCount(df) shouldBe 1
+    val plan = formatted(df)
+    plan should not include "SinglePartition"
+    plan should not include "CartesianProduct"
+    plan should not include "BroadcastNestedLoopJoin"
+  }
+
   "whole-stage codegen" should "cover the validator projection" in {
     val t = graft.sources.TranscriptDerive.fromLineitem(spark, sfDir)
     val exec = Validator.validateTranscripts(t, schema).toDF().queryExecution.executedPlan

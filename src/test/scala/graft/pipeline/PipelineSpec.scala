@@ -1067,6 +1067,46 @@ class PipelineSpec extends AnyFlatSpec with Matchers {
       Sampling.capPerGroup(badScore, 1, "source", "score")
   }
 
+  "AsOf.asofJoin" should "attach the latest at-or-before right row per key, ties to greatest seq" in {
+    import spark.implicits._
+    val left = Seq(
+      (100L, "u1", 10L), // before any right row -> null payload
+      (101L, "u1", 20L), // exactly at a right ts -> matches it
+      (102L, "u1", 35L), // between rights -> latest preceding
+      (103L, "u2", 50L), // tie on right ts -> greatest event_id wins
+      (104L, "u3", 50L)  // key with no right rows at all
+    ).toDF("event_id", "user_id", "ts")
+    val right = Seq(
+      (1L, "u1", 20L, "a"),
+      (2L, "u1", 30L, "b"),
+      (3L, "u2", 40L, "c"),
+      (4L, "u2", 40L, "d"), // same (key, ts) as 3 -> seq 4 must win
+      (5L, "u1", 36L, "late") // after left 102's ts: must NOT match it
+    ).toDF("event_id", "user_id", "ts", "tag")
+    def run(l: org.apache.spark.sql.DataFrame, r: org.apache.spark.sql.DataFrame) =
+      AsOf.asofJoin(l, r, "user_id", "ts", Seq("event_id", "tag"), "event_id")
+        .collect()
+        .map(x => (x.getLong(0), Option(x.get(3)).map(_.asInstanceOf[Long]),
+          Option(x.getString(4))))
+        .sortBy(_._1).toSeq
+    val got = run(left, right)
+    got shouldBe Seq(
+      (100L, None, None),
+      (101L, Some(1L), Some("a")),
+      (102L, Some(2L), Some("b")),
+      (103L, Some(4L), Some("d")),
+      (104L, None, None))
+    // null-ts / null-key right rows are unmatchable and ignored; the
+    // result is partitioning-invariant
+    val dirtyRight = right.unionByName(Seq(
+      (9L, null.asInstanceOf[String], 5L, "nokey"))
+      .toDF("event_id", "user_id", "ts", "tag"))
+    run(left.repartition(5), dirtyRight.repartition(3)) shouldBe got
+    // left columns pass through unchanged, payloads get the asof_ prefix
+    AsOf.asofJoin(left, right, "user_id", "ts", Seq("tag"), "event_id")
+      .columns.toSeq shouldBe Seq("event_id", "user_id", "ts", "asof_tag")
+  }
+
   "Packing.packChunks" should "assign contiguous global offsets regardless of input partitioning" in {
     import spark.implicits._
     val df = Seq((1L, "a b c"), (2L, ""), (3L, "d e"), (4L, "f g h i"), (5L, "j"))

@@ -126,6 +126,34 @@ class StatsSpec extends AnyFlatSpec with Matchers {
     at(4) shouldBe "lo"
   }
 
+  "Stats.aboveQuantileByGroupExact" should "judge each row against its own group's quantile" in {
+    import spark.implicits._
+    // group a: 1..4, median (quantile_cont 0.5) = 2.5 -> keeps 3, 4
+    // group b: 10,20, median = 15 -> keeps 20
+    // null group is a group of its own: 100,200 -> keeps 200
+    val df = Seq(
+      (1L, Some("a"), 1.0), (2L, Some("a"), 2.0), (3L, Some("a"), 3.0), (4L, Some("a"), 4.0),
+      (5L, Some("b"), 10.0), (6L, Some("b"), 20.0),
+      (7L, None, 100.0), (8L, None, 200.0)
+    ).toDF("id", "grp", "score")
+    val kept = Stats.aboveQuantileByGroupExact(df, "score", 0.5, "grp")
+      .select("id").as[Long].collect().sorted
+    kept.toSeq shouldBe Seq(3L, 4L, 6L, 8L)
+    // the output keeps the input schema (threshold plumbing dropped)
+    Stats.aboveQuantileByGroupExact(df, "score", 0.5, "grp").columns.toSeq shouldBe
+      Seq("id", "grp", "score")
+  }
+
+  "Stats.aboveQuantileByGroupApprox" should "track exact within a rank band per group" in {
+    import spark.implicits._
+    val df = (1 to 4000).map { i =>
+      (i.toLong, s"g${i % 4}", math.sin(i.toDouble) * 1000 + i * 0.001)
+    }.toDF("id", "grp", "score")
+    val exact = Stats.aboveQuantileByGroupExact(df, "score", 0.9, "grp").count()
+    val approx = Stats.aboveQuantileByGroupApprox(df, "score", 0.9, "grp").count()
+    math.abs(approx - exact).toDouble should be <= (0.01 * 4000)
+  }
+
   "Stats.bucketByQuantilesApprox" should "track the exact buckets within a rank band" in {
     import spark.implicits._
     // continuous all-distinct score: the production shape for the
