@@ -765,6 +765,25 @@ object SparkEntry {
       TextOps.tokenPairCounts(docs(s, dir), topN = 50)
         .select(col("pair"), col("n"))),
 
+    // collocation mining: top-40 adjacent pairs by pointwise mutual
+    // information among pairs seen >= 5 times (the phrase-mining
+    // statistic; rare pairs pruned BEFORE the unigram joins)
+    "pmi_bigrams" -> ((s, dir) =>
+      TextOps.pmiCollocations(docs(s, dir), topN = 40, minCount = 5)
+        .select(col("l"), col("r"), col("n"), col("pmi"))),
+
+    // gibberish/encoded-blob detector: per-doc character-level Shannon
+    // entropy in bits (explode + two map-side-combining aggs)
+    "char_entropy" -> ((s, dir) =>
+      TextOps.charEntropy(docs(s, dir))
+        .select(col("doc_id"), col("char_entropy"))),
+
+    // ranked retrieval: Okapi BM25 top-40 docs for a 4-term query; the
+    // corpus explode is isin-pruned to query terms before any shuffle
+    "bm25_topk" -> ((s, dir) =>
+      TextOps.bm25(docs(s, dir), Seq("spark", "join", "window", "vector"), topN = 40)
+        .select(col("doc_id"), col("bm25"))),
+
     // the general mixing rule: per-stratum weights both below and above
     // 1 in ONE operator (en 1.5 epochs, zh 25%, everything else 5%)
     "mix_weights" -> ((s, dir) =>
@@ -1401,6 +1420,55 @@ object SparkEntry {
         |u AS (SELECT unnest(ps) AS pair FROM p)
         |SELECT pair, CAST(COUNT(*) AS BIGINT) AS n FROM u
         |GROUP BY pair ORDER BY n DESC, pair ASC LIMIT 50""".stripMargin,
+
+    // PMI replay: same unigram/bigram counts, same rounded-ln ranking;
+    // the arithmetic shape (multiply-before-divide, left-assoc) mirrors
+    // the Spark expression so the rounded doubles agree bit-for-bit
+    "pmi_bigrams" ->
+      """WITH toks AS (
+        |  SELECT list_filter(regexp_split_to_array(trim(lower(text)), '\s+'), t -> t <> '') AS t
+        |  FROM documents),
+        |u AS (SELECT unnest(t) AS tok FROM toks),
+        |uni AS (SELECT tok, CAST(COUNT(*) AS BIGINT) AS c1 FROM u GROUP BY tok),
+        |tot AS (SELECT CAST(SUM(c1) AS DOUBLE) AS tt FROM uni),
+        |p AS (SELECT list_transform(range(1, len(t)), i -> {'l': t[i], 'r': t[i+1]}) AS ps FROM toks),
+        |pe AS (SELECT unnest(ps) AS s FROM p),
+        |bi AS (SELECT s.l AS l, s.r AS r, CAST(COUNT(*) AS BIGINT) AS n
+        |       FROM pe GROUP BY s.l, s.r HAVING COUNT(*) >= 5)
+        |SELECT bi.l, bi.r, bi.n,
+        |  ROUND(LN(CAST(bi.n AS DOUBLE) * tot.tt /
+        |           (CAST(ul.c1 AS DOUBLE) * CAST(ur.c1 AS DOUBLE))), 6) AS pmi
+        |FROM bi JOIN uni ul ON bi.l = ul.tok JOIN uni ur ON bi.r = ur.tok CROSS JOIN tot
+        |ORDER BY pmi DESC, l ASC, r ASC LIMIT 40""".stripMargin,
+
+    // entropy replay in the SAME algebraic form (-sum(c*log2 c)/n +
+    // log2 n) so both engines round the same double
+    "char_entropy" ->
+      """WITH ch AS (SELECT doc_id, unnest(string_split(text, '')) AS ch FROM documents),
+        |f AS (SELECT doc_id, ch, CAST(COUNT(*) AS BIGINT) AS c
+        |      FROM ch WHERE ch <> '' GROUP BY doc_id, ch)
+        |SELECT doc_id, ROUND(-SUM(c * LOG2(c)) / SUM(c) + LOG2(SUM(c)), 6) AS char_entropy
+        |FROM f GROUP BY doc_id""".stripMargin,
+
+    // BM25 replay; constants written as the same arithmetic Scala runs
+    // ((1.2 + 1.0), (1.0 - 0.75)) — a literal 2.2 is a DIFFERENT double
+    // than 1.2 + 1.0 and would diverge in the 6th decimal on ties
+    "bm25_topk" ->
+      """WITH base AS (
+        |  SELECT doc_id, list_filter(regexp_split_to_array(trim(lower(text)), '\s+'), t -> t <> '') AS toks
+        |  FROM documents),
+        |stats AS (SELECT CAST(COUNT(*) AS DOUBLE) AS n, AVG(len(toks)) AS avgdl FROM base),
+        |tf AS (
+        |  SELECT doc_id, dl, t, CAST(COUNT(*) AS BIGINT) AS tf FROM (
+        |    SELECT doc_id, len(toks) AS dl, unnest(toks) AS t FROM base)
+        |  WHERE t IN ('spark', 'join', 'window', 'vector')
+        |  GROUP BY doc_id, dl, t),
+        |dfreq AS (SELECT t, CAST(COUNT(*) AS BIGINT) AS df FROM tf GROUP BY t)
+        |SELECT doc_id,
+        |  ROUND(SUM(LN(1.0 + (n - df + 0.5) / (df + 0.5)) * tf * (1.2 + 1.0) /
+        |        (tf + 1.2 * ((1.0 - 0.75) + 0.75 * dl / avgdl))), 6) AS bm25
+        |FROM tf JOIN dfreq USING (t) CROSS JOIN stats
+        |GROUP BY doc_id ORDER BY bm25 DESC, doc_id ASC LIMIT 40""".stripMargin,
 
     // per-stratum weight -> floor copies + md5-fraction extra copy
     "mix_weights" ->

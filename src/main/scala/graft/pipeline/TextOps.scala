@@ -275,6 +275,108 @@ object TextOps {
       .limit(topN)
   }
 
+  /** PMI collocations: the top-`topN` adjacent token pairs by pointwise
+    * mutual information, `pmi(l,r) = ln(c(l,r) * T / (c(l) * c(r)))`
+    * with `T` the corpus token count — the standard phrase-mining /
+    * collocation statistic (a pair whose joint frequency beats the
+    * independence prediction is a phrase, not a coincidence). Pairs
+    * below `minCount` are dropped BEFORE the unigram joins (rare-pair
+    * PMI is noise and the threshold is what bounds the join input).
+    *
+    * Scale shape: unigram and bigram counts are each ONE explode + hash
+    * aggregation with map-side partial combine (shuffles bounded by
+    * distinct tokens / distinct surviving pairs, never corpus tokens);
+    * `T` folds off the unigram aggregate as a broadcast one-row
+    * aggregate — no extra corpus pass. The two count joins key on
+    * single-token strings; the top-N is TakeOrdered (no global sort
+    * materialized), ties deterministic on (l, r).
+    */
+  def pmiCollocations(df: DataFrame, topN: Int, minCount: Long = 5,
+                      textCol: String = "text"): DataFrame = {
+    val toks = filter(split(trim(lower(col(textCol))), "\\s+"), t => t =!= "")
+    val uni = df.select(explode(toks).as("t"))
+      .groupBy("t").agg(count(lit(1)).as("c1"))
+    val total = uni.agg(sum(col("c1")).cast("double").as("__t"))
+    val pairs = zip_with(toks, slice(toks, lit(2), greatest(size(toks) - 1, lit(0))),
+      (a, b) => when(a.isNull || b.isNull, lit(null))
+        .otherwise(struct(a.as("l"), b.as("r"))))
+    val bi = df.select(explode(filter(pairs, p => p.isNotNull)).as("p"))
+      .select(col("p.l").as("l"), col("p.r").as("r"))
+      .groupBy("l", "r").agg(count(lit(1)).as("n"))
+      .filter(col("n") >= minCount)
+    bi.join(uni.select(col("t").as("l"), col("c1").as("cl")), "l")
+      .join(uni.select(col("t").as("r"), col("c1").as("cr")), "r")
+      .crossJoin(broadcast(total))
+      .select(col("l"), col("r"), col("n"),
+        round(log(col("n").cast("double") * col("__t") /
+          (col("cl").cast("double") * col("cr").cast("double"))), 6).as("pmi"))
+      .orderBy(col("pmi").desc, col("l").asc, col("r").asc)
+      .limit(topN)
+  }
+
+  /** Per-document character-level Shannon entropy in bits — the cheap
+    * gibberish/encoded-blob detector (natural text sits ~3.5-4.5 bits;
+    * base64 and hex blobs push toward their alphabet's log2). Blank
+    * documents (no characters) are absent from the output, consistent
+    * with [[topTokenShare]].
+    *
+    * Scale shape: one explode to (id, char) rows, then TWO hash
+    * aggregations — (id, char) counts then per-id entropy — both
+    * map-side combining; the intermediate is bounded by |doc| x
+    * |alphabet|, never quadratic, and no window appears. (A per-row
+    * HOF over a char-count map would avoid the explode but runs
+    * interpreted — the explode stays inside whole-stage codegen.)
+    */
+  def charEntropy(df: DataFrame, textCol: String = "text",
+                  idCol: String = "doc_id"): DataFrame =
+    df.select(col(idCol), explode(split(col(textCol), "")).as("ch"))
+      .filter(col("ch") =!= "")
+      .groupBy(col(idCol), col("ch")).agg(count(lit(1)).as("c"))
+      .groupBy(col(idCol))
+      .agg(round(-sum(col("c") * log2(col("c"))) / sum(col("c"))
+        + log2(sum(col("c"))), 6).as("char_entropy"))
+
+  /** BM25 retrieval scoring: the top-`topN` documents for a bag of
+    * query terms under Okapi BM25 —
+    * `score(d) = sum_t idf(t) * tf * (k1+1) / (tf + k1 * (1 - b + b * dl/avgdl))`
+    * with `idf(t) = ln(1 + (N - df + 0.5) / (df + 0.5))`. The ranked-
+    * retrieval primitive for corpus search and contamination triage.
+    *
+    * Scale shape: the corpus-side explode is filtered to the query
+    * terms BEFORE any aggregation (an `isin` prune inside the scan
+    * projection — the (doc, term, tf) aggregate is bounded by docs
+    * containing a query term, not corpus tokens); per-doc length rides
+    * the same projection as a `size()` column, no second tokenization.
+    * `N`/`avgdl` and the per-term document frequencies are broadcast
+    * one-row / |query|-row aggregates. Top-N is TakeOrdered with
+    * deterministic (score desc, id asc) ties.
+    */
+  def bm25(df: DataFrame, queryTerms: Seq[String], topN: Int,
+           k1: Double = 1.2, b: Double = 0.75,
+           textCol: String = "text", idCol: String = "doc_id"): DataFrame = {
+    require(queryTerms.nonEmpty, "bm25 needs at least one query term")
+    val toks = filter(split(trim(lower(col(textCol))), "\\s+"), t => t =!= "")
+    val base = df.select(col(idCol), toks.as("__toks"))
+    val stats = base.agg(count(lit(1)).cast("double").as("__n"),
+      avg(size(col("__toks"))).as("__avgdl"))
+    val tf = base
+      .select(col(idCol), size(col("__toks")).as("dl"), explode(col("__toks")).as("t"))
+      .filter(col("t").isin(queryTerms: _*))
+      .groupBy(col(idCol), col("dl"), col("t")).agg(count(lit(1)).as("tf"))
+    val dfreq = tf.groupBy(col("t")).agg(count(lit(1)).as("df"))
+    tf.join(broadcast(dfreq), "t")
+      .crossJoin(broadcast(stats))
+      .select(col(idCol), (log(lit(1.0) +
+          (col("__n") - col("df") + lit(0.5)) / (col("df") + lit(0.5))) *
+        col("tf") * lit(k1 + 1.0) /
+          (col("tf") + lit(k1) * (lit(1.0 - b) + lit(b) * col("dl") / col("__avgdl"))))
+        .as("s"))
+      .groupBy(col(idCol))
+      .agg(round(sum(col("s")), 6).as("bm25"))
+      .orderBy(col("bm25").desc, col(idCol).asc)
+      .limit(topN)
+  }
+
   /** Language-ID marker families (stopword heuristic). The synthetic
     * corpus is English-salad for every label, so this scores marker hits
     * per family and predicts argmax with a deterministic tie order —

@@ -912,6 +912,50 @@ class PipelineSpec extends AnyFlatSpec with Matchers {
     got shouldBe List(("a b", 3L), ("b a", 1L), ("b c", 1L))
   }
 
+  "TextOps.pmiCollocations" should "rank pairs by ln of observed-over-independent frequency" in {
+    import spark.implicits._
+    // corpus: unigrams a:4 b:3 c:1 (T=8); pairs (a,b)x3 (b,a)x2 (a,c)x1
+    // pmi(a,b) = ln(3*8/(4*3)) = ln 2; pmi(a,c) = ln(1*8/(4*1)) = ln 2;
+    // pmi(b,a) = ln(2*8/(3*4)) = ln(4/3)
+    val df = Seq((1L, "a b a b a b"), (2L, "a c")).toDF("doc_id", "text")
+    val got = TextOps.pmiCollocations(df, topN = 10, minCount = 1)
+      .collect().map(r => (r.getString(0), r.getString(1), r.getLong(2), r.getDouble(3))).toList
+    got shouldBe List(
+      ("a", "b", 3L, 0.693147), ("a", "c", 1L, 0.693147), ("b", "a", 2L, 0.287682))
+    // the threshold prunes rare pairs before any join
+    TextOps.pmiCollocations(df, topN = 10, minCount = 2)
+      .collect().map(r => (r.getString(0), r.getString(1))).toList shouldBe
+      List(("a", "b"), ("b", "a"))
+  }
+
+  "TextOps.charEntropy" should "compute per-doc Shannon entropy in bits" in {
+    import spark.implicits._
+    val df = Seq(
+      (1L, "aabb"), // two symbols, uniform -> 1 bit
+      (2L, "aaaa"), // one symbol -> 0 bits
+      (3L, "abcd"), // four symbols, uniform -> 2 bits
+      (4L, "")      // no characters -> absent
+    ).toDF("doc_id", "text")
+    val got = TextOps.charEntropy(df).collect()
+      .map(r => (r.getLong(0), r.getDouble(1))).toMap
+    got shouldBe Map(1L -> 1.0, 2L -> 0.0, 3L -> 2.0)
+  }
+
+  "TextOps.bm25" should "score documents by Okapi BM25 with deterministic top-N" in {
+    import spark.implicits._
+    // N=3, avgdl=3, df(x)=df(y)=2 -> idf = ln(1 + 1.5/2.5) = ln 1.6
+    val df = Seq((1L, "x x y"), (2L, "x z"), (3L, "y y y y")).toDF("doc_id", "text")
+    val got = TextOps.bm25(df, Seq("x", "y"), topN = 3)
+      .collect().map(r => (r.getLong(0), r.getDouble(1))).toList
+    got.map(_._1) shouldBe List(1L, 3L, 2L) // rank order
+    val idf = math.log(1.6)
+    got(0)._2 shouldBe (idf * (2 * 2.2 / (2 + 1.2) + 1.0)) +- 2e-6
+    got(1)._2 shouldBe (idf * 4 * 2.2 / (4 + 1.2 * (0.25 + 0.75 * 4.0 / 3))) +- 2e-6
+    got(2)._2 shouldBe (idf * 2.2 / (1 + 1.2 * (0.25 + 0.5))) +- 2e-6
+    // a term absent from the corpus contributes nothing and breaks nothing
+    TextOps.bm25(df, Seq("zzz"), topN = 3).count() shouldBe 0L
+  }
+
   "Sampling.upsampleMd5" should "emit floor(rate) copies plus an md5-selected fraction" in {
     import spark.implicits._
     val df = (1L to 400L).toDF("doc_id")
