@@ -765,6 +765,20 @@ object SparkEntry {
       TextOps.tokenPairCounts(docs(s, dir), topN = 50)
         .select(col("pair"), col("n"))),
 
+    // per-domain heavy hitters: top-10 tokens per source through the
+    // bounded-heap typed aggregator (map-side partial top-k — never a
+    // per-group row_number window)
+    "vocab_bygroup" -> ((s, dir) =>
+      TextOps.vocabularyByGroup(docs(s, dir), k = 10)
+        .select(col("source"), col("rank"), col("token"), col("tf"))),
+
+    // temperature-balanced mixing (alpha=0.3): per-source natural share
+    // p, target share q ~ p^alpha, and the epochs factor that realizes
+    // q at the same total row budget
+    "temperature_mix" -> ((s, dir) =>
+      Sampling.temperatureMixRates(docs(s, dir), "source", alpha = 0.3)
+        .select(col("source"), col("n_rows"), col("p"), col("q"), col("epochs"))),
+
     // collocation mining: top-40 adjacent pairs by pointwise mutual
     // information among pairs seen >= 5 times (the phrase-mining
     // statistic; rare pairs pruned BEFORE the unigram joins)
@@ -1420,6 +1434,30 @@ object SparkEntry {
         |u AS (SELECT unnest(ps) AS pair FROM p)
         |SELECT pair, CAST(COUNT(*) AS BIGINT) AS n FROM u
         |GROUP BY pair ORDER BY n DESC, pair ASC LIMIT 50""".stripMargin,
+
+    // per-group top-k replayed as the window form the operator refuses
+    // to run — same (tf desc, token asc) total order
+    "vocab_bygroup" ->
+      """WITH tok AS (
+        |  SELECT source, unnest(list_filter(regexp_split_to_array(trim(lower(text)), '\s+'),
+        |                                    t -> t <> '')) AS token
+        |  FROM documents),
+        |c AS (SELECT source, token, CAST(COUNT(*) AS BIGINT) AS tf FROM tok GROUP BY source, token),
+        |r AS (SELECT source, token, tf,
+        |        ROW_NUMBER() OVER (PARTITION BY source ORDER BY tf DESC, token ASC) AS rn
+        |      FROM c)
+        |SELECT source, CAST(rn - 1 AS BIGINT) AS rank, token, tf FROM r WHERE rn <= 10""".stripMargin,
+
+    // q = c^a / sum c^a (the (c/T)^a normalizer cancels); arithmetic
+    // order mirrors the Spark expression
+    "temperature_mix" ->
+      """WITH c AS (SELECT source, CAST(COUNT(*) AS BIGINT) AS n_rows FROM documents GROUP BY source),
+        |t AS (SELECT CAST(SUM(n_rows) AS DOUBLE) AS tt,
+        |             SUM(POWER(CAST(n_rows AS DOUBLE), 0.3)) AS z FROM c)
+        |SELECT source, n_rows, ROUND(n_rows / tt, 6) AS p,
+        |  ROUND(POWER(CAST(n_rows AS DOUBLE), 0.3) / z, 6) AS q,
+        |  ROUND(POWER(CAST(n_rows AS DOUBLE), 0.3) / z * tt / n_rows, 6) AS epochs
+        |FROM c CROSS JOIN t""".stripMargin,
 
     // PMI replay: same unigram/bigram counts, same rounded-ln ranking;
     // the arithmetic shape (multiply-before-divide, left-assoc) mirrors

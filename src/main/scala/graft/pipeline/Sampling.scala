@@ -108,6 +108,33 @@ object Sampling {
     explodeCopies(df, copiesFor(lit(weightFloor(rate)), lit(weightFrac(rate)), keyCol, salt))
   }
 
+  /** Temperature-balanced mixture rates (the multilingual-LM standard:
+    * sample group s with probability proportional to `p_s^alpha`,
+    * alpha in (0, 1] — alpha 1 keeps the natural distribution, smaller
+    * alpha up-weights low-resource groups). Since
+    * `(c_s/T)^a / sum (c_t/T)^a = c_s^a / sum c_t^a` the T^a cancels;
+    * `epochs` is the per-row duplication factor that realizes the
+    * target distribution at the SAME total row budget — feed it to
+    * [[mixWeightsMd5]] as the per-stratum weight map.
+    *
+    * Scale shape: one count aggregation (map-side combined) to
+    * |groups| rows; the normalizers fold off that aggregate as a
+    * broadcast one-row aggregate — no second corpus pass, nothing
+    * data-sized at the driver.
+    */
+  def temperatureMixRates(df: DataFrame, groupCol: String, alpha: Double): DataFrame = {
+    require(alpha > 0.0 && alpha <= 1.0, s"temperature alpha must be in (0,1], got $alpha")
+    val counts = df.groupBy(col(groupCol)).agg(count(lit(1)).as("n_rows"))
+    val tots = counts.agg(sum(col("n_rows")).cast("double").as("__t"),
+      sum(pow(col("n_rows").cast("double"), lit(alpha))).as("__z"))
+    counts.crossJoin(broadcast(tots))
+      .select(col(groupCol), col("n_rows"),
+        round(col("n_rows") / col("__t"), 6).as("p"),
+        round(pow(col("n_rows").cast("double"), lit(alpha)) / col("__z"), 6).as("q"),
+        round(pow(col("n_rows").cast("double"), lit(alpha)) / col("__z") * col("__t")
+          / col("n_rows"), 6).as("epochs"))
+  }
+
   /** The general data-mixing primitive: one WEIGHT per stratum, any
     * value >= 0 — below 1 down-samples (0 or 1 copies), above 1
     * up-samples (floor + md5-selected fraction), so one rule covers

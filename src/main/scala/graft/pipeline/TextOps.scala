@@ -275,6 +275,31 @@ object TextOps {
       .limit(topN)
   }
 
+  /** Per-group heavy hitters: the top-`k` tokens by frequency within
+    * EACH group (per-domain/per-language vocabulary skew — the signal
+    * behind per-source boilerplate and template detection). A null
+    * group is a group like any other.
+    *
+    * Scale shape: (group, token) counts are one explode + hash
+    * aggregation with map-side combine; the per-group top-k is the
+    * bounded-heap [[graft.functions.TopK]] typed Aggregator, which
+    * partial-aggregates map-side so each task ships at most k tokens
+    * per group — NEVER a `row_number` window (that would shuffle every
+    * distinct (group, token) row into one partition per group and sort
+    * there). Ties are deterministic: (tf desc, token asc).
+    */
+  def vocabularyByGroup(df: DataFrame, k: Int, groupCol: String = "source",
+                        textCol: String = "text"): DataFrame =
+    df.select(col(groupCol),
+        explode(split(trim(lower(col(textCol))), "\\s+")).as("token"))
+      .filter(col("token") =!= "")
+      .groupBy(col(groupCol), col("token")).agg(count(lit(1)).as("tf"))
+      .groupBy(col(groupCol))
+      .agg(graft.functions.TopK.topKStr(k)(col("tf").cast("double"), col("token")).as("__top"))
+      .select(col(groupCol), posexplode(col("__top")))
+      .select(col(groupCol), col("pos").cast("long").as("rank"),
+        col("col._2").as("token"), col("col._1").cast("long").as("tf"))
+
   /** PMI collocations: the top-`topN` adjacent token pairs by pointwise
     * mutual information, `pmi(l,r) = ln(c(l,r) * T / (c(l) * c(r)))`
     * with `T` the corpus token count — the standard phrase-mining /

@@ -912,6 +912,42 @@ class PipelineSpec extends AnyFlatSpec with Matchers {
     got shouldBe List(("a b", 3L), ("b a", 1L), ("b c", 1L))
   }
 
+  "TextOps.vocabularyByGroup" should "rank top tokens within each group with deterministic ties" in {
+    import spark.implicits._
+    val df = Seq(
+      (Some("s1"), "a a a b b c"),
+      (Some("s1"), "b z"),         // s1: a:3 b:3 c:1 z:1 -> tie a/b by token asc
+      (Some("s2"), "x y y"),
+      (None, "q q")                // null group is its own group
+    ).toDF("source", "text")
+    val got = TextOps.vocabularyByGroup(df, k = 2)
+      .collect().map(r => (Option(r.getString(0)), r.getLong(1), r.getString(2), r.getLong(3)))
+      .toList.sortBy(x => (x._1.getOrElse(""), x._2))
+    got shouldBe List(
+      (None, 0L, "q", 2L),
+      (Some("s1"), 0L, "a", 3L), (Some("s1"), 1L, "b", 3L),
+      (Some("s2"), 0L, "y", 2L), (Some("s2"), 1L, "x", 1L))
+  }
+
+  "Sampling.temperatureMixRates" should "flatten the group distribution toward alpha" in {
+    import spark.implicits._
+    // counts 4 and 1, alpha 0.5: z = 2 + 1 = 3 (pow exact on squares)
+    // q = 2/3, 1/3; epochs = (2/3)*5/4, (1/3)*5/1
+    val df = (Seq.fill(4)("big") ++ Seq("small")).toDF("source")
+    val got = Sampling.temperatureMixRates(df, "source", alpha = 0.5)
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getDouble(2), r.getDouble(3),
+        r.getDouble(4))).toList.sortBy(_._1)
+    got shouldBe List(
+      ("big", 4L, 0.8, 0.666667, 0.833333),
+      ("small", 1L, 0.2, 0.333333, 1.666667))
+    // alpha = 1 is the natural distribution: q == p, epochs == 1
+    val nat = Sampling.temperatureMixRates(df, "source", alpha = 1.0)
+      .collect().map(r => (r.getDouble(2), r.getDouble(3), r.getDouble(4)))
+    nat.foreach { case (p, q, e) => q shouldBe p; e shouldBe 1.0 }
+    an[IllegalArgumentException] should be thrownBy
+      Sampling.temperatureMixRates(df, "source", alpha = 0.0)
+  }
+
   "TextOps.pmiCollocations" should "rank pairs by ln of observed-over-independent frequency" in {
     import spark.implicits._
     // corpus: unigrams a:4 b:3 c:1 (T=8); pairs (a,b)x3 (b,a)x2 (a,c)x1
