@@ -77,8 +77,11 @@ object SparkEntry {
     * over it — no second scan branch, no join, no single-partition
     * window. array_sort makes the float summation order deterministic.
     */
-  private def klPsiBetweenHalves(s: SparkSession, dir: String,
-                                 bucket: org.apache.spark.sql.Column): DataFrame = {
+  /** Shared half-vs-half histogram for the drift gates: ONE scan builds
+    * both halves' bucket counts, packed sorted with totals alongside.
+    */
+  private def halvesHistogram(s: SparkSession, dir: String,
+                              bucket: org.apache.spark.sql.Column): DataFrame = {
     val t = TranscriptDerive.fromLineitem(s, dir)
       .withColumn("okey", substring(col("conv_id"), 2, 30).cast("long"))
     val hist = t.groupBy(bucket.as("bucket"))
@@ -87,18 +90,42 @@ object SparkEntry {
         sum(when(col("okey") % 2 === 1, 1L).otherwise(0L)).as("qc"))
     val packed = hist.agg(array_sort(
       collect_list(struct(col("bucket"), col("pc"), col("qc")))).as("h"))
-    val withTot = packed.select(col("h"),
+    packed.select(col("h"),
       aggregate(col("h"), lit(0L), (a, x) => a + x.getField("pc")).as("pt"),
       aggregate(col("h"), lit(0L), (a, x) => a + x.getField("qc")).as("qt"))
-    def pi(x: org.apache.spark.sql.Column) =
-      greatest(x.getField("pc").cast("double") / col("pt"), lit(1e-9))
-    def qi(x: org.apache.spark.sql.Column) =
-      greatest(x.getField("qc").cast("double") / col("qt"), lit(1e-9))
-    withTot.select(
+  }
+
+  private def smoothedP(x: org.apache.spark.sql.Column) =
+    greatest(x.getField("pc").cast("double") / col("pt"), lit(1e-9))
+  private def smoothedQ(x: org.apache.spark.sql.Column) =
+    greatest(x.getField("qc").cast("double") / col("qt"), lit(1e-9))
+
+  private def klPsiBetweenHalves(s: SparkSession, dir: String,
+                                 bucket: org.apache.spark.sql.Column): DataFrame =
+    halvesHistogram(s, dir, bucket).select(
       round(aggregate(col("h"), lit(0.0d),
-        (a, x) => a + pi(x) * log(pi(x) / qi(x))), 6).as("kl"),
+        (a, x) => a + smoothedP(x) * log(smoothedP(x) / smoothedQ(x))), 6).as("kl"),
       round(aggregate(col("h"), lit(0.0d),
-        (a, x) => a + (pi(x) - qi(x)) * log(pi(x) / qi(x))), 6).as("psi"))
+        (a, x) => a + (smoothedP(x) - smoothedQ(x)) * log(smoothedP(x) / smoothedQ(x))), 6)
+        .as("psi"))
+
+  /** Jensen-Shannon divergence between the halves — base-2, symmetric,
+    * bounded [0,1]: the report-friendly companion to KL/PSI (same
+    * single-scan histogram, same smoothing).
+    */
+  private def jsdBetweenHalves(s: SparkSession, dir: String,
+                               bucket: org.apache.spark.sql.Column): DataFrame = {
+    // nats accumulated, ONE divide by ln 2 at the end: both engines'
+    // libms round ln(2) to the same double, while a native log2 kernel
+    // (DuckDB std::log2 vs Spark's ln/ln2) could diverge past 1 ulp
+    def term(x: org.apache.spark.sql.Column) = {
+      val m = (smoothedP(x) + smoothedQ(x)) / lit(2.0)
+      lit(0.5) * smoothedP(x) * log(smoothedP(x) / m) +
+        lit(0.5) * smoothedQ(x) * log(smoothedQ(x) / m)
+    }
+    halvesHistogram(s, dir, bucket).select(
+      round(aggregate(col("h"), lit(0.0d), (a, x) => a + term(x))
+        / lit(math.log(2.0)), 6).as("jsd"))
   }
 
   /** Connected components of the >= 0.5 Jaccard pair graph as a
@@ -236,6 +263,11 @@ object SparkEntry {
 
     "drift_role_klpsi" -> ((s, dir) =>
       klPsiBetweenHalves(s, dir, coalesce(col("role"), lit("<null>")))),
+
+    // symmetric bounded drift (Jensen-Shannon, bits) over the same
+    // single-scan half-vs-half histogram
+    "drift_role_jsd" -> ((s, dir) =>
+      jsdBetweenHalves(s, dir, coalesce(col("role"), lit("<null>")))),
 
     // numeric-drift path (banded text-length histogram) — same
     // single-scan shape, bucket = least(floor(len/16), 63)
@@ -765,6 +797,12 @@ object SparkEntry {
       TextOps.tokenPairCounts(docs(s, dir), topN = 50)
         .select(col("pair"), col("n"))),
 
+    // fixed-budget eval-set sampling: exactly min(10, |source|) docs per
+    // source, k-smallest-md5 membership (layout-invariant, replayable)
+    "reservoir_bygroup" -> ((s, dir) =>
+      Sampling.reservoirByGroupMd5(docs(s, dir), k = 10, "doc_id", "source", salt = "rs1")
+        .select(col("doc_id"), col("source"))),
+
     // per-domain heavy hitters: top-10 tokens per source through the
     // bounded-heap typed aggregator (map-side partial top-k — never a
     // per-group row_number window)
@@ -1118,6 +1156,22 @@ object SparkEntry {
          |SELECT ROUND(SUM(pi*LN(pi/qi)), 6) AS kl,
          |       ROUND(SUM((pi-qi)*LN(pi/qi)), 6) AS psi FROM r""".stripMargin,
 
+    // same r CTE as the KL/PSI replay; nats summed, one /LN(2) at the
+    // end (mirrors the Spark expression's arithmetic exactly)
+    "drift_role_jsd" ->
+      s"""WITH $tCte,
+         |t2 AS (SELECT COALESCE(role,'<null>') AS bucket,
+         |              CAST(substr(conv_id,2) AS BIGINT) % 2 AS half FROM transcripts),
+         |p AS (SELECT bucket, COUNT(*) AS pc FROM t2 WHERE half = 0 GROUP BY bucket),
+         |q AS (SELECT bucket, COUNT(*) AS qc FROM t2 WHERE half = 1 GROUP BY bucket),
+         |j AS (SELECT COALESCE(pc,0) AS pc, COALESCE(qc,0) AS qc
+         |      FROM p FULL OUTER JOIN q USING (bucket)),
+         |tot AS (SELECT (SELECT SUM(pc) FROM p) AS pt, (SELECT SUM(qc) FROM q) AS qt),
+         |r AS (SELECT GREATEST(CAST(pc AS DOUBLE)/pt, 1e-9) AS pi,
+         |             GREATEST(CAST(qc AS DOUBLE)/qt, 1e-9) AS qi FROM j, tot)
+         |SELECT ROUND(SUM(0.5*pi*LN(pi/((pi+qi)/2.0)) + 0.5*qi*LN(qi/((pi+qi)/2.0)))
+         |             / LN(2.0), 6) AS jsd FROM r""".stripMargin,
+
     "drift_textlen_klpsi" ->
       s"""WITH $tCte,
          |t2 AS (SELECT LEAST(CAST(FLOOR(length(COALESCE(text,'')) / 16.0) AS BIGINT), 63) AS bucket,
@@ -1434,6 +1488,17 @@ object SparkEntry {
         |u AS (SELECT unnest(ps) AS pair FROM p)
         |SELECT pair, CAST(COUNT(*) AS BIGINT) AS n FROM u
         |GROUP BY pair ORDER BY n DESC, pair ASC LIMIT 50""".stripMargin,
+
+    // k-smallest-md5 membership replayed as a window; 13 hex chars = 52
+    // bits, exact in the double the Spark side ranks on
+    "reservoir_bygroup" ->
+      """WITH h AS (SELECT doc_id, source,
+        |    CAST(('0x' || substring(md5(CAST(doc_id AS VARCHAR) || 'rs1'), 1, 13)) AS BIGINT) AS hv
+        |  FROM documents),
+        |r AS (SELECT doc_id, source, ROW_NUMBER() OVER
+        |        (PARTITION BY source ORDER BY hv ASC, CAST(doc_id AS VARCHAR) ASC) AS rn
+        |      FROM h)
+        |SELECT doc_id, source FROM r WHERE rn <= 10""".stripMargin,
 
     // per-group top-k replayed as the window form the operator refuses
     // to run — same (tf desc, token asc) total order

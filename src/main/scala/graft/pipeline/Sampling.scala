@@ -108,6 +108,38 @@ object Sampling {
     explodeCopies(df, copiesFor(lit(weightFloor(rate)), lit(weightFrac(rate)), keyCol, salt))
   }
 
+  /** Deterministic per-group reservoir sample: EXACTLY min(k, |group|)
+    * rows per group, chosen as the k smallest 52-bit md5 values of
+    * (key, salt) — a uniform without-replacement sample that is a pure
+    * function of (key, salt), layout-invariant and replayable (unlike
+    * `rand()`-ranked reservoirs). The rate-based samplers
+    * ([[hashSampleMd5]]) give binomial SIZES; this gives the fixed
+    * per-group budget an eval-set builder needs.
+    *
+    * Scale shape: the hash ranking goes through the bounded-heap
+    * [[graft.functions.TopK]] aggregator (map-side partial, <= k ids
+    * per group per task through the exchange — never a per-group
+    * row_number window); the winner set is |groups| x k ids and
+    * BROADCASTS back onto the corpus, so full rows never shuffle.
+    * 52 hex-derived bits keep the hash exact in a double (2^52 < 2^53);
+    * ties are broken by key string, so even a collision is
+    * deterministic.
+    */
+  def reservoirByGroupMd5(df: DataFrame, k: Int, keyCol: String, groupCol: String,
+                          salt: String = ""): DataFrame = {
+    require(k > 0, s"reservoir size must be positive, got $k")
+    val keyStr = col(keyCol).cast("string")
+    val hv = conv(substring(md5(concat(keyStr, lit(salt))), 1, 13), 16, 10).cast("double")
+    val picked = df.filter(keyStr.isNotNull)
+      .select(col(groupCol).as("__g"), keyStr.as("__k"), hv.as("__h"))
+      .groupBy(col("__g"))
+      .agg(graft.functions.TopK.topKStr(k)(-col("__h"), col("__k")).as("__top"))
+      .select(col("__g"), explode(col("__top")).as("__e"))
+      .select(col("__g"), col("__e._2").as("__k"))
+    df.join(broadcast(picked),
+        keyStr === col("__k") && col(groupCol) <=> col("__g"), "left_semi")
+  }
+
   /** Temperature-balanced mixture rates (the multilingual-LM standard:
     * sample group s with probability proportional to `p_s^alpha`,
     * alpha in (0, 1] — alpha 1 keeps the natural distribution, smaller

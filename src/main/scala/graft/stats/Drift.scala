@@ -56,6 +56,27 @@ object Drift {
     (kl, psi)
   }
 
+  /** Jensen-Shannon divergence in bits — symmetric (`jsd(p,q) ==
+    * jsd(q,p)`) and bounded [0, 1], the report-friendly companion to
+    * [[klPsi]]; same bucket union and epsilon smoothing. Accumulated in
+    * nats with one divide by ln 2 at the end (the form the distributed
+    * gate expression and the DuckDB oracle both replay exactly).
+    */
+  def jsd(p: Map[String, Long], q: Map[String, Long], eps: Double = 1e-9): Double = {
+    val keys = (p.keySet ++ q.keySet).toSeq.sorted
+    val pTotal = p.values.sum.toDouble
+    val qTotal = q.values.sum.toDouble
+    require(pTotal > 0 && qTotal > 0, "empty histogram")
+    var acc = 0.0
+    keys.foreach { k =>
+      val pi = math.max(p.getOrElse(k, 0L) / pTotal, eps)
+      val qi = math.max(q.getOrElse(k, 0L) / qTotal, eps)
+      val m = (pi + qi) / 2.0
+      acc += 0.5 * pi * math.log(pi / m) + 0.5 * qi * math.log(qi / m)
+    }
+    acc / math.log(2.0)
+  }
+
   def collectHistogram(h: DataFrame): Map[String, Long] =
     // a null bucket (nulls in the histogrammed column) becomes its own
     // "<null>" key instead of NPEing the driver

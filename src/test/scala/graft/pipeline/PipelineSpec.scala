@@ -929,6 +929,26 @@ class PipelineSpec extends AnyFlatSpec with Matchers {
       (Some("s2"), 0L, "y", 2L), (Some("s2"), 1L, "x", 1L))
   }
 
+  "Sampling.reservoirByGroupMd5" should "keep exactly min(k, group size) rows, layout-invariant" in {
+    import spark.implicits._
+    val df = ((1 to 100).map(i => (i.toLong, "big")) ++
+      (101 to 103).map(i => (i.toLong, "tiny"))).toDF("doc_id", "source")
+    def run(d: org.apache.spark.sql.DataFrame) =
+      Sampling.reservoirByGroupMd5(d, k = 10, "doc_id", "source", salt = "t")
+        .collect().map(r => (r.getLong(0), r.getString(1))).toSet
+    val got = run(df)
+    got.count(_._2 == "big") shouldBe 10    // exact budget
+    got.count(_._2 == "tiny") shouldBe 3    // short group kept whole
+    run(df.repartition(7)) shouldBe got     // membership is layout-invariant
+    // membership is a pure function of (key, salt): a disjoint extra
+    // group does not disturb the big group's picks
+    val extra = df.unionByName((200 to 300).map(i => (i.toLong, "other")).toDF("doc_id", "source"))
+    run(extra).filter(_._2 == "big") shouldBe got.filter(_._2 == "big")
+    // original schema passes through (left-semi: no helper columns)
+    Sampling.reservoirByGroupMd5(df, 10, "doc_id", "source").columns.toSeq shouldBe
+      Seq("doc_id", "source")
+  }
+
   "Sampling.temperatureMixRates" should "flatten the group distribution toward alpha" in {
     import spark.implicits._
     // counts 4 and 1, alpha 0.5: z = 2 + 1 = 3 (pow exact on squares)

@@ -60,6 +60,21 @@ class StatsSpec extends AnyFlatSpec with Matchers {
     psi shouldBe expectedPsi +- 1e-9
   }
 
+  it should "match hand-computed JSD, stay symmetric and bounded" in {
+    val p = Map("a" -> 50L, "b" -> 50L)
+    val q = Map("a" -> 25L, "b" -> 75L)
+    def side(x: Double, m: Double) = 0.5 * x * math.log(x / m)
+    val expected = (side(0.5, 0.375) + side(0.25, 0.375) +
+      side(0.5, 0.625) + side(0.75, 0.625)) / math.log(2.0)
+    Drift.jsd(p, q) shouldBe expected +- 1e-9
+    Drift.jsd(p, q) shouldBe Drift.jsd(q, p) // symmetric, unlike KL
+    Drift.jsd(p, p) shouldBe 0.0 +- 1e-12
+    // disjoint supports approach the 1-bit bound (eps keeps it finite)
+    val d = Drift.jsd(Map("a" -> 1L), Map("b" -> 1L))
+    d should be > 0.99
+    d should be <= 1.0 + 1e-9
+  }
+
   it should "be ~zero for identical snapshots and positive for shifted ones" in {
     val a = TranscriptGen.generate(spark, 50, 10)
     val b = TranscriptGen.generate(spark, 50, 10, TranscriptGen.Defects(badEnumRole = true, nullRole = true))
