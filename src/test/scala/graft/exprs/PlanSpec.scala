@@ -165,6 +165,41 @@ class PlanSpec extends AnyFlatSpec with Matchers {
     plan should not include "BroadcastNestedLoopJoin"
   }
 
+  "bm25" should "prune the corpus to query terms before any exchange, no window" in {
+    val df = graft.SparkEntry.queries("bm25_topk")(spark, sfDir)
+    val plan = formatted(df)
+    plan should not include "Window"
+    // the isin prune runs in the scan-side stage: the Filter on the
+    // exploded tokens appears (generate feeds a filter), and no
+    // CartesianProduct materializes (the one-row stats join broadcasts)
+    plan should include("Generate")
+    plan should not include "CartesianProduct"
+    // top-N never materializes a global sort: TakeOrdered does the limit
+    plan should include("TakeOrderedAndProject")
+  }
+
+  "per-group top-k and reservoir" should "partial-aggregate map-side, never a window" in {
+    val vocab = graft.SparkEntry.queries("vocab_bygroup")(spark, sfDir)
+    val vplan = vocab.queryExecution.executedPlan.toString
+    vplan should not include "Window"
+    // the bounded-heap aggregator partial-aggregates before its exchange
+    vplan should include("partial_topkaggregator")
+    val res = graft.SparkEntry.queries("reservoir_bygroup")(spark, sfDir)
+    val rplan = formatted(res)
+    rplan should not include "Window"
+    // winner ids come back as a broadcast LEFT SEMI: full rows never shuffle
+    rplan should include("BroadcastHashJoin")
+    rplan should include("LeftSemi")
+  }
+
+  "pmi collocations" should "take its top-N without a global sort" in {
+    val df = graft.SparkEntry.queries("pmi_bigrams")(spark, sfDir)
+    val plan = formatted(df)
+    plan should include("TakeOrderedAndProject")
+    plan should not include "CartesianProduct"
+    plan should not include "Window"
+  }
+
   "whole-stage codegen" should "cover the validator projection" in {
     val t = graft.sources.TranscriptDerive.fromLineitem(spark, sfDir)
     val exec = Validator.validateTranscripts(t, schema).toDF().queryExecution.executedPlan
