@@ -797,6 +797,17 @@ object SparkEntry {
       TextOps.tokenPairCounts(docs(s, dir), topN = 50)
         .select(col("pair"), col("n"))),
 
+    // multi-level corpus profile in ONE pass: per-(source, lang)
+    // detail, per-source subtotal, grand total via rollup —
+    // grouping_id disambiguates rollup nulls from data nulls
+    "stats_rollup" -> ((s, dir) =>
+      docs(s, dir).rollup(col("source"), col("lang"))
+        .agg(grouping_id().cast("long").as("gid"),
+          count(lit(1)).as("n_docs"),
+          round(avg(col("n_chars")), 6).as("avg_chars"))
+        .select(col("source"), col("lang"), col("gid"),
+          col("n_docs"), col("avg_chars"))),
+
     // fixed-budget eval-set sampling: exactly min(10, |source|) docs per
     // source, k-smallest-md5 membership (layout-invariant, replayable)
     "reservoir_bygroup" -> ((s, dir) =>
@@ -1488,6 +1499,13 @@ object SparkEntry {
         |u AS (SELECT unnest(ps) AS pair FROM p)
         |SELECT pair, CAST(COUNT(*) AS BIGINT) AS n FROM u
         |GROUP BY pair ORDER BY n DESC, pair ASC LIMIT 50""".stripMargin,
+
+    // GROUPING() carries the same bit encoding as Spark's grouping_id
+    // (first listed column = MSB, 1 = rolled up)
+    "stats_rollup" ->
+      """SELECT source, lang, CAST(GROUPING(source, lang) AS BIGINT) AS gid,
+        |  CAST(COUNT(*) AS BIGINT) AS n_docs, ROUND(AVG(n_chars), 6) AS avg_chars
+        |FROM documents GROUP BY ROLLUP (source, lang)""".stripMargin,
 
     // k-smallest-md5 membership replayed as a window; 13 hex chars = 52
     // bits, exact in the double the Spark side ranks on
