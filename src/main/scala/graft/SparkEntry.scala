@@ -797,6 +797,37 @@ object SparkEntry {
       TextOps.tokenPairCounts(docs(s, dir), topN = 50)
         .select(col("pair"), col("n"))),
 
+    // corpus LM quality, one step up from lm_logprob: interpolated
+    // bigram score with continuation-count backoff, every model table
+    // derived from ONE per-doc pair-count aggregate
+    "bigram_logprob" -> ((s, dir) =>
+      TextOps.bigramLogProb(docs(s, dir), lambda = 0.8)
+        .select(col("doc_id"), col("bigram_logprob"))),
+
+    // Pearson chi-square independence test between two categorical
+    // columns (is the lang mix the same across sources?) — observed
+    // cells from one count agg, expected from the marginals' cross
+    // join (so ZERO-observed cells still contribute their expected
+    // mass), one (chi2, dof) row out
+    "chi2_source_lang" -> ((s, dir) => {
+      val d = docs(s, dir).select(
+        coalesce(col("source"), lit("<null>")).as("src"),
+        coalesce(col("lang"), lit("<null>")).as("lng"))
+      val obs = d.groupBy("src", "lng").agg(count(lit(1)).as("o"))
+      val rowT = obs.groupBy("src").agg(sum(col("o")).as("rt"))
+      val colT = obs.groupBy("lng").agg(sum(col("o")).as("ct"))
+      val n = obs.agg(sum(col("o")).cast("double").as("__n"))
+      val e = col("rt").cast("double") * col("ct").cast("double") / col("__n")
+      rowT.crossJoin(colT).join(obs, Seq("src", "lng"), "left")
+        .select(col("rt"), col("ct"), coalesce(col("o"), lit(0L)).as("o"))
+        .crossJoin(broadcast(n))
+        .select(((col("o").cast("double") - e) * (col("o").cast("double") - e) / e).as("term"))
+        .agg(round(sum(col("term")), 6).as("chi2"))
+        .crossJoin(
+          rowT.agg(count(lit(1)).as("__r")).crossJoin(colT.agg(count(lit(1)).as("__c")))
+            .select(((col("__r") - 1) * (col("__c") - 1)).as("dof")))
+    }),
+
     // multi-level corpus profile in ONE pass: per-(source, lang)
     // detail, per-source subtotal, grand total via rollup —
     // grouping_id disambiguates rollup nulls from data nulls
@@ -1499,6 +1530,47 @@ object SparkEntry {
         |u AS (SELECT unnest(ps) AS pair FROM p)
         |SELECT pair, CAST(COUNT(*) AS BIGINT) AS n FROM u
         |GROUP BY pair ORDER BY n DESC, pair ASC LIMIT 50""".stripMargin,
+
+    // bigram LM replay off the same per-doc pair aggregate; the
+    // interpolation weights are written as the arithmetic Scala runs
+    // ((1.0 - 0.8) is a different double than a literal 0.2)
+    "bigram_logprob" ->
+      """WITH toks AS (
+        |  SELECT doc_id, list_filter(regexp_split_to_array(trim(lower(text)), '\s+'), t -> t <> '') AS t
+        |  FROM documents),
+        |pr AS (SELECT doc_id, unnest(list_transform(range(1, len(t)), i -> {'l': t[i], 'r': t[i+1]})) AS s
+        |       FROM toks),
+        |g AS (SELECT doc_id, s.l AS l, s.r AS r, CAST(COUNT(*) AS BIGINT) AS c
+        |      FROM pr GROUP BY doc_id, s.l, s.r),
+        |bi AS (SELECT l, r, CAST(SUM(c) AS BIGINT) AS cb FROM g GROUP BY l, r),
+        |lt AS (SELECT l, CAST(SUM(cb) AS BIGINT) AS cl FROM bi GROUP BY l),
+        |rt AS (SELECT r, CAST(SUM(cb) AS BIGINT) AS cr FROM bi GROUP BY r),
+        |tot AS (SELECT CAST(SUM(cl) AS DOUBLE) AS tt FROM lt)
+        |SELECT g.doc_id,
+        |  ROUND(SUM(CAST(c AS DOUBLE) *
+        |            LN(0.8 * (CAST(cb AS DOUBLE) / cl) + (1.0 - 0.8) * (CAST(cr AS DOUBLE) / tt)))
+        |        / CAST(SUM(c) AS DOUBLE), 6) AS bigram_logprob
+        |FROM g JOIN bi USING (l, r) JOIN lt USING (l) JOIN rt USING (r) CROSS JOIN tot
+        |GROUP BY g.doc_id""".stripMargin,
+
+    // chi-square over the FULL r x c cell grid (missing combos carry
+    // their expected mass); term arithmetic mirrors the Spark side
+    "chi2_source_lang" ->
+      """WITH d AS (SELECT COALESCE(source, '<null>') AS src, COALESCE(lang, '<null>') AS lng
+        |           FROM documents),
+        |obs AS (SELECT src, lng, CAST(COUNT(*) AS BIGINT) AS o FROM d GROUP BY src, lng),
+        |rt AS (SELECT src, CAST(SUM(o) AS BIGINT) AS rt FROM obs GROUP BY src),
+        |ct AS (SELECT lng, CAST(SUM(o) AS BIGINT) AS ct FROM obs GROUP BY lng),
+        |n AS (SELECT CAST(SUM(o) AS DOUBLE) AS nn FROM obs),
+        |cells AS (SELECT rt.src, ct.lng, rt.rt, ct.ct, COALESCE(obs.o, 0) AS o
+        |          FROM rt CROSS JOIN ct LEFT JOIN obs USING (src, lng)),
+        |terms AS (SELECT (CAST(o AS DOUBLE) - CAST(rt AS DOUBLE) * CAST(ct AS DOUBLE) / nn)
+        |               * (CAST(o AS DOUBLE) - CAST(rt AS DOUBLE) * CAST(ct AS DOUBLE) / nn)
+        |               / (CAST(rt AS DOUBLE) * CAST(ct AS DOUBLE) / nn) AS term
+        |          FROM cells CROSS JOIN n)
+        |SELECT ROUND(SUM(term), 6) AS chi2,
+        |       CAST(((SELECT COUNT(*) FROM rt) - 1) * ((SELECT COUNT(*) FROM ct) - 1) AS BIGINT) AS dof
+        |FROM terms""".stripMargin,
 
     // GROUPING() carries the same bit encoding as Spark's grouping_id
     // (first listed column = MSB, 1 = rolled up)

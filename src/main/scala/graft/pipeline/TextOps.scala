@@ -551,6 +551,49 @@ object TextOps {
         / sum(col("c")).cast("double")).as("lm_logprob"))
   }
 
+  /** Interpolated bigram LM score (the next step up from
+    * [[unigramLogProb]]): per document, the count-weighted mean over
+    * adjacent token pairs of
+    * `ln(lambda * P(r|l) + (1-lambda) * Pc(r))`, with `P(r|l)` the
+    * corpus bigram MLE `c(l,r) / c(l,.)` and `Pc(r)` the RIGHT-context
+    * marginal `c(.,r) / total_pairs` — continuation-count backoff (the
+    * Kneser-Ney flavor), chosen deliberately so EVERY model table
+    * derives from one per-doc pair-count aggregate: fluent in-domain
+    * text scores near 0, token salad scores very negative.
+    *
+    * Scale shape: ONE tokenization aggregates to per-doc (doc, l, r, c)
+    * counts (map-side combine); the bigram table, both marginals and
+    * the grand total all fold off that aggregate (exchange reuse —
+    * no second corpus pass), and scoring is three counts-table joins
+    * (keyed on pairs/tokens, bounded by distinct counts, never
+    * occurrences) + one per-doc weighted mean. Documents with fewer
+    * than two tokens have no pairs and produce no row (join semantics).
+    */
+  def bigramLogProb(docs: DataFrame, lambda: Double = 0.8,
+                    textCol: String = "text", idCol: String = "doc_id"): DataFrame = {
+    require(lambda > 0.0 && lambda <= 1.0, s"lambda must be in (0,1], got $lambda")
+    val toks = filter(split(trim(lower(col(textCol))), "\\s+"), t => t =!= "")
+    val pairs = zip_with(toks, slice(toks, lit(2), greatest(size(toks) - 1, lit(0))),
+      (a, b) => when(a.isNull || b.isNull, lit(null))
+        .otherwise(struct(a.as("l"), b.as("r"))))
+    val g = docs
+      .select(col(idCol), explode(filter(pairs, p => p.isNotNull)).as("p"))
+      .select(col(idCol), col("p.l").as("l"), col("p.r").as("r"))
+      .groupBy(col(idCol), col("l"), col("r")).agg(count(lit(1)).as("c"))
+    val bi = g.groupBy("l", "r").agg(sum(col("c")).as("cb"))
+    val lt = bi.groupBy("l").agg(sum(col("cb")).as("cl"))
+    val rt = bi.groupBy("r").agg(sum(col("cb")).as("cr"))
+    val tot = lt.agg(sum(col("cl")).cast("double").as("__tt"))
+    g.join(bi, Seq("l", "r")).join(lt, "l").join(rt, "r")
+      .crossJoin(broadcast(tot))
+      .groupBy(col(idCol))
+      .agg(round(
+        sum(col("c").cast("double") *
+          log(lit(lambda) * (col("cb").cast("double") / col("cl")) +
+            lit(1.0 - lambda) * (col("cr").cast("double") / col("__tt"))))
+          / sum(col("c")).cast("double"), 6).as("bigram_logprob"))
+  }
+
   /** Apply a learned BPE merge table (from [[bpeMerges]], in training
     * order): per-document token counts under the learned vocabulary —
     * the "how long is my corpus in my tokenizer" primitive that sizes

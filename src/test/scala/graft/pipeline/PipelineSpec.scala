@@ -968,6 +968,42 @@ class PipelineSpec extends AnyFlatSpec with Matchers {
       Sampling.temperatureMixRates(df, "source", alpha = 0.0)
   }
 
+  "TextOps.bigramLogProb" should "score docs by interpolated corpus bigram likelihood" in {
+    import spark.implicits._
+    // bi: (a,b):2 (a,c):1; left a:3; right b:2 c:1; total pairs 3
+    val df = Seq((1L, "a b"), (2L, "a b"), (3L, "a c"), (4L, "solo"), (5L, ""))
+      .toDF("doc_id", "text")
+    val got = TextOps.bigramLogProb(df, lambda = 0.8)
+      .collect().map(r => (r.getLong(0), r.getDouble(1))).toMap
+    // score = ln(0.8*P(r|l) + 0.2*Pc(r)); both terms 2/3 for "a b", 1/3 for "a c"
+    got.keySet shouldBe Set(1L, 2L, 3L) // <2 tokens -> no pairs -> no row
+    got(1L) shouldBe math.log(2.0 / 3) +- 2e-6
+    got(2L) shouldBe got(1L)
+    got(3L) shouldBe math.log(1.0 / 3) +- 2e-6
+    // the common pair scores strictly higher than the rare one
+    got(1L) should be > got(3L)
+  }
+
+  "SparkEntry chi2_source_lang" should "be 0 under independence and n on the diagonal" in {
+    import spark.implicits._
+    // perfectly dependent 2x2 (diagonal): e = 1 everywhere, chi2 = 4
+    val dep = Seq(("s1", "en"), ("s1", "en"), ("s2", "de"), ("s2", "de"))
+      .toDF("source", "lang").withColumn("doc_id", lit(1L))
+      .withColumn("text", lit("")).withColumn("n_chars", lit(0L))
+    val dir = java.nio.file.Files.createTempDirectory("chi2t").toString
+    dep.write.mode("overwrite").parquet(s"$dir/documents.parquet")
+    val r = graft.SparkEntry.queries("chi2_source_lang")(spark, dir).collect()(0)
+    r.getDouble(0) shouldBe 4.0 +- 1e-9
+    r.getLong(1) shouldBe 1L
+    // perfectly independent: same lang mix in both sources -> chi2 = 0
+    val ind = Seq(("s1", "en"), ("s1", "de"), ("s2", "en"), ("s2", "de"))
+      .toDF("source", "lang").withColumn("doc_id", lit(1L))
+      .withColumn("text", lit("")).withColumn("n_chars", lit(0L))
+    ind.write.mode("overwrite").parquet(s"$dir/documents.parquet")
+    val r2 = graft.SparkEntry.queries("chi2_source_lang")(spark, dir).collect()(0)
+    r2.getDouble(0) shouldBe 0.0 +- 1e-9
+  }
+
   "TextOps.pmiCollocations" should "rank pairs by ln of observed-over-independent frequency" in {
     import spark.implicits._
     // corpus: unigrams a:4 b:3 c:1 (T=8); pairs (a,b)x3 (b,a)x2 (a,c)x1
