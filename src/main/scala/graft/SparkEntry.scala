@@ -845,6 +845,13 @@ object SparkEntry {
       Sampling.reservoirByGroupMd5(docs(s, dir), k = 10, "doc_id", "source", salt = "rs1")
         .select(col("doc_id"), col("source"))),
 
+    // quality-weighted eval sampling: inclusion odds proportional to
+    // n_chars (A-ES keys ranked by ln(u)/w, md5-derived u)
+    "weighted_reservoir" -> ((s, dir) =>
+      Sampling.weightedReservoirByGroupMd5(docs(s, dir), k = 10, "doc_id", "source",
+        "n_chars", salt = "wr1")
+        .select(col("doc_id"), col("source"), col("n_chars"))),
+
     // per-domain heavy hitters: top-10 tokens per source through the
     // bounded-heap typed aggregator (map-side partial top-k — never a
     // per-group row_number window)
@@ -1578,6 +1585,19 @@ object SparkEntry {
       """SELECT source, lang, CAST(GROUPING(source, lang) AS BIGINT) AS gid,
         |  CAST(COUNT(*) AS BIGINT) AS n_docs, ROUND(AVG(n_chars), 6) AS avg_chars
         |FROM documents GROUP BY ROLLUP (source, lang)""".stripMargin,
+
+    // A-ES replay: same md5 uniform, same ln(u)/w key, same tie order
+    "weighted_reservoir" ->
+      """WITH h AS (SELECT doc_id, source, n_chars,
+        |    CAST(('0x' || substring(md5(CAST(doc_id AS VARCHAR) || 'wr1'), 1, 13)) AS BIGINT) AS hv
+        |  FROM documents WHERE CAST(n_chars AS DOUBLE) > 0),
+        |s AS (SELECT doc_id, source, n_chars,
+        |        LN((CAST(hv AS DOUBLE) + 0.5) / 4503599627370496.0) / CAST(n_chars AS DOUBLE) AS sc
+        |      FROM h),
+        |r AS (SELECT doc_id, source, n_chars, ROW_NUMBER() OVER
+        |        (PARTITION BY source ORDER BY sc DESC, CAST(doc_id AS VARCHAR) ASC) AS rn
+        |      FROM s)
+        |SELECT doc_id, source, n_chars FROM r WHERE rn <= 10""".stripMargin,
 
     // k-smallest-md5 membership replayed as a window; 13 hex chars = 52
     // bits, exact in the double the Spark side ranks on

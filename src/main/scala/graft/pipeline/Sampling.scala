@@ -140,6 +140,38 @@ object Sampling {
         keyStr === col("__k") && col(groupCol) <=> col("__g"), "left_semi")
   }
 
+  /** Weighted per-group reservoir (Efraimidis-Spirakis A-ES): keep the
+    * k rows per group with the LARGEST `u^(1/w)` — equivalently the
+    * largest `ln(u)/w`, the form used here (pow is the least
+    * cross-libm-stable kernel; ln is faithful everywhere) — where `u`
+    * is the md5-derived uniform `(h52 + 0.5) / 2^52`. Inclusion
+    * probability is proportional to weight (a quality score, a
+    * dedup-cluster size), membership stays a pure function of
+    * (key, salt, weight): the weighted companion to
+    * [[reservoirByGroupMd5]], same TopK bounded heap, same broadcast
+    * LEFT SEMI join-back, full rows never shuffle. Rows with
+    * non-positive or null weight are excluded (ln(u)/w flips sign at
+    * w <= 0 and would win every heap).
+    */
+  def weightedReservoirByGroupMd5(df: DataFrame, k: Int, keyCol: String,
+                                  groupCol: String, weightCol: String,
+                                  salt: String = ""): DataFrame = {
+    require(k > 0, s"reservoir size must be positive, got $k")
+    val keyStr = col(keyCol).cast("string")
+    val h = conv(substring(md5(concat(keyStr, lit(salt))), 1, 13), 16, 10).cast("double")
+    val u = (h + lit(0.5)) / lit(4503599627370496.0d) // 2^52; u in (0,1)
+    val score = log(u) / col(weightCol).cast("double")
+    val picked = df
+      .filter(keyStr.isNotNull && col(weightCol).cast("double") > 0.0)
+      .select(col(groupCol).as("__g"), keyStr.as("__k"), score.as("__s"))
+      .groupBy(col("__g"))
+      .agg(graft.functions.TopK.topKStr(k)(col("__s"), col("__k")).as("__top"))
+      .select(col("__g"), explode(col("__top")).as("__e"))
+      .select(col("__g"), col("__e._2").as("__k"))
+    df.join(broadcast(picked),
+        keyStr === col("__k") && col(groupCol) <=> col("__g"), "left_semi")
+  }
+
   /** Temperature-balanced mixture rates (the multilingual-LM standard:
     * sample group s with probability proportional to `p_s^alpha`,
     * alpha in (0, 1] — alpha 1 keeps the natural distribution, smaller

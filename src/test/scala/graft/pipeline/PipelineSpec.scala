@@ -949,6 +949,28 @@ class PipelineSpec extends AnyFlatSpec with Matchers {
       Seq("doc_id", "source")
   }
 
+  "Sampling.weightedReservoirByGroupMd5" should "favor heavy rows, exclude non-positive weights" in {
+    import spark.implicits._
+    val df = ((1 to 100).map(i => (i.toLong, "g", 1.0)) :+ (999L, "g", 1e9))
+      .toDF("doc_id", "source", "w")
+    def run(d: org.apache.spark.sql.DataFrame) =
+      Sampling.weightedReservoirByGroupMd5(d, k = 10, "doc_id", "source", "w", salt = "t")
+        .select("doc_id").as[Long].collect().toSet
+    val got = run(df)
+    got.size shouldBe 10
+    // ln(u)/1e9 ~ -1e-9 beats every unit-weight key's ln(u)/1 ~ -1
+    got should contain(999L)
+    run(df.repartition(9)) shouldBe got // layout-invariant
+    // zero / negative / null weights are excluded, not heap winners
+    val dirty = df.unionByName(Seq((1001L, "g", 0.0), (1002L, "g", -5.0))
+      .toDF("doc_id", "source", "w"))
+      .unionByName(Seq((1003L, "g")).toDF("doc_id", "source")
+        .withColumn("w", lit(null).cast("double")))
+    val got2 = run(dirty)
+    got2.intersect(Set(1001L, 1002L, 1003L)) shouldBe empty
+    got2 shouldBe got // the excluded rows don't disturb the winners
+  }
+
   "Sampling.temperatureMixRates" should "flatten the group distribution toward alpha" in {
     import spark.implicits._
     // counts 4 and 1, alpha 0.5: z = 2 + 1 = 3 (pow exact on squares)
