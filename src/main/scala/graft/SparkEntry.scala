@@ -320,6 +320,13 @@ object SparkEntry {
             unix_micros(col("asof_ts").cast("timestamp"))).as("lag_us"))
     }),
 
+    // ordered-funnel conversion over the events stream: users who
+    // viewed, then clicked at-or-after their first view, then purchased
+    // at-or-after that click (integer-exact — no float in the gate)
+    "funnel_conversion" -> ((s, dir) =>
+      Conversations.funnelCounts(
+        s.read.parquet(s"$dir/events.parquet"), Seq("view", "click", "purchase"))),
+
     // multi-edge referential integrity over the full TPC-H-ish star:
     // each FK edge is one anti-join (broadcast for the small parents),
     // counts unioned into one report — the shape of a whole-warehouse
@@ -1537,6 +1544,19 @@ object SparkEntry {
         |u AS (SELECT unnest(ps) AS pair FROM p)
         |SELECT pair, CAST(COUNT(*) AS BIGINT) AS n FROM u
         |GROUP BY pair ORDER BY n DESC, pair ASC LIMIT 50""".stripMargin,
+
+    // stagewise min-ts replay; >= keeps simultaneous next-stage events,
+    // exact on microsecond timestamps
+    "funnel_conversion" ->
+      """WITH v AS (SELECT user_id, MIN(ts) AS t1 FROM events
+        |           WHERE event_type = 'view' GROUP BY user_id),
+        |c AS (SELECT e.user_id, MIN(e.ts) AS t2 FROM events e JOIN v USING (user_id)
+        |      WHERE e.event_type = 'click' AND e.ts >= v.t1 GROUP BY e.user_id),
+        |p AS (SELECT e.user_id, MIN(e.ts) AS t3 FROM events e JOIN c USING (user_id)
+        |      WHERE e.event_type = 'purchase' AND e.ts >= c.t2 GROUP BY e.user_id)
+        |SELECT (SELECT CAST(COUNT(*) AS BIGINT) FROM v) AS n_stage1,
+        |       (SELECT CAST(COUNT(*) AS BIGINT) FROM c) AS n_stage2,
+        |       (SELECT CAST(COUNT(*) AS BIGINT) FROM p) AS n_stage3""".stripMargin,
 
     // bigram LM replay off the same per-doc pair aggregate; the
     // interpolation weights are written as the arithmetic Scala runs

@@ -66,4 +66,36 @@ object Conversations {
         round(sum(col("rep")).cast("double") /
           greatest(count(lit(1)) - 1, lit(1L)), 6).as("role_repeat_ratio"))
   }
+
+  /** Ordered-funnel conversion counts: how many users reached stage i
+    * having passed stages 1..i-1 IN ORDER — a user is at stage i iff
+    * they have a stage-i event at-or-after their earliest qualifying
+    * stage-(i-1) time (ties count: a simultaneous next-stage event
+    * qualifies, exact on microsecond timestamps). The product-analytics
+    * staple (view -> click -> purchase), one row of stage counts out.
+    *
+    * Scale shape: stage 1 is one filtered count aggregation to a
+    * (user, t) table; each later stage is a filtered join against the
+    * previous stage's (user, t) — every shuffle keys on the user
+    * column, so the per-stage exchanges reuse one partitioning; stage
+    * tables only ever carry (user, min-ts). The final counts are
+    * one-row aggregates cross-joined broadcast. Nothing is ever
+    * per-event wide, no window over users.
+    */
+  def funnelCounts(df: DataFrame, stages: Seq[String],
+                   typeCol: String = "event_type", userCol: String = "user_id",
+                   tsCol: String = "ts"): DataFrame = {
+    require(stages.size >= 2, s"a funnel needs at least 2 stages, got ${stages.size}")
+    val first = df.filter(col(typeCol) === stages.head)
+      .groupBy(col(userCol)).agg(min(col(tsCol)).as("__t"))
+    val stageTables = stages.tail.foldLeft(Vector(first)) { (acc, st) =>
+      acc :+ df.filter(col(typeCol) === st)
+        .join(acc.last.select(col(userCol), col("__t").as("__prev")), Seq(userCol))
+        .filter(col(tsCol) >= col("__prev"))
+        .groupBy(col(userCol)).agg(min(col(tsCol)).as("__t"))
+    }
+    stageTables.zipWithIndex
+      .map { case (t, i) => t.agg(count(lit(1)).as(s"n_stage${i + 1}")) }
+      .reduce(_.crossJoin(_))
+  }
 }

@@ -990,6 +990,24 @@ class PipelineSpec extends AnyFlatSpec with Matchers {
       Sampling.temperatureMixRates(df, "source", alpha = 0.0)
   }
 
+  "Conversations.funnelCounts" should "count users passing stages in order, ties qualifying" in {
+    import spark.implicits._
+    val ev = Seq(
+      (1L, "view", 10L), (1L, "click", 20L), (1L, "purchase", 30L), // full funnel
+      (2L, "click", 5L), (2L, "view", 10L), (2L, "purchase", 50L),  // click BEFORE view: stage 1 only
+      (3L, "view", 10L), (3L, "click", 15L), (3L, "purchase", 12L), // purchase before click: stages 1-2
+      (4L, "click", 10L), (4L, "purchase", 20L),                    // never viewed: no stage
+      (5L, "view", 10L), (5L, "click", 10L)                         // simultaneous click qualifies
+    ).toDF("user_id", "event_type", "ts")
+    def run(d: org.apache.spark.sql.DataFrame) =
+      Conversations.funnelCounts(d, Seq("view", "click", "purchase"))
+        .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).head
+    run(ev) shouldBe ((4L, 3L, 1L))
+    run(ev.repartition(7)) shouldBe ((4L, 3L, 1L))
+    an[IllegalArgumentException] should be thrownBy
+      Conversations.funnelCounts(ev, Seq("view"))
+  }
+
   "TextOps.bigramLogProb" should "score docs by interpolated corpus bigram likelihood" in {
     import spark.implicits._
     // bi: (a,b):2 (a,c):1; left a:3; right b:2 c:1; total pairs 3
