@@ -1571,8 +1571,8 @@ object SparkEntry {
         |      FROM pr GROUP BY doc_id, s.l, s.r),
         |bi AS (SELECT l, r, CAST(SUM(c) AS BIGINT) AS cb FROM g GROUP BY l, r),
         |lt AS (SELECT l, CAST(SUM(cb) AS BIGINT) AS cl FROM bi GROUP BY l),
-        |rt AS (SELECT r, CAST(SUM(cb) AS BIGINT) AS cr FROM bi GROUP BY r),
-        |tot AS (SELECT CAST(SUM(cl) AS DOUBLE) AS tt FROM lt)
+        |rt AS (SELECT r, CAST(COUNT(*) AS BIGINT) AS cr FROM bi GROUP BY r),
+        |tot AS (SELECT CAST(COUNT(*) AS DOUBLE) AS tt FROM bi)
         |SELECT g.doc_id,
         |  ROUND(SUM(CAST(c AS DOUBLE) *
         |            LN(0.8 * (CAST(cb AS DOUBLE) / cl) + (1.0 - 0.8) * (CAST(cr AS DOUBLE) / tt)))

@@ -80,6 +80,16 @@ object TopK {
 
   /** [[topK]] with STRING ids (URLs, content hashes): tiebreak is
     * lexical id ASC. Ids must be non-null (callers filter).
+    *
+    * Tie-order caveat: `Ordering[String]` compares UTF-16 CODE UNITS,
+    * which diverges from UTF-8 binary order (Spark SQL sorts, DuckDB)
+    * exactly when a tie pits a supplementary-plane string against a
+    * high-BMP one (surrogates 0xD800-0xDFFF sort below 0xE000-0xFFFF
+    * in UTF-16 but encode as 4-byte 0xF0-lead sequences above them in
+    * UTF-8). All current callers tie-break on ASCII ids or corpus
+    * tokens from the verified-ASCII fixtures, where the two orders
+    * agree; a caller feeding supplementary-plane ids must normalize or
+    * accept engine-specific tie order.
     */
   def topKStr(k: Int)(score: Column, id: Column): Column =
     udaf(new TopKAggregator[String](k), Encoders.tuple(Encoders.scalaDouble, Encoders.STRING))

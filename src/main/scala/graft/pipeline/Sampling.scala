@@ -129,15 +129,38 @@ object Sampling {
                           salt: String = ""): DataFrame = {
     require(k > 0, s"reservoir size must be positive, got $k")
     val keyStr = col(keyCol).cast("string")
-    val hv = conv(substring(md5(concat(keyStr, lit(salt))), 1, 13), 16, 10).cast("double")
-    val picked = df.filter(keyStr.isNotNull)
-      .select(col(groupCol).as("__g"), keyStr.as("__k"), hv.as("__h"))
+    topKeySemiJoin(df, k, keyStr, col(groupCol),
+      eligible = keyStr.isNotNull, score = -hash52Md5(keyStr, salt))
+  }
+
+  /** 52-bit md5 value as an EXACT double (13 hex chars, 2^52 < 2^53) —
+    * the ranking hash for the reservoir samplers. (The membership
+    * samplers above use the 60-bit/mod-1e6 [[bucketMd5]] variant; 60
+    * bits would lose low bits in a double, 52 do not.)
+    */
+  private def hash52Md5(keyStr: Column, salt: String): Column =
+    conv(substring(md5(concat(keyStr, lit(salt))), 1, 13), 16, 10).cast("double")
+
+  /** Shared reservoir scaffold: rank `eligible` rows by `score` through
+    * the bounded-heap TopK per group, then keep the winners with a
+    * broadcast LEFT SEMI (|groups| x k ids — full rows never shuffle).
+    * The OUTER side applies the same eligibility filter, so an
+    * ineligible row (null key, non-positive weight) can never ride back
+    * in on a picked key it happens to share. `keyCol` is a row identity
+    * (as for every md5 sampler in this file): duplicate (group, key)
+    * rows would occupy multiple heap slots and all return on the semi
+    * join — uniqueness is the caller's contract.
+    */
+  private def topKeySemiJoin(df: DataFrame, k: Int, keyStr: Column, group: Column,
+                             eligible: Column, score: Column): DataFrame = {
+    val picked = df.filter(eligible)
+      .select(group.as("__g"), keyStr.as("__k"), score.as("__s"))
       .groupBy(col("__g"))
-      .agg(graft.functions.TopK.topKStr(k)(-col("__h"), col("__k")).as("__top"))
+      .agg(graft.functions.TopK.topKStr(k)(col("__s"), col("__k")).as("__top"))
       .select(col("__g"), explode(col("__top")).as("__e"))
       .select(col("__g"), col("__e._2").as("__k"))
-    df.join(broadcast(picked),
-        keyStr === col("__k") && col(groupCol) <=> col("__g"), "left_semi")
+    df.filter(eligible).join(broadcast(picked),
+      keyStr === col("__k") && group <=> col("__g"), "left_semi")
   }
 
   /** Weighted per-group reservoir (Efraimidis-Spirakis A-ES): keep the
@@ -158,18 +181,10 @@ object Sampling {
                                   salt: String = ""): DataFrame = {
     require(k > 0, s"reservoir size must be positive, got $k")
     val keyStr = col(keyCol).cast("string")
-    val h = conv(substring(md5(concat(keyStr, lit(salt))), 1, 13), 16, 10).cast("double")
-    val u = (h + lit(0.5)) / lit(4503599627370496.0d) // 2^52; u in (0,1)
-    val score = log(u) / col(weightCol).cast("double")
-    val picked = df
-      .filter(keyStr.isNotNull && col(weightCol).cast("double") > 0.0)
-      .select(col(groupCol).as("__g"), keyStr.as("__k"), score.as("__s"))
-      .groupBy(col("__g"))
-      .agg(graft.functions.TopK.topKStr(k)(col("__s"), col("__k")).as("__top"))
-      .select(col("__g"), explode(col("__top")).as("__e"))
-      .select(col("__g"), col("__e._2").as("__k"))
-    df.join(broadcast(picked),
-        keyStr === col("__k") && col(groupCol) <=> col("__g"), "left_semi")
+    val u = (hash52Md5(keyStr, salt) + lit(0.5)) / lit(4503599627370496.0d) // 2^52; u in (0,1)
+    topKeySemiJoin(df, k, keyStr, col(groupCol),
+      eligible = keyStr.isNotNull && col(weightCol).cast("double") > 0.0,
+      score = log(u) / col(weightCol).cast("double"))
   }
 
   /** Temperature-balanced mixture rates (the multilingual-LM standard:

@@ -265,15 +265,28 @@ object TextOps {
     * materialized. Scales like vocabulary(): shuffle bounded by
     * #distinct pairs, not #tokens.
     */
-  def tokenPairCounts(df: DataFrame, topN: Int, textCol: String = "text"): DataFrame = {
-    val toks = filter(split(trim(lower(col(textCol))), "\\s+"), t => t =!= "")
-    val pairs = zip_with(toks, slice(toks, lit(2), greatest(size(toks) - 1, lit(0))),
-      (a, b) => when(a.isNull || b.isNull, lit(null)).otherwise(concat(a, lit(" "), b)))
-    df.select(explode(filter(pairs, p => p.isNotNull)).as("pair"))
+  /** Adjacent-token pairs of a token array in O(tokens): one zip_with
+    * against the 1-shifted array (same technique as [[Dedup.shingles]]),
+    * null-padded tail and null elements filtered out. `combine` builds
+    * the pair representation (a concat for counting, a struct for
+    * joins) — the shared pair rule for [[tokenPairCounts]],
+    * [[pmiCollocations]] and [[bigramLogProb]].
+    */
+  private def adjacentPairs(toks: Column)(combine: (Column, Column) => Column): Column =
+    filter(
+      zip_with(toks, slice(toks, lit(2), greatest(size(toks) - 1, lit(0))),
+        (a, b) => when(a.isNull || b.isNull, lit(null)).otherwise(combine(a, b))),
+      p => p.isNotNull)
+
+  private def normalizedTokens(textCol: String): Column =
+    filter(split(trim(lower(col(textCol))), "\\s+"), t => t =!= "")
+
+  def tokenPairCounts(df: DataFrame, topN: Int, textCol: String = "text"): DataFrame =
+    df.select(explode(adjacentPairs(normalizedTokens(textCol))(
+        (a, b) => concat(a, lit(" "), b))).as("pair"))
       .groupBy("pair").agg(count(lit(1)).as("n"))
       .orderBy(col("n").desc, col("pair").asc)
       .limit(topN)
-  }
 
   /** Per-group heavy hitters: the top-`k` tokens by frequency within
     * EACH group (per-domain/per-language vocabulary skew — the signal
@@ -290,9 +303,7 @@ object TextOps {
     */
   def vocabularyByGroup(df: DataFrame, k: Int, groupCol: String = "source",
                         textCol: String = "text"): DataFrame =
-    df.select(col(groupCol),
-        explode(split(trim(lower(col(textCol))), "\\s+")).as("token"))
-      .filter(col("token") =!= "")
+    tokenRows(df, textCol, groupCol, "token")
       .groupBy(col(groupCol), col("token")).agg(count(lit(1)).as("tf"))
       .groupBy(col(groupCol))
       .agg(graft.functions.TopK.topKStr(k)(col("tf").cast("double"), col("token")).as("__top"))
@@ -318,14 +329,11 @@ object TextOps {
     */
   def pmiCollocations(df: DataFrame, topN: Int, minCount: Long = 5,
                       textCol: String = "text"): DataFrame = {
-    val toks = filter(split(trim(lower(col(textCol))), "\\s+"), t => t =!= "")
-    val uni = df.select(explode(toks).as("t"))
+    val uni = df.select(explode(normalizedTokens(textCol)).as("t"))
       .groupBy("t").agg(count(lit(1)).as("c1"))
     val total = uni.agg(sum(col("c1")).cast("double").as("__t"))
-    val pairs = zip_with(toks, slice(toks, lit(2), greatest(size(toks) - 1, lit(0))),
-      (a, b) => when(a.isNull || b.isNull, lit(null))
-        .otherwise(struct(a.as("l"), b.as("r"))))
-    val bi = df.select(explode(filter(pairs, p => p.isNotNull)).as("p"))
+    val bi = df.select(explode(adjacentPairs(normalizedTokens(textCol))(
+        (a, b) => struct(a.as("l"), b.as("r")))).as("p"))
       .select(col("p.l").as("l"), col("p.r").as("r"))
       .groupBy("l", "r").agg(count(lit(1)).as("n"))
       .filter(col("n") >= minCount)
@@ -555,11 +563,12 @@ object TextOps {
     * [[unigramLogProb]]): per document, the count-weighted mean over
     * adjacent token pairs of
     * `ln(lambda * P(r|l) + (1-lambda) * Pc(r))`, with `P(r|l)` the
-    * corpus bigram MLE `c(l,r) / c(l,.)` and `Pc(r)` the RIGHT-context
-    * marginal `c(.,r) / total_pairs` — continuation-count backoff (the
-    * Kneser-Ney flavor), chosen deliberately so EVERY model table
-    * derives from one per-doc pair-count aggregate: fluent in-domain
-    * text scores near 0, token salad scores very negative.
+    * corpus bigram MLE `c(l,r) / c(l,.)` and `Pc(r)` the Kneser-Ney
+    * CONTINUATION probability `|{l : c(l,r) > 0}| / |distinct pairs|`
+    * — how many distinct contexts `r` follows, not how often (a token
+    * frequent only after one fixed context gets little backoff mass).
+    * Both model tables derive from one per-doc pair-count aggregate:
+    * fluent in-domain text scores near 0, token salad very negative.
     *
     * Scale shape: ONE tokenization aggregates to per-doc (doc, l, r, c)
     * counts (map-side combine); the bigram table, both marginals and
@@ -572,18 +581,17 @@ object TextOps {
   def bigramLogProb(docs: DataFrame, lambda: Double = 0.8,
                     textCol: String = "text", idCol: String = "doc_id"): DataFrame = {
     require(lambda > 0.0 && lambda <= 1.0, s"lambda must be in (0,1], got $lambda")
-    val toks = filter(split(trim(lower(col(textCol))), "\\s+"), t => t =!= "")
-    val pairs = zip_with(toks, slice(toks, lit(2), greatest(size(toks) - 1, lit(0))),
-      (a, b) => when(a.isNull || b.isNull, lit(null))
-        .otherwise(struct(a.as("l"), b.as("r"))))
     val g = docs
-      .select(col(idCol), explode(filter(pairs, p => p.isNotNull)).as("p"))
+      .select(col(idCol), explode(adjacentPairs(normalizedTokens(textCol))(
+        (a, b) => struct(a.as("l"), b.as("r")))).as("p"))
       .select(col(idCol), col("p.l").as("l"), col("p.r").as("r"))
       .groupBy(col(idCol), col("l"), col("r")).agg(count(lit(1)).as("c"))
     val bi = g.groupBy("l", "r").agg(sum(col("c")).as("cb"))
     val lt = bi.groupBy("l").agg(sum(col("cb")).as("cl"))
-    val rt = bi.groupBy("r").agg(sum(col("cb")).as("cr"))
-    val tot = lt.agg(sum(col("cl")).cast("double").as("__tt"))
+    // continuation counts: DISTINCT left contexts per r (bi is already
+    // one row per distinct pair, so a plain count is the distinct count)
+    val rt = bi.groupBy("r").agg(count(lit(1)).as("cr"))
+    val tot = bi.agg(count(lit(1)).cast("double").as("__tt"))
     g.join(bi, Seq("l", "r")).join(lt, "l").join(rt, "r")
       .crossJoin(broadcast(tot))
       .groupBy(col(idCol))

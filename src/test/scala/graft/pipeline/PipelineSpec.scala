@@ -1010,16 +1010,16 @@ class PipelineSpec extends AnyFlatSpec with Matchers {
 
   "TextOps.bigramLogProb" should "score docs by interpolated corpus bigram likelihood" in {
     import spark.implicits._
-    // bi: (a,b):2 (a,c):1; left a:3; right b:2 c:1; total pairs 3
+    // bi: (a,b):2 (a,c):1; left a:3; continuation b:{a} c:{a} -> 1 each
+    // over 2 distinct pairs, so Pc(b) = Pc(c) = 1/2
     val df = Seq((1L, "a b"), (2L, "a b"), (3L, "a c"), (4L, "solo"), (5L, ""))
       .toDF("doc_id", "text")
     val got = TextOps.bigramLogProb(df, lambda = 0.8)
       .collect().map(r => (r.getLong(0), r.getDouble(1))).toMap
-    // score = ln(0.8*P(r|l) + 0.2*Pc(r)); both terms 2/3 for "a b", 1/3 for "a c"
     got.keySet shouldBe Set(1L, 2L, 3L) // <2 tokens -> no pairs -> no row
-    got(1L) shouldBe math.log(2.0 / 3) +- 2e-6
+    got(1L) shouldBe math.log(0.8 * (2.0 / 3) + (1.0 - 0.8) * 0.5) +- 2e-6
     got(2L) shouldBe got(1L)
-    got(3L) shouldBe math.log(1.0 / 3) +- 2e-6
+    got(3L) shouldBe math.log(0.8 * (1.0 / 3) + (1.0 - 0.8) * 0.5) +- 2e-6
     // the common pair scores strictly higher than the rare one
     got(1L) should be > got(3L)
   }
