@@ -327,6 +327,13 @@ object SparkEntry {
       Conversations.funnelCounts(
         s.read.parquet(s"$dir/events.parquet"), Seq("view", "click", "purchase"))),
 
+    // weekly cohort retention over the events stream: users bucketed by
+    // first-event week, counted in each later active week (integer
+    // microsecond division — no float anywhere in the gate)
+    "retention_cohorts" -> ((s, dir) =>
+      Conversations.retentionCohorts(
+        s.read.parquet(s"$dir/events.parquet"), periodSeconds = 604800L, maxPeriods = 12)),
+
     // multi-edge referential integrity over the full TPC-H-ish star:
     // each FK edge is one anti-join (broadcast for the small parents),
     // counts unioned into one report — the shape of a whole-warehouse
@@ -1544,6 +1551,20 @@ object SparkEntry {
         |u AS (SELECT unnest(ps) AS pair FROM p)
         |SELECT pair, CAST(COUNT(*) AS BIGINT) AS n FROM u
         |GROUP BY pair ORDER BY n DESC, pair ASC LIMIT 50""".stripMargin,
+
+    // integer floor-division replay (// in DuckDB == div in Spark on
+    // positive epochs); activity is distinct (user, period) so each
+    // user is at most one row per (cohort, offset) and COUNT(*) is the
+    // distinct-user count
+    "retention_cohorts" ->
+      """WITH per AS (SELECT user_id, epoch_us(ts) // 604800000000 AS period FROM events),
+        |f AS (SELECT user_id, MIN(period) AS cohort FROM per GROUP BY user_id),
+        |a AS (SELECT DISTINCT user_id, period FROM per),
+        |j AS (SELECT f.cohort, a.period - f.cohort AS period_offset
+        |      FROM a JOIN f USING (user_id))
+        |SELECT cohort, period_offset, CAST(COUNT(*) AS BIGINT) AS n_users
+        |FROM j WHERE period_offset >= 0 AND period_offset <= 12
+        |GROUP BY cohort, period_offset""".stripMargin,
 
     // stagewise min-ts replay; >= keeps simultaneous next-stage events,
     // exact on microsecond timestamps

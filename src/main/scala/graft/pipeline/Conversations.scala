@@ -98,4 +98,36 @@ object Conversations {
       .map { case (t, i) => t.agg(count(lit(1)).as(s"n_stage${i + 1}")) }
       .reduce(_.crossJoin(_))
   }
+
+  /** Cohort retention matrix: users bucketed by the period of their
+    * FIRST event (the cohort), counted again in every later period
+    * they were active — `(cohort, offset, n_users)` rows, the
+    * engagement-analytics staple. Periods are integer microsecond
+    * division (`div`), so bucket membership is exact — no float
+    * boundary, replayable on any engine with floor division.
+    *
+    * Scale shape: the cohort table is one per-user aggregation
+    * (`min(period)` == period of the earliest event, since the bucket
+    * function is monotone — no ordered reduction needed); activity is
+    * a distinct over (user, period); both shuffle on the user column
+    * and the join reuses that partitioning. Output is |cohorts| x
+    * |offsets| — report-sized. Null users/timestamps drop out via join
+    * and filter semantics, never counted.
+    */
+  def retentionCohorts(df: DataFrame, periodSeconds: Long, maxPeriods: Int,
+                       userCol: String = "user_id", tsCol: String = "ts"): DataFrame = {
+    require(periodSeconds > 0, s"period must be positive, got $periodSeconds")
+    require(maxPeriods >= 0, s"maxPeriods must be >= 0, got $maxPeriods")
+    val periodUs = java.lang.Math.multiplyExact(periodSeconds, 1000000L)
+    val per = expr(s"unix_micros(CAST($tsCol AS TIMESTAMP)) div $periodUs")
+    val first = df.groupBy(col(userCol)).agg(min(per).as("cohort"))
+    val activity = df.select(col(userCol), per.as("period")).distinct()
+    // "period_offset", not "offset": OFFSET is reserved in ANSI/DuckDB
+    // and the gate compare keys on identical column names
+    activity.join(first, Seq(userCol))
+      .select(col("cohort"), (col("period") - col("cohort")).as("period_offset"))
+      .filter(col("period_offset") >= 0 && col("period_offset") <= maxPeriods)
+      .groupBy("cohort", "period_offset")
+      .agg(count(lit(1)).as("n_users"))
+  }
 }

@@ -1008,6 +1008,27 @@ class PipelineSpec extends AnyFlatSpec with Matchers {
       Conversations.funnelCounts(ev, Seq("view"))
   }
 
+  "Conversations.retentionCohorts" should "bucket users by first-event period and count later activity" in {
+    import spark.implicits._
+    // period 100s: u1 cohort 0, active offsets {0,1,3}; u2 cohort 1,
+    // active {0}; u3 cohort 0, active {0}; two events in one period
+    // count once
+    val ev = Seq(
+      (1L, 50L), (1L, 150L), (1L, 155L), (1L, 350L),
+      (2L, 120L),
+      (3L, 0L)
+    ).toDF("user_id", "ts")
+    def run(d: org.apache.spark.sql.DataFrame) =
+      Conversations.retentionCohorts(d, periodSeconds = 100L, maxPeriods = 12)
+        .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+    val got = run(ev)
+    got shouldBe Set((0L, 0L, 2L), (0L, 1L, 1L), (0L, 3L, 1L), (1L, 0L, 1L))
+    run(ev.repartition(5)) shouldBe got
+    // maxPeriods caps the matrix width
+    Conversations.retentionCohorts(ev, 100L, maxPeriods = 0)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet shouldBe Set((0L, 0L), (1L, 0L))
+  }
+
   "TextOps.bigramLogProb" should "score docs by interpolated corpus bigram likelihood" in {
     import spark.implicits._
     // bi: (a,b):2 (a,c):1; left a:3; continuation b:{a} c:{a} -> 1 each
