@@ -106,13 +106,14 @@ object Conversations {
     * division (`div`), so bucket membership is exact — no float
     * boundary, replayable on any engine with floor division.
     *
-    * Scale shape: the cohort table is one per-user aggregation
-    * (`min(period)` == period of the earliest event, since the bucket
-    * function is monotone — no ordered reduction needed); activity is
-    * a distinct over (user, period); both shuffle on the user column
-    * and the join reuses that partitioning. Output is |cohorts| x
-    * |offsets| — report-sized. Null users/timestamps drop out via join
-    * and filter semantics, never counted.
+    * Scale shape: ONE shuffle on the user column — `collect_set` of
+    * active periods per user (map-side partial; bounded by the number
+    * of periods in the data horizon, not by events), cohort =
+    * `array_min` of that set (the bucket function is monotone, so no
+    * ordered reduction), offsets explode from the same set; the final
+    * count aggregation is over the report-sized (cohort, offset) key.
+    * No join anywhere. Null users and null timestamps are excluded,
+    * never counted.
     */
   def retentionCohorts(df: DataFrame, periodSeconds: Long, maxPeriods: Int,
                        userCol: String = "user_id", tsCol: String = "ts"): DataFrame = {
@@ -120,12 +121,13 @@ object Conversations {
     require(maxPeriods >= 0, s"maxPeriods must be >= 0, got $maxPeriods")
     val periodUs = java.lang.Math.multiplyExact(periodSeconds, 1000000L)
     val per = expr(s"unix_micros(CAST($tsCol AS TIMESTAMP)) div $periodUs")
-    val first = df.groupBy(col(userCol)).agg(min(per).as("cohort"))
-    val activity = df.select(col(userCol), per.as("period")).distinct()
     // "period_offset", not "offset": OFFSET is reserved in ANSI/DuckDB
     // and the gate compare keys on identical column names
-    activity.join(first, Seq(userCol))
-      .select(col("cohort"), (col("period") - col("cohort")).as("period_offset"))
+    df.filter(col(userCol).isNotNull)
+      .groupBy(col(userCol)).agg(collect_set(per).as("__ps"))
+      .filter(size(col("__ps")) > 0) // all-null-ts users have no periods
+      .select(array_min(col("__ps")).as("cohort"), explode(col("__ps")).as("__p"))
+      .select(col("cohort"), (col("__p") - col("cohort")).as("period_offset"))
       .filter(col("period_offset") >= 0 && col("period_offset") <= maxPeriods)
       .groupBy("cohort", "period_offset")
       .agg(count(lit(1)).as("n_users"))

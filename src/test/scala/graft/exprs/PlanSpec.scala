@@ -192,6 +192,22 @@ class PlanSpec extends AnyFlatSpec with Matchers {
     rplan should include("LeftSemi")
   }
 
+  "cohort retention" should "run join-free with one user-keyed exchange plus the report agg" in {
+    val df = graft.SparkEntry.queries("retention_cohorts")(spark, sfDir)
+    val plan = formatted(df)
+    plan should not include "Join"
+    plan should not include "Window"
+    // user-keyed collect_set exchange + the (cohort, offset) count agg
+    shuffleCount(df) shouldBe 2
+  }
+
+  "funnel conversion" should "carry only (user, min-ts) stage tables, no window" in {
+    val df = graft.SparkEntry.queries("funnel_conversion")(spark, sfDir)
+    val plan = formatted(df)
+    plan should not include "Window"
+    plan should not include "CartesianProduct" // stage-count crossjoins broadcast one-row sides
+  }
+
   "pmi collocations" should "take its top-N without a global sort" in {
     val df = graft.SparkEntry.queries("pmi_bigrams")(spark, sfDir)
     val plan = formatted(df)
