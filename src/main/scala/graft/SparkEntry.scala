@@ -327,6 +327,14 @@ object SparkEntry {
       Conversations.funnelCounts(
         s.read.parquet(s"$dir/events.parquet"), Seq("view", "click", "purchase"))),
 
+    // per-type value anomalies: rows >= 3 population sigmas from their
+    // event type's mean (the row-naming companion to the drift stats)
+    "value_outliers" -> ((s, dir) =>
+      Stats.zscoreOutliers(
+        s.read.parquet(s"$dir/events.parquet").select("event_id", "event_type", "value"),
+        "value", "event_type", threshold = 3.0)
+        .select(col("event_id"), col("event_type"), col("value"), col("zscore"))),
+
     // weekly cohort retention over the events stream: users bucketed by
     // first-event week, counted in each later active week (integer
     // microsecond division — no float anywhere in the gate)
@@ -1551,6 +1559,20 @@ object SparkEntry {
         |u AS (SELECT unnest(ps) AS pair FROM p)
         |SELECT pair, CAST(COUNT(*) AS BIGINT) AS n FROM u
         |GROUP BY pair ORDER BY n DESC, pair ASC LIMIT 50""".stripMargin,
+
+    // moment-identity replay in the same arithmetic shape (mean = s/n,
+    // var = s2/n - mean*mean, z = (v-mean)/sd)
+    "value_outliers" ->
+      """WITH m AS (SELECT event_type, SUM(CAST(value AS DOUBLE)) AS s,
+        |                  SUM(CAST(value AS DOUBLE) * CAST(value AS DOUBLE)) AS s2,
+        |                  CAST(COUNT(value) AS BIGINT) AS n
+        |           FROM events GROUP BY event_type)
+        |SELECT event_id, event_type, value,
+        |  ROUND((CAST(value AS DOUBLE) - s/n) / SQRT(GREATEST(s2/n - (s/n)*(s/n), 0.0)), 6) AS zscore
+        |FROM events JOIN m USING (event_type)
+        |WHERE SQRT(GREATEST(s2/n - (s/n)*(s/n), 0.0)) > 0 AND value IS NOT NULL
+        |  AND ABS((CAST(value AS DOUBLE) - s/n)
+        |          / SQRT(GREATEST(s2/n - (s/n)*(s/n), 0.0))) >= 3.0""".stripMargin,
 
     // integer floor-division replay (// in DuckDB == div in Spark on
     // positive epochs); activity is distinct (user, period) so each

@@ -185,6 +185,38 @@ object Stats {
       .drop("__grp", "__thr")
   }
 
+  /** Per-group z-score outlier detection: rows whose value sits
+    * `threshold` or more POPULATION standard deviations from their own
+    * group's mean — the monitoring companion to the drift statistics
+    * (drift says the distribution moved; this names the rows). The
+    * variance comes from the moment identity `E[v^2] - E[v]^2` so the
+    * whole model is one (sum, sum-of-squares, count) aggregation;
+    * degenerate groups (zero variance, single row) flag nothing rather
+    * than dividing by zero. Null values are never outliers.
+    *
+    * Scale shape: one map-side-combining moments aggregation to
+    * |groups| rows, broadcast back (null-safe join, a NULL group is a
+    * group); the flagging filter stays a map-side scan. Output keeps
+    * the input schema plus a rounded `zscore` column.
+    */
+  def zscoreOutliers(df: DataFrame, valueCol: String, groupCol: String,
+                     threshold: Double = 3.0): DataFrame = {
+    require(threshold > 0.0, s"threshold must be positive, got $threshold")
+    require(!df.columns.exists(Set("__grp", "__s", "__s2", "__n", "zscore")),
+      "input already carries a __grp/__s/__s2/__n/zscore column; rename it first")
+    val v = col(valueCol).cast("double")
+    val moments = df.groupBy(col(groupCol).as("__grp"))
+      .agg(sum(v).as("__s"), sum(v * v).as("__s2"),
+        count(v).as("__n")) // count(v): nulls don't shrink the mean
+    val mean = col("__s") / col("__n")
+    val variance = col("__s2") / col("__n") - mean * mean
+    val sd = sqrt(greatest(variance, lit(0.0)))
+    df.join(broadcast(moments), col(groupCol) <=> col("__grp"))
+      .filter(sd > 0.0 && v.isNotNull && abs((v - mean) / sd) >= threshold)
+      .withColumn("zscore", round((v - mean) / sd, 6))
+      .drop("__grp", "__s", "__s2", "__n")
+  }
+
   /** Quantile-bucket assignment (the CCNet head/middle/tail shape):
     * split rows into `labels.size` buckets at the quantile fractions
     * `qs` of `valueExpr` — labels ordered LOW to HIGH score, a row

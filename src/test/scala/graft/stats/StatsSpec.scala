@@ -60,6 +60,24 @@ class StatsSpec extends AnyFlatSpec with Matchers {
     psi shouldBe expectedPsi +- 1e-9
   }
 
+  "Stats.zscoreOutliers" should "flag rows by their own group's population sigma" in {
+    import spark.implicits._
+    // group a: 0,0,0,10 -> mean 2.5, var 18.75, sd ~4.33, z(10) ~1.732
+    // group b: constant -> sd 0, flags nothing; null value never flags
+    val df = Seq(
+      (1L, "a", Some(0.0)), (2L, "a", Some(0.0)), (3L, "a", Some(0.0)),
+      (4L, "a", Some(10.0)), (5L, "b", Some(7.0)), (6L, "b", Some(7.0)),
+      (7L, "a", None)
+    ).toDF("id", "grp", "v")
+    Stats.zscoreOutliers(df, "v", "grp", threshold = 3.0).count() shouldBe 0L
+    val hit = Stats.zscoreOutliers(df, "v", "grp", threshold = 1.5)
+      .select("id", "zscore").collect().map(r => (r.getLong(0), r.getDouble(1)))
+    hit.map(_._1).toSeq shouldBe Seq(4L)
+    hit.head._2 shouldBe (7.5 / math.sqrt(18.75) +- 1e-6)
+    // schema passes through plus the zscore column
+    Stats.zscoreOutliers(df, "v", "grp").columns.toSeq shouldBe Seq("id", "grp", "v", "zscore")
+  }
+
   it should "match hand-computed JSD, stay symmetric and bounded" in {
     val p = Map("a" -> 50L, "b" -> 50L)
     val q = Map("a" -> 25L, "b" -> 75L)
