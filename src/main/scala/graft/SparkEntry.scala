@@ -759,6 +759,16 @@ object SparkEntry {
       Dedup.minhashPairs(dedupPool(s, dir), k = 24, bands = 12, threshold = 0.5)
         .select(col("id_a"), col("id_b"), round(col("jaccard"), 6).as("jaccard"))),
 
+    // character-level second opinion on the LSH candidates: pairs
+    // within 8 Levenshtein edits (planted near-dups are 6 inserted
+    // chars), thresholded banded DP + length-gap prefilter
+    "neardup_edit_verify" -> ((s, dir) => {
+      val pool = dedupPool(s, dir)
+      Dedup.editVerifiedPairs(pool,
+        Dedup.minhashPairs(pool, k = 24, bands = 12, threshold = 0.5), maxDistance = 8)
+        .select(col("id_a"), col("id_b"), col("edit_dist"))
+    }),
+
     // near-dup CLUSTERS: LSH pairs -> connected components (min-id
     // label propagation). Oracle replays the transitive closure with a
     // recursive CTE over the exact all-pairs Jaccard ground truth.
@@ -1499,6 +1509,19 @@ object SparkEntry {
       s"""WITH $poolCte,
          |$shPairsCte
          |SELECT id_a, id_b, ROUND(j, 6) AS jaccard FROM pairs WHERE j >= 0.5""".stripMargin,
+
+    // ground truth = exact Jaccard pairs (the proven minhash_pairs
+    // oracle) filtered by full levenshtein; the operator's length-gap
+    // prefilter and banded bail-out never change the kept set
+    "neardup_edit_verify" ->
+      s"""WITH $poolCte,
+         |$shPairsCte
+         |SELECT p.id_a, p.id_b,
+         |       CAST(levenshtein(ta.text, tb.text) AS BIGINT) AS edit_dist
+         |FROM pairs p
+         |JOIN pool ta ON p.id_a = ta.doc_id
+         |JOIN pool tb ON p.id_b = tb.doc_id
+         |WHERE p.j >= 0.5 AND levenshtein(ta.text, tb.text) <= 8""".stripMargin,
 
     "neardup_components" ->
       s"""WITH RECURSIVE $poolCte,

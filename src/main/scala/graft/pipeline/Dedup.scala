@@ -145,6 +145,35 @@ object Dedup {
     * (rep_a, rep_b, jaccard) plus the (content_hash -> keep_id) group map
     * needed for expansion.
     */
+  /** Edit-distance verification of candidate near-dup pairs: keep the
+    * (id_a, id_b) candidates whose texts are within `maxDistance`
+    * Levenshtein edits, with the distance alongside — the
+    * character-level second opinion on a shingle-level candidate set
+    * (catches small in-place edits that keep Jaccard high, quantifies
+    * HOW different the pair is).
+    *
+    * Scale shape: candidates come pre-pruned (LSH — never all pairs);
+    * texts join in by id (two narrow hash joins). The length-gap
+    * prefilter (`|len a - len b| <= maxDistance`, a free lower bound on
+    * edit distance) rejects mismatched pairs BEFORE the quadratic DP,
+    * and the kernel itself is the THRESHOLDED codegen `levenshtein`
+    * (banded O(len x maxDistance) DP that bails at the bound and
+    * returns -1, not the full O(len^2) table).
+    */
+  def editVerifiedPairs(df: DataFrame, candidates: DataFrame, maxDistance: Int,
+                        textCol: String = "text", idCol: String = "doc_id"): DataFrame = {
+    require(maxDistance >= 0, s"maxDistance must be >= 0, got $maxDistance")
+    val ta = df.select(col(idCol).as("id_a"), col(textCol).as("__ta"))
+    val tb = df.select(col(idCol).as("id_b"), col(textCol).as("__tb"))
+    candidates.select("id_a", "id_b")
+      .join(ta, "id_a").join(tb, "id_b")
+      .filter(abs(length(col("__ta")) - length(col("__tb"))) <= maxDistance)
+      .withColumn("edit_dist",
+        levenshtein(col("__ta"), col("__tb"), maxDistance).cast("long"))
+      .filter(col("edit_dist") >= 0) // thresholded kernel returns -1 past the bound
+      .select(col("id_a"), col("id_b"), col("edit_dist"))
+  }
+
   def minhashPairsDeduped(df: DataFrame, textCol: String = "text", idCol: String = "doc_id",
                           k: Int = 16, bands: Int = 4, threshold: Double = 0.7,
                           maxBucket: Int = 4096, shingleN: Int = 3): (DataFrame, DataFrame) = {

@@ -990,6 +990,18 @@ class PipelineSpec extends AnyFlatSpec with Matchers {
       Sampling.temperatureMixRates(df, "source", alpha = 0.0)
   }
 
+  "Dedup.editVerifiedPairs" should "keep candidate pairs within the Levenshtein bound" in {
+    import spark.implicits._
+    val df = Seq((1L, "abcdef"), (2L, "abcdxf"), (3L, "zzzzzzzzzzzzzzzz"),
+      (4L, "abcdef extra tail")).toDF("doc_id", "text")
+    val cands = Seq((1L, 2L), (1L, 3L), (1L, 4L)).toDF("id_a", "id_b")
+    def run(maxD: Int) = Dedup.editVerifiedPairs(df, cands, maxD)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+    run(3) shouldBe Set((1L, 2L, 1L)) // substitution=1 in; gap-11 and far pairs out
+    run(11) shouldBe Set((1L, 2L, 1L), (1L, 4L, 11L)) // 11 inserted chars exactly at the bound
+    run(0) shouldBe empty
+  }
+
   "Conversations.funnelCounts" should "count users passing stages in order, ties qualifying" in {
     import spark.implicits._
     val ev = Seq(
