@@ -997,6 +997,12 @@ object SparkEntry {
       Stats.aboveQuantileExact(docs(s, dir), "n_chars", 0.5)
         .select(col("doc_id"), col("n_chars"))),
 
+    // score calibration: each doc's exact within-source CDF rank of
+    // n_chars (integer counts — bit-deterministic, no interpolation)
+    "cdf_bygroup" -> ((s, dir) =>
+      Stats.cdfByGroup(docs(s, dir), "n_chars", "source")
+        .select(col("doc_id"), col("source"), col("n_chars"), col("cdf"))),
+
     // per-SOURCE cutoff (the CCNet per-language shape): each doc is
     // judged against its own source's 0.75-quantile, not the corpus's
     "quality_filter_bygroup" -> ((s, dir) =>
@@ -1857,6 +1863,21 @@ object SparkEntry {
       """SELECT doc_id, n_chars FROM documents
         |WHERE CAST(n_chars AS DOUBLE) >=
         |  (SELECT quantile_cont(CAST(n_chars AS DOUBLE), 0.5) FROM documents)""".stripMargin,
+
+    // the window runs over DISTINCT (source, n_chars) — the oracle
+    // mirrors that and joins back, like the operator
+    "cdf_bygroup" ->
+      """WITH vc AS (SELECT source AS g, n_chars AS v, CAST(COUNT(*) AS BIGINT) AS c
+        |            FROM documents WHERE source IS NOT NULL AND n_chars IS NOT NULL
+        |            GROUP BY source, n_chars),
+        |cum AS (SELECT g, v, CAST(SUM(c) OVER (PARTITION BY g ORDER BY v) AS BIGINT) - c AS below
+        |        FROM vc),
+        |tot AS (SELECT g, CAST(SUM(c) AS BIGINT) AS n FROM vc GROUP BY g)
+        |SELECT d.doc_id, d.source, d.n_chars,
+        |       ROUND(CAST(below AS DOUBLE) / n, 6) AS cdf
+        |FROM documents d
+        |JOIN cum ON d.source = cum.g AND d.n_chars = cum.v
+        |JOIN tot ON cum.g = tot.g""".stripMargin,
 
     "quality_filter_bygroup" ->
       """WITH thr AS (

@@ -217,6 +217,38 @@ object Stats {
       .drop("__grp", "__s", "__s2", "__n")
   }
 
+  /** Per-group CDF (rank) normalization: each row gains the fraction of
+    * its group strictly below its value — the score-calibration
+    * transform that makes thresholds comparable across groups with
+    * different score distributions (a 0.9 means the same thing in
+    * every language). `cdf = |{v' < v}| / n`, exact integer counts, so
+    * the output is bit-deterministic (no percentile interpolation).
+    * Rows with a null group or value are excluded (no rank is
+    * defined for them).
+    *
+    * Scale shape: the ranking window runs over the AGGREGATED
+    * (group, value, count) table — partition sizes bounded by distinct
+    * values per group, never row counts — and the result joins back by
+    * (group, value); totals are a |groups|-row aggregate. The classic
+    * unscalable form (percent_rank over raw rows) shuffles and sorts
+    * the full table per group; this shape only ever sorts distinct
+    * values.
+    */
+  def cdfByGroup(df: DataFrame, valueCol: String, groupCol: String): DataFrame = {
+    require(!df.columns.exists(Set("__g", "__v", "__c", "__below", "__n", "cdf")),
+      "input already carries a __g/__v/__c/__below/__n/cdf column; rename it first")
+    val vc = df.filter(col(groupCol).isNotNull && col(valueCol).isNotNull)
+      .groupBy(col(groupCol).as("__g"), col(valueCol).as("__v"))
+      .agg(count(lit(1)).as("__c"))
+    val w = org.apache.spark.sql.expressions.Window.partitionBy("__g").orderBy("__v")
+    val cum = vc.withColumn("__below", sum(col("__c")).over(w) - col("__c"))
+    val tot = vc.groupBy("__g").agg(sum(col("__c")).as("__n"))
+    df.join(cum, col(groupCol) === col("__g") && col(valueCol) === col("__v"))
+      .join(broadcast(tot.withColumnRenamed("__g", "__g2")), col(groupCol) === col("__g2"))
+      .withColumn("cdf", round(col("__below").cast("double") / col("__n"), 6))
+      .drop("__g", "__v", "__c", "__below", "__g2", "__n")
+  }
+
   /** Quantile-bucket assignment (the CCNet head/middle/tail shape):
     * split rows into `labels.size` buckets at the quantile fractions
     * `qs` of `valueExpr` — labels ordered LOW to HIGH score, a row

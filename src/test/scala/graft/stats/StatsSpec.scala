@@ -60,6 +60,22 @@ class StatsSpec extends AnyFlatSpec with Matchers {
     psi shouldBe expectedPsi +- 1e-9
   }
 
+  "Stats.cdfByGroup" should "rank each row against its own group's exact CDF" in {
+    import spark.implicits._
+    // group a values 10,20,20,40 -> cdf 0, .25, .25, .75; group b 5 -> 0
+    val df = Seq(
+      (1L, Some("a"), Some(10L)), (2L, Some("a"), Some(20L)),
+      (3L, Some("a"), Some(20L)), (4L, Some("a"), Some(40L)),
+      (5L, Some("b"), Some(5L)),
+      (6L, None, Some(9L)), (7L, Some("a"), None) // null group/value: excluded
+    ).toDF("id", "grp", "v")
+    val got = Stats.cdfByGroup(df, "v", "grp")
+      .select("id", "cdf").collect().map(r => (r.getLong(0), r.getDouble(1))).toMap
+    got shouldBe Map(1L -> 0.0, 2L -> 0.25, 3L -> 0.25, 4L -> 0.75, 5L -> 0.0)
+    // schema passes through plus cdf
+    Stats.cdfByGroup(df, "v", "grp").columns.toSeq shouldBe Seq("id", "grp", "v", "cdf")
+  }
+
   "Stats.zscoreOutliers" should "flag rows by their own group's population sigma" in {
     import spark.implicits._
     // group a: 0,0,0,10 -> mean 2.5, var 18.75, sd ~4.33, z(10) ~1.732
