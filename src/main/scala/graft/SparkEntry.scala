@@ -241,6 +241,17 @@ object SparkEntry {
     "ref_orphans" -> ((s, dir) =>
       Integrity.referentialViolations(TranscriptDerive.fromLineitem(s, dir))),
 
+    // turn-index contiguity: conversations whose indices are not exactly
+    // 0..n-1 (gaps, duplicates, missing root) — natural violations from
+    // the dirty fixture's planted duplicate keys
+    "turn_contiguity" -> ((s, dir) =>
+      Integrity.turnContiguity(TranscriptDerive.fromLineitem(s, dir))),
+
+    // functional-dependency profile over the documents table: sources
+    // mapping to more than one language
+    "fd_source_lang" -> ((s, dir) =>
+      Integrity.functionalDependencyViolations(docs(s, dir), "source", "lang")),
+
     "stats_profile" -> ((s, dir) => {
       val t = TranscriptDerive.fromLineitem(s, dir)
       val cols = Seq("conv_id", "turn_idx", "role", "text", "tool", "ts")
@@ -1212,6 +1223,24 @@ object SparkEntry {
       s"""WITH $tCte
          |SELECT conv_id, turn_idx, CAST(COUNT(*) AS BIGINT) AS dup_count
          |FROM transcripts GROUP BY conv_id, turn_idx HAVING COUNT(*) > 1""".stripMargin,
+
+    // same three-valued HAVING as the operator's filter (the
+    // n_distinct = n conjunct is plainly false for null-bearing convs,
+    // so they flag in both engines)
+    "turn_contiguity" ->
+      s"""WITH $tCte
+         |SELECT conv_id, CAST(COUNT(*) AS BIGINT) AS n_turns,
+         |       CAST(MIN(turn_idx) AS BIGINT) AS min_idx,
+         |       CAST(MAX(turn_idx) AS BIGINT) AS max_idx,
+         |       CAST(COUNT(DISTINCT turn_idx) AS BIGINT) AS n_distinct
+         |FROM transcripts GROUP BY conv_id
+         |HAVING NOT (MIN(turn_idx) = 0 AND MAX(turn_idx) = COUNT(*) - 1
+         |            AND COUNT(DISTINCT turn_idx) = COUNT(*))""".stripMargin,
+
+    "fd_source_lang" ->
+      """SELECT source, CAST(COUNT(DISTINCT lang) AS BIGINT) AS n_dep,
+        |       CAST(COUNT(*) AS BIGINT) AS n_rows
+        |FROM documents GROUP BY source HAVING COUNT(DISTINCT lang) > 1""".stripMargin,
 
     "ref_orphans" ->
       s"""WITH $tCte

@@ -132,6 +132,36 @@ object Integrity {
   def conversationRegistry(transcripts: DataFrame): DataFrame =
     transcripts.filter(col("turn_idx") === 0).select("conv_id").distinct()
 
+  /** Turn-index contiguity audit: conversations whose turn indices are
+    * NOT exactly 0..n-1 — gaps, duplicates, a missing root, or null
+    * indices (all-null convs flag too: `n_distinct = 0 != n` makes the
+    * pass conjunction plainly FALSE, so three-valued null comparisons
+    * on min/max never rescue it — same logic as the SQL replay's
+    * HAVING). One map-side-combining aggregation per conversation;
+    * output is violations only.
+    */
+  def turnContiguity(df: DataFrame, convCol: String = "conv_id",
+                     idxCol: String = "turn_idx"): DataFrame =
+    df.groupBy(col(convCol))
+      .agg(count(lit(1)).as("n_turns"),
+        min(col(idxCol)).cast("long").as("min_idx"),
+        max(col(idxCol)).cast("long").as("max_idx"),
+        countDistinct(col(idxCol)).as("n_distinct"))
+      .filter(!(col("min_idx") === 0 && col("max_idx") === col("n_turns") - 1 &&
+        col("n_distinct") === col("n_turns")))
+
+  /** Functional-dependency profile: values of `detCol` that map to more
+    * than one `depCol` value — the classic data-profiling check for a
+    * dependency the schema claims but the data may not keep (source
+    * determines language, user determines region). One aggregation,
+    * count-distinct's two-phase rewrite handles hot determinant keys.
+    */
+  def functionalDependencyViolations(df: DataFrame, detCol: String,
+                                     depCol: String): DataFrame =
+    df.groupBy(col(detCol))
+      .agg(countDistinct(col(depCol)).as("n_dep"), count(lit(1)).as("n_rows"))
+      .filter(col("n_dep") > 1)
+
   /** Referential violations for transcripts, as violation rows. */
   def referentialViolations(transcripts: DataFrame): DataFrame = {
     val reg = conversationRegistry(transcripts)

@@ -79,4 +79,28 @@ class IntegritySpec extends AnyFlatSpec with Matchers {
     top.getAs[String]("conv_id") shouldBe "c0"
     top.getAs[Long]("count").toDouble / (1000 * 50) shouldBe 0.2 +- 0.02
   }
+
+  "Integrity.turnContiguity" should "flag gaps, duplicates, and non-zero roots only" in {
+    import spark.implicits._
+    val df = Seq(
+      ("ok", Some(0)), ("ok", Some(1)), ("ok", Some(2)),   // contiguous: clean
+      ("gap", Some(0)), ("gap", Some(2)),                  // hole at 1
+      ("dup", Some(0)), ("dup", Some(1)), ("dup", Some(1)),// duplicate index
+      ("root", Some(1)), ("root", Some(2)),                // missing 0 root
+      ("nulls", None), ("nulls", None),                    // all-null idx: flagged (n_distinct 0 != n)
+      ("mixed", Some(0)), ("mixed", None)                  // partial null: flagged
+    ).toDF("conv_id", "turn_idx")
+    val flagged = Integrity.turnContiguity(df)
+      .select("conv_id").as[String].collect().sorted.toSeq
+    flagged shouldBe Seq("dup", "gap", "mixed", "nulls", "root")
+  }
+
+  "Integrity.functionalDependencyViolations" should "name determinants with >1 dependent value" in {
+    import spark.implicits._
+    val df = Seq(("s1", "en"), ("s1", "en"), ("s2", "en"), ("s2", "de"), ("s2", "fr"))
+      .toDF("source", "lang")
+    val got = Integrity.functionalDependencyViolations(df, "source", "lang")
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2))).toList
+    got shouldBe List(("s2", 3L, 3L))
+  }
 }
