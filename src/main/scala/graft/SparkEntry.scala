@@ -241,6 +241,11 @@ object SparkEntry {
     "ref_orphans" -> ((s, dir) =>
       Integrity.referentialViolations(TranscriptDerive.fromLineitem(s, dir))),
 
+    // dialog-structure fingerprint: corpus P(next role | role) under the
+    // deterministic turn order (one conv-partitioned window shuffle)
+    "role_transitions" -> ((s, dir) =>
+      Conversations.roleTransitions(TranscriptDerive.fromLineitem(s, dir))),
+
     // turn-index contiguity: conversations whose indices are not exactly
     // 0..n-1 (gaps, duplicates, missing root) — natural violations from
     // the dirty fixture's planted duplicate keys
@@ -1223,6 +1228,21 @@ object SparkEntry {
       s"""WITH $tCte
          |SELECT conv_id, turn_idx, CAST(COUNT(*) AS BIGINT) AS dup_count
          |FROM transcripts GROUP BY conv_id, turn_idx HAVING COUNT(*) > 1""".stripMargin,
+
+    // same total order as the operator (ASC NULLS FIRST is explicit —
+    // DuckDB defaults to NULLS LAST on ASC, Spark to NULLS FIRST)
+    "role_transitions" ->
+      s"""WITH $tCte,
+         |o AS (SELECT conv_id, COALESCE(role, '<null>') AS r,
+         |        LEAD(COALESCE(role, '<null>')) OVER
+         |          (PARTITION BY conv_id ORDER BY turn_idx ASC NULLS FIRST,
+         |           ts ASC NULLS FIRST, role ASC NULLS FIRST, text ASC NULLS FIRST) AS nr
+         |      FROM transcripts),
+         |c AS (SELECT r AS role, nr AS next_role, CAST(COUNT(*) AS BIGINT) AS n
+         |      FROM o WHERE nr IS NOT NULL GROUP BY r, nr),
+         |t AS (SELECT role, CAST(SUM(n) AS BIGINT) AS tt FROM c GROUP BY role)
+         |SELECT c.role, c.next_role, c.n, ROUND(CAST(c.n AS DOUBLE) / tt, 6) AS p
+         |FROM c JOIN t USING (role)""".stripMargin,
 
     // same three-valued HAVING as the operator's filter (the
     // n_distinct = n conjunct is plainly false for null-bearing convs,

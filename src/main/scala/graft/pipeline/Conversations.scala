@@ -67,6 +67,33 @@ object Conversations {
           greatest(count(lit(1)) - 1, lit(1L)), 6).as("role_repeat_ratio"))
   }
 
+  /** Role transition matrix: corpus-wide `P(next role | role)` under
+    * the deterministic [[turnOrder]] within each conversation — the
+    * structural fingerprint of a dialog corpus (user->assistant should
+    * dominate; assistant->assistant spikes flag threading bugs). Null
+    * roles become the "<null>" state BEFORE the lead, so a null next
+    * role stays distinguishable from "conversation ended".
+    *
+    * Scale shape: ONE conversation-partitioned window shuffle (the
+    * same exchange [[structureStats]] uses), then a (role, next_role)
+    * count aggregation — |roles|^2 rows — with per-left totals
+    * broadcast back for the probabilities. Exact long counts; the
+    * division is correctly-rounded and deterministic.
+    */
+  def roleTransitions(df: DataFrame, convCol: String = "conv_id"): DataFrame = {
+    val w = Window.partitionBy(convCol).orderBy(turnOrder: _*)
+    val pairs = df
+      .select(col(convCol), coalesce(col("role"), lit("<null>")).as("r"),
+        lead(coalesce(col("role"), lit("<null>")), 1).over(w).as("nr"))
+      .filter(col("nr").isNotNull) // the last turn has no successor
+    val counts = pairs.groupBy(col("r").as("role"), col("nr").as("next_role"))
+      .agg(count(lit(1)).as("n"))
+    val totals = counts.groupBy("role").agg(sum(col("n")).as("__t"))
+    counts.join(broadcast(totals), "role")
+      .select(col("role"), col("next_role"), col("n"),
+        round(col("n").cast("double") / col("__t"), 6).as("p"))
+  }
+
   /** Ordered-funnel conversion counts: how many users reached stage i
     * having passed stages 1..i-1 IN ORDER — a user is at stage i iff
     * they have a stage-i event at-or-after their earliest qualifying

@@ -1002,6 +1002,23 @@ class PipelineSpec extends AnyFlatSpec with Matchers {
     run(0) shouldBe empty
   }
 
+  "Conversations.roleTransitions" should "compute P(next role | role) with a null-role state" in {
+    import spark.implicits._
+    val df = Seq(
+      ("A", 0, Some("u"), 10L, "t1"), ("A", 1, Some("a"), 20L, "t2"),
+      ("A", 2, Some("u"), 30L, "t3"),
+      ("B", 0, Some("u"), 10L, "t4"), ("B", 1, None, 20L, "t5")
+    ).toDF("conv_id", "turn_idx", "role", "ts", "text")
+    val got = Conversations.roleTransitions(df)
+      .collect().map(r => (r.getString(0), r.getString(1), r.getLong(2), r.getDouble(3)))
+      .toSet
+    got shouldBe Set(
+      ("u", "a", 1L, 0.5), ("u", "<null>", 1L, 0.5), ("a", "u", 1L, 1.0))
+    Conversations.roleTransitions(df.repartition(4))
+      .collect().map(r => (r.getString(0), r.getString(1), r.getLong(2), r.getDouble(3)))
+      .toSet shouldBe got
+  }
+
   "Conversations.funnelCounts" should "count users passing stages in order, ties qualifying" in {
     import spark.implicits._
     val ev = Seq(
