@@ -241,6 +241,16 @@ object SparkEntry {
     "ref_orphans" -> ((s, dir) =>
       Integrity.referentialViolations(TranscriptDerive.fromLineitem(s, dir))),
 
+    // per-conversation tool usage: call counts, distinct tools, and the
+    // tool-call rate (one map-combining agg; the north rule's tool axis)
+    "conv_tool_stats" -> ((s, dir) =>
+      TranscriptDerive.fromLineitem(s, dir)
+        .groupBy(col("conv_id"))
+        .agg(count(col("tool")).as("n_tool_turns"),
+          countDistinct(col("tool")).as("n_distinct_tools"),
+          round(count(col("tool")).cast("double") / count(lit(1)), 6).as("tool_rate"))
+        .filter(col("n_tool_turns") > 0)),
+
     // dialog-structure fingerprint: corpus P(next role | role) under the
     // deterministic turn order (one conv-partitioned window shuffle)
     "role_transitions" -> ((s, dir) =>
@@ -1228,6 +1238,14 @@ object SparkEntry {
       s"""WITH $tCte
          |SELECT conv_id, turn_idx, CAST(COUNT(*) AS BIGINT) AS dup_count
          |FROM transcripts GROUP BY conv_id, turn_idx HAVING COUNT(*) > 1""".stripMargin,
+
+    // COUNT(col) counts non-null tool turns in both engines
+    "conv_tool_stats" ->
+      s"""WITH $tCte
+         |SELECT conv_id, CAST(COUNT(tool) AS BIGINT) AS n_tool_turns,
+         |       CAST(COUNT(DISTINCT tool) AS BIGINT) AS n_distinct_tools,
+         |       ROUND(CAST(COUNT(tool) AS DOUBLE) / COUNT(*), 6) AS tool_rate
+         |FROM transcripts GROUP BY conv_id HAVING COUNT(tool) > 0""".stripMargin,
 
     // same total order as the operator (ASC NULLS FIRST is explicit —
     // DuckDB defaults to NULLS LAST on ASC, Spark to NULLS FIRST)
