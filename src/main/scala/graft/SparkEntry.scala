@@ -937,6 +937,15 @@ object SparkEntry {
       TextOps.charEntropy(docs(s, dir))
         .select(col("doc_id"), col("char_entropy"))),
 
+    // batch retrieval: three queries scored in ONE corpus pass, ranked
+    // per query by the bounded-heap aggregator (never a global sort)
+    "bm25_multi" -> ((s, dir) =>
+      TextOps.bm25Multi(docs(s, dir), Map(
+        "q_engine" -> Seq("spark", "join"),
+        "q_stream" -> Seq("stream", "window"),
+        "q_data" -> Seq("vector", "data")), k = 10)
+        .select(col("query"), col("rank"), col("doc_id"), col("bm25"))),
+
     // ranked retrieval: Okapi BM25 top-40 docs for a 4-term query; the
     // corpus explode is isin-pruned to query terms before any shuffle
     "bm25_topk" -> ((s, dir) =>
@@ -1821,6 +1830,35 @@ object SparkEntry {
         |      FROM ch WHERE ch <> '' GROUP BY doc_id, ch)
         |SELECT doc_id, ROUND(-SUM(c * LOG2(c)) / SUM(c) + LOG2(SUM(c)), 6) AS char_entropy
         |FROM f GROUP BY doc_id""".stripMargin,
+
+    // same per-term model as bm25_topk (df over the union term set),
+    // fanned out by the VALUES query table; rank ties break by doc_id
+    "bm25_multi" ->
+      """WITH base AS (
+        |  SELECT doc_id, list_filter(regexp_split_to_array(trim(lower(text)), '\s+'), t -> t <> '') AS toks
+        |  FROM documents),
+        |stats AS (SELECT CAST(COUNT(*) AS DOUBLE) AS n, AVG(len(toks)) AS avgdl FROM base),
+        |qt(query, t) AS (VALUES ('q_engine', 'spark'), ('q_engine', 'join'),
+        |                        ('q_stream', 'stream'), ('q_stream', 'window'),
+        |                        ('q_data', 'vector'), ('q_data', 'data')),
+        |tf AS (
+        |  SELECT doc_id, dl, t, CAST(COUNT(*) AS BIGINT) AS tf FROM (
+        |    SELECT doc_id, len(toks) AS dl, unnest(toks) AS t FROM base)
+        |  WHERE t IN ('spark', 'join', 'stream', 'window', 'vector', 'data')
+        |  GROUP BY doc_id, dl, t),
+        |dfreq AS (SELECT t, CAST(COUNT(*) AS BIGINT) AS df FROM tf GROUP BY t),
+        |sc AS (SELECT query, doc_id,
+        |         SUM(LN(1.0 + (n - df + 0.5) / (df + 0.5)) * tf * (1.2 + 1.0) /
+        |             (tf + 1.2 * ((1.0 - 0.75) + 0.75 * dl / avgdl))) AS s
+        |       FROM tf JOIN dfreq USING (t) JOIN qt USING (t) CROSS JOIN stats
+        |       GROUP BY query, doc_id),
+        |-- rank by the ROUNDED score like the operator (true ties break
+        |-- by doc_id in both engines)
+        |r AS (SELECT query, doc_id, ROUND(s, 6) AS sr,
+        |        ROW_NUMBER() OVER (PARTITION BY query ORDER BY ROUND(s, 6) DESC, doc_id ASC) AS rn
+        |      FROM sc)
+        |SELECT query, CAST(rn - 1 AS BIGINT) AS rank, doc_id, sr AS bm25
+        |FROM r WHERE rn <= 10""".stripMargin,
 
     // BM25 replay; constants written as the same arithmetic Scala runs
     // ((1.2 + 1.0), (1.0 - 0.75)) — a literal 2.2 is a DIFFERENT double

@@ -602,6 +602,54 @@ object TextOps {
           / sum(col("c")).cast("double"), 6).as("bigram_logprob"))
   }
 
+  /** Batch BM25: score MANY queries in ONE corpus pass. The per-doc
+    * term frequencies are computed once for the union of all query
+    * terms, fanned out per query through a broadcast (query, term)
+    * join, and ranked per query by the bounded-heap
+    * [[graft.functions.TopK]] aggregator — map-side partial top-k, so
+    * the exchange carries at most k docs per (query, task) instead of
+    * every scored (query, doc) pair. The single-query
+    * [[bm25]] is the degenerate Q=1 form; this is the shape for an
+    * eval-suite decontamination sweep or a query batch. Ranks are
+    * dense 0-based per query, ties broken by doc id.
+    */
+  def bm25Multi(df: DataFrame, queries: Map[String, Seq[String]], k: Int,
+                k1: Double = 1.2, b: Double = 0.75,
+                textCol: String = "text", idCol: String = "doc_id"): DataFrame = {
+    require(queries.nonEmpty && queries.values.forall(_.nonEmpty),
+      "bm25Multi needs at least one query, each with at least one term")
+    import df.sparkSession.implicits._
+    val allTerms = queries.values.flatten.toSeq.distinct
+    val base = df.select(col(idCol), normalizedTokens(textCol).as("__toks"))
+    val stats = base.agg(count(lit(1)).cast("double").as("__n"),
+      avg(size(col("__toks"))).as("__avgdl"))
+    val tf = base
+      .select(col(idCol), size(col("__toks")).as("dl"), explode(col("__toks")).as("t"))
+      .filter(col("t").isin(allTerms: _*))
+      .groupBy(col(idCol), col("dl"), col("t")).agg(count(lit(1)).as("tf"))
+    val dfreq = tf.groupBy(col("t")).agg(count(lit(1)).as("df"))
+    val qt = queries.toSeq.sortBy(_._1)
+      .flatMap { case (q, ts) => ts.distinct.map(t => (q, t)) }
+      .toDF("query", "t")
+    tf.join(broadcast(dfreq), "t")
+      .join(broadcast(qt), "t")
+      .crossJoin(broadcast(stats))
+      .select(col("query"), col(idCol), (log(lit(1.0) +
+          (col("__n") - col("df") + lit(0.5)) / (col("df") + lit(0.5))) *
+        col("tf") * lit(k1 + 1.0) /
+          (col("tf") + lit(k1) * (lit(1.0 - b) + lit(b) * col("dl") / col("__avgdl"))))
+        .as("s"))
+      // rank by the ROUNDED score: mathematically-tied docs must tie
+      // exactly (then break by id) — ranking raw sums would let last-ulp
+      // summation-order noise order true ties differently per engine
+      .groupBy(col("query"), col(idCol)).agg(round(sum(col("s")), 6).as("score"))
+      .groupBy(col("query"))
+      .agg(graft.functions.TopK.topK(k)(col("score"), col(idCol).cast("long")).as("__top"))
+      .select(col("query"), posexplode(col("__top")))
+      .select(col("query"), col("pos").cast("long").as("rank"),
+        col("col._2").as(idCol), col("col._1").as("bm25"))
+  }
+
   /** Apply a learned BPE merge table (from [[bpeMerges]], in training
     * order): per-document token counts under the learned vocabulary —
     * the "how long is my corpus in my tokenizer" primitive that sizes

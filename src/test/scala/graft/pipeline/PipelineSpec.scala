@@ -1138,6 +1138,22 @@ class PipelineSpec extends AnyFlatSpec with Matchers {
     TextOps.bm25(df, Seq("zzz"), topN = 3).count() shouldBe 0L
   }
 
+  "TextOps.bm25Multi" should "batch-score queries in one pass, matching the single-query form" in {
+    import spark.implicits._
+    val df = Seq((1L, "x x y"), (2L, "x z"), (3L, "y y y y")).toDF("doc_id", "text")
+    val multi = TextOps.bm25Multi(df, Map("qx" -> Seq("x"), "qxy" -> Seq("x", "y")), k = 3)
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getDouble(3)))
+    // the union-term query reproduces the single-query operator exactly
+    multi.filter(_._1 == "qxy").sortBy(_._2).map(x => (x._3, x._4)).toList shouldBe
+      TextOps.bm25(df, Seq("x", "y"), topN = 3)
+        .collect().map(r => (r.getLong(0), r.getDouble(1))).toList
+    // the single-term query ranks only docs containing that term,
+    // ranks dense from 0
+    val qx = multi.filter(_._1 == "qx").sortBy(_._2)
+    qx.map(_._3).toSet shouldBe Set(1L, 2L)
+    qx.map(_._2).toList shouldBe List(0L, 1L)
+  }
+
   "Sampling.upsampleMd5" should "emit floor(rate) copies plus an md5-selected fraction" in {
     import spark.implicits._
     val df = (1L to 400L).toDF("doc_id")
