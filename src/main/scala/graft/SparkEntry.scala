@@ -1666,15 +1666,17 @@ object SparkEntry {
         |GROUP BY pair ORDER BY n DESC, pair ASC LIMIT 50""".stripMargin,
 
     // moment-identity replay in the same arithmetic shape (mean = s/n,
-    // var = s2/n - mean*mean, z = (v-mean)/sd)
+    // var = s2/n - mean*mean, z = (v-mean)/sd); IS NOT DISTINCT FROM
+    // mirrors the operator's null-safe group join (a NULL event_type
+    // is a group, not a dropped row)
     "value_outliers" ->
       """WITH m AS (SELECT event_type, SUM(CAST(value AS DOUBLE)) AS s,
         |                  SUM(CAST(value AS DOUBLE) * CAST(value AS DOUBLE)) AS s2,
         |                  CAST(COUNT(value) AS BIGINT) AS n
         |           FROM events GROUP BY event_type)
-        |SELECT event_id, event_type, value,
+        |SELECT event_id, e.event_type, value,
         |  ROUND((CAST(value AS DOUBLE) - s/n) / SQRT(GREATEST(s2/n - (s/n)*(s/n), 0.0)), 6) AS zscore
-        |FROM events JOIN m USING (event_type)
+        |FROM events e JOIN m ON e.event_type IS NOT DISTINCT FROM m.event_type
         |WHERE SQRT(GREATEST(s2/n - (s/n)*(s/n), 0.0)) > 0 AND value IS NOT NULL
         |  AND ABS((CAST(value AS DOUBLE) - s/n)
         |          / SQRT(GREATEST(s2/n - (s/n)*(s/n), 0.0))) >= 3.0""".stripMargin,

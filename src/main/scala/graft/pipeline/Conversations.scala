@@ -131,7 +131,13 @@ object Conversations {
     * they were active — `(cohort, offset, n_users)` rows, the
     * engagement-analytics staple. Periods are integer microsecond
     * division (`div`), so bucket membership is exact — no float
-    * boundary, replayable on any engine with floor division.
+    * boundary. `div` (like DuckDB's `//` on these inputs) truncates
+    * toward zero, which equals floor division for the post-1970
+    * timestamps this targets; pre-1970 epochs would share a
+    * double-width period 0 (documented, not supported). A
+    * TIMESTAMP_NTZ input is interpreted in the session time zone by
+    * the cast, which would shift period boundaries — the operator
+    * refuses that silent dependency unless the session is pinned UTC.
     *
     * Scale shape: ONE shuffle on the user column — `collect_set` of
     * active periods per user (map-side partial; bounded by the number
@@ -146,6 +152,17 @@ object Conversations {
                        userCol: String = "user_id", tsCol: String = "ts"): DataFrame = {
     require(periodSeconds > 0, s"period must be positive, got $periodSeconds")
     require(maxPeriods >= 0, s"maxPeriods must be >= 0, got $maxPeriods")
+    // an NTZ ts cast to TIMESTAMP takes the session-tz offset into the
+    // epoch; unlike the as-of join's lag DIFFERENCE, period bucketing
+    // does NOT cancel that shift — fail loud rather than move cohort
+    // boundaries with the session config
+    if (df.schema.fields.exists(f => f.name == tsCol &&
+        f.dataType == org.apache.spark.sql.types.TimestampNTZType)) {
+      val tz = df.sparkSession.conf.get("spark.sql.session.timeZone")
+      require(tz == "UTC" || tz == "Etc/UTC" || tz == "GMT",
+        s"retentionCohorts on a TIMESTAMP_NTZ '$tsCol' needs spark.sql.session.timeZone=UTC " +
+          s"(got $tz): the NTZ->LTZ cast would shift period boundaries by the zone offset")
+    }
     val periodUs = java.lang.Math.multiplyExact(periodSeconds, 1000000L)
     val per = expr(s"unix_micros(CAST($tsCol AS TIMESTAMP)) div $periodUs")
     // "period_offset", not "offset": OFFSET is reserved in ANSI/DuckDB

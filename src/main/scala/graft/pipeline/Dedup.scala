@@ -136,15 +136,6 @@ object Dedup {
       .select("id_a", "id_b", "jaccard")
   }
 
-  /** Dedup-first near-dup detection — the composition to run at corpus
-    * scale: exact dedup collapses each identical-text group to its min-id
-    * representative in ONE linear groupBy (so LSH never sees a
-    * mega-bucket of clones), LSH+verify runs over representatives only,
-    * and each representative pair then expands back to its groups'
-    * members on demand. Returns representative pairs
-    * (rep_a, rep_b, jaccard) plus the (content_hash -> keep_id) group map
-    * needed for expansion.
-    */
   /** Edit-distance verification of candidate near-dup pairs: keep the
     * (id_a, id_b) candidates whose texts are within `maxDistance`
     * Levenshtein edits, with the distance alongside — the
@@ -174,6 +165,15 @@ object Dedup {
       .select(col("id_a"), col("id_b"), col("edit_dist"))
   }
 
+  /** Dedup-first near-dup detection — the composition to run at corpus
+    * scale: exact dedup collapses each identical-text group to its min-id
+    * representative in ONE linear groupBy (so LSH never sees a
+    * mega-bucket of clones), LSH+verify runs over representatives only,
+    * and each representative pair then expands back to its groups'
+    * members on demand. Returns representative pairs
+    * (rep_a, rep_b, jaccard) plus the (content_hash -> keep_id) group map
+    * needed for expansion.
+    */
   def minhashPairsDeduped(df: DataFrame, textCol: String = "text", idCol: String = "doc_id",
                           k: Int = 16, bands: Int = 4, threshold: Double = 0.7,
                           maxBucket: Int = 4096, shingleN: Int = 3): (DataFrame, DataFrame) = {

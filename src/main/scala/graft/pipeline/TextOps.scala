@@ -388,26 +388,36 @@ object TextOps {
            k1: Double = 1.2, b: Double = 0.75,
            textCol: String = "text", idCol: String = "doc_id"): DataFrame = {
     require(queryTerms.nonEmpty, "bm25 needs at least one query term")
-    val toks = filter(split(trim(lower(col(textCol))), "\\s+"), t => t =!= "")
-    val base = df.select(col(idCol), toks.as("__toks"))
-    val stats = base.agg(count(lit(1)).cast("double").as("__n"),
-      avg(size(col("__toks"))).as("__avgdl"))
-    val tf = base
-      .select(col(idCol), size(col("__toks")).as("dl"), explode(col("__toks")).as("t"))
-      .filter(col("t").isin(queryTerms: _*))
-      .groupBy(col(idCol), col("dl"), col("t")).agg(count(lit(1)).as("tf"))
-    val dfreq = tf.groupBy(col("t")).agg(count(lit(1)).as("df"))
-    tf.join(broadcast(dfreq), "t")
-      .crossJoin(broadcast(stats))
-      .select(col(idCol), (log(lit(1.0) +
-          (col("__n") - col("df") + lit(0.5)) / (col("df") + lit(0.5))) *
-        col("tf") * lit(k1 + 1.0) /
-          (col("tf") + lit(k1) * (lit(1.0 - b) + lit(b) * col("dl") / col("__avgdl"))))
-        .as("s"))
+    bm25TermScores(df, queryTerms, k1, b, textCol, idCol)
       .groupBy(col(idCol))
       .agg(round(sum(col("s")), 6).as("bm25"))
       .orderBy(col("bm25").desc, col(idCol).asc)
       .limit(topN)
+  }
+
+  /** Shared BM25 kernel: per-(doc, matched term) score rows over the
+    * given term set — one tokenization, map-side `isin` prune, the
+    * bit-sensitive score arithmetic in exactly one place (both the
+    * single-query and batch operators, and their oracles, depend on
+    * this association order).
+    */
+  private def bm25TermScores(df: DataFrame, terms: Seq[String], k1: Double,
+                             b: Double, textCol: String, idCol: String): DataFrame = {
+    val base = df.select(col(idCol), normalizedTokens(textCol).as("__toks"))
+    val stats = base.agg(count(lit(1)).cast("double").as("__n"),
+      avg(size(col("__toks"))).as("__avgdl"))
+    val tf = base
+      .select(col(idCol), size(col("__toks")).as("dl"), explode(col("__toks")).as("t"))
+      .filter(col("t").isin(terms: _*))
+      .groupBy(col(idCol), col("dl"), col("t")).agg(count(lit(1)).as("tf"))
+    val dfreq = tf.groupBy(col("t")).agg(count(lit(1)).as("df"))
+    tf.join(broadcast(dfreq), "t")
+      .crossJoin(broadcast(stats))
+      .select(col(idCol), col("t"), (log(lit(1.0) +
+          (col("__n") - col("df") + lit(0.5)) / (col("df") + lit(0.5))) *
+        col("tf") * lit(k1 + 1.0) /
+          (col("tf") + lit(k1) * (lit(1.0 - b) + lit(b) * col("dl") / col("__avgdl"))))
+        .as("s"))
   }
 
   /** Language-ID marker families (stopword heuristic). The synthetic
@@ -620,31 +630,24 @@ object TextOps {
       "bm25Multi needs at least one query, each with at least one term")
     import df.sparkSession.implicits._
     val allTerms = queries.values.flatten.toSeq.distinct
-    val base = df.select(col(idCol), normalizedTokens(textCol).as("__toks"))
-    val stats = base.agg(count(lit(1)).cast("double").as("__n"),
-      avg(size(col("__toks"))).as("__avgdl"))
-    val tf = base
-      .select(col(idCol), size(col("__toks")).as("dl"), explode(col("__toks")).as("t"))
-      .filter(col("t").isin(allTerms: _*))
-      .groupBy(col(idCol), col("dl"), col("t")).agg(count(lit(1)).as("tf"))
-    val dfreq = tf.groupBy(col("t")).agg(count(lit(1)).as("df"))
     val qt = queries.toSeq.sortBy(_._1)
       .flatMap { case (q, ts) => ts.distinct.map(t => (q, t)) }
       .toDF("query", "t")
-    tf.join(broadcast(dfreq), "t")
+    // the heap is typed by the id column: long heap for numeric ids,
+    // string heap (lexical ties) otherwise — a hard long cast would
+    // null out string/URL ids and crash the non-nullable tuple encoder
+    val idIsNumeric = df.schema(idCol).dataType.isInstanceOf[org.apache.spark.sql.types.NumericType]
+    val heap: Column => Column =
+      if (idIsNumeric) s => graft.functions.TopK.topK(k)(s, col(idCol).cast("long"))
+      else s => graft.functions.TopK.topKStr(k)(s, col(idCol).cast("string"))
+    // rank by the ROUNDED score: mathematically-tied docs must tie
+    // exactly (then break by id) — ranking raw sums would let last-ulp
+    // summation-order noise order true ties differently per engine
+    bm25TermScores(df, allTerms, k1, b, textCol, idCol)
       .join(broadcast(qt), "t")
-      .crossJoin(broadcast(stats))
-      .select(col("query"), col(idCol), (log(lit(1.0) +
-          (col("__n") - col("df") + lit(0.5)) / (col("df") + lit(0.5))) *
-        col("tf") * lit(k1 + 1.0) /
-          (col("tf") + lit(k1) * (lit(1.0 - b) + lit(b) * col("dl") / col("__avgdl"))))
-        .as("s"))
-      // rank by the ROUNDED score: mathematically-tied docs must tie
-      // exactly (then break by id) — ranking raw sums would let last-ulp
-      // summation-order noise order true ties differently per engine
       .groupBy(col("query"), col(idCol)).agg(round(sum(col("s")), 6).as("score"))
       .groupBy(col("query"))
-      .agg(graft.functions.TopK.topK(k)(col("score"), col(idCol).cast("long")).as("__top"))
+      .agg(heap(col("score")).as("__top"))
       .select(col("query"), posexplode(col("__top")))
       .select(col("query"), col("pos").cast("long").as("rank"),
         col("col._2").as(idCol), col("col._1").as("bm25"))

@@ -235,8 +235,8 @@ object Stats {
     * values.
     */
   def cdfByGroup(df: DataFrame, valueCol: String, groupCol: String): DataFrame = {
-    require(!df.columns.exists(Set("__g", "__v", "__c", "__below", "__n", "cdf")),
-      "input already carries a __g/__v/__c/__below/__n/cdf column; rename it first")
+    require(!df.columns.exists(Set("__g", "__g2", "__v", "__c", "__below", "__n", "cdf")),
+      "input already carries a __g/__g2/__v/__c/__below/__n/cdf column; rename it first")
     val vc = df.filter(col(groupCol).isNotNull && col(valueCol).isNotNull)
       .groupBy(col(groupCol).as("__g"), col(valueCol).as("__v"))
       .agg(count(lit(1)).as("__c"))
