@@ -241,6 +241,19 @@ object SparkEntry {
     "ref_orphans" -> ((s, dir) =>
       Integrity.referentialViolations(TranscriptDerive.fromLineitem(s, dir))),
 
+    // capstone: the whole validation path in ONE summary row — fused
+    // validator violations, duplicate keys, referential orphans, and
+    // contiguity breaks (each count reuses the gated production query;
+    // the lambdas re-enter the map at call time, after construction)
+    "validation_report" -> ((s, dir) => {
+      def n(name: String, as: String) =
+        queries(name)(s, dir).agg(count(lit(1)).as(as))
+      n("v_violations", "n_violations")
+        .crossJoin(n("uniq_duplicates", "n_dup_keys"))
+        .crossJoin(n("ref_orphans", "n_orphans"))
+        .crossJoin(n("turn_contiguity", "n_noncontiguous"))
+    }),
+
     // per-conversation tool usage: call counts, distinct tools, and the
     // tool-call rate (one map-combining agg; the north rule's tool axis)
     "conv_tool_stats" -> ((s, dir) =>
@@ -1210,7 +1223,20 @@ object SparkEntry {
         |""".stripMargin +
       s"JOIN c$numMerges c USING (word) WHERE d.word <> '' GROUP BY d.doc_id"
 
-  def oracleSql: Map[String, String] = Map(
+  /** The capstone report's oracle nests the four component oracles as
+    * COUNT subqueries, so it can never drift from them — defined after
+    * the base map (the map literal is eager; self-reference inside it
+    * would recurse at construction).
+    */
+  def oracleSql: Map[String, String] = oracleSqlBase +
+    ("validation_report" ->
+      s"""SELECT
+         |  (SELECT CAST(COUNT(*) AS BIGINT) FROM (${oracleSqlBase("v_violations")}) a) AS n_violations,
+         |  (SELECT CAST(COUNT(*) AS BIGINT) FROM (${oracleSqlBase("uniq_duplicates")}) b) AS n_dup_keys,
+         |  (SELECT CAST(COUNT(*) AS BIGINT) FROM (${oracleSqlBase("ref_orphans")}) c) AS n_orphans,
+         |  (SELECT CAST(COUNT(*) AS BIGINT) FROM (${oracleSqlBase("turn_contiguity")}) d) AS n_noncontiguous""".stripMargin)
+
+  private def oracleSqlBase: Map[String, String] = Map(
     "v_violations" ->
       s"""WITH $tCte
          |SELECT conv_id, turn_idx, ${ptrSql("role")} AS pointer, 'required' AS "constraint", 'null' AS actual
