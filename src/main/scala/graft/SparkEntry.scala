@@ -241,6 +241,29 @@ object SparkEntry {
     "ref_orphans" -> ((s, dir) =>
       Integrity.referentialViolations(TranscriptDerive.fromLineitem(s, dir))),
 
+    // per-row fidelity digest (the north rule's "per-turn text equality
+    // under stable ordering" as data): md5 over each conversation's
+    // texts concatenated in the PROVEN deterministic turn order (the
+    // same conversation-partitioned window conv_structure gates) — two
+    // tables agree on a conv iff every turn text agrees in order
+    "conv_digest" -> ((s, dir) => {
+      // rows tied on the full order key carry identical text, so the
+      // digest is tie-invariant; rn makes the collected array's sort
+      // key unique and null-free, and the per-conv aggregation reuses
+      // the window's hash partitioning — one shuffle
+      val w = org.apache.spark.sql.expressions.Window.partitionBy("conv_id")
+        .orderBy(col("turn_idx").asc_nulls_first, col("ts").asc_nulls_first,
+          col("role").asc_nulls_first, col("text").asc_nulls_first)
+      TranscriptDerive.fromLineitem(s, dir)
+        .select(col("conv_id"), row_number().over(w).as("__rn"),
+          coalesce(col("text"), lit("<null>")).as("__text"))
+        .groupBy(col("conv_id"))
+        .agg(count(lit(1)).as("n_turns"),
+          md5(concat_ws("\u0001",
+            transform(array_sort(collect_list(struct(col("__rn"), col("__text")))),
+              t => t.getField("__text")))).as("digest"))
+    }),
+
     // capstone: the whole validation path in ONE summary row — fused
     // validator violations, duplicate keys, referential orphans, and
     // contiguity breaks (each count reuses the gated production query;
@@ -1273,6 +1296,16 @@ object SparkEntry {
       s"""WITH $tCte
          |SELECT conv_id, turn_idx, CAST(COUNT(*) AS BIGINT) AS dup_count
          |FROM transcripts GROUP BY conv_id, turn_idx HAVING COUNT(*) > 1""".stripMargin,
+
+    // chr(1) == the Scala literal's  separator; string_agg's
+    // ORDER BY replays the proven window order
+    "conv_digest" ->
+      s"""WITH $tCte
+         |SELECT conv_id, CAST(COUNT(*) AS BIGINT) AS n_turns,
+         |       md5(string_agg(COALESCE(text, '<null>'), chr(1)
+         |             ORDER BY turn_idx ASC NULLS FIRST, ts ASC NULLS FIRST,
+         |                      role ASC NULLS FIRST, text ASC NULLS FIRST)) AS digest
+         |FROM transcripts GROUP BY conv_id""".stripMargin,
 
     // COUNT(col) counts non-null tool turns in both engines
     "conv_tool_stats" ->
