@@ -397,6 +397,18 @@ object SparkEntry {
         "value", "event_type", threshold = 3.0)
         .select(col("event_id"), col("event_type"), col("value"), col("zscore"))),
 
+    // monitoring time series: daily (period, event_type) activity —
+    // event and distinct-user counts plus value totals, the rate table
+    // a drift alarm reads (integer day buckets, one agg)
+    "event_rates" -> ((s, dir) =>
+      s.read.parquet(s"$dir/events.parquet")
+        .select(expr("unix_micros(CAST(ts AS TIMESTAMP)) div 86400000000").as("day"),
+          col("event_type"), col("user_id"), col("value"))
+        .groupBy(col("day"), col("event_type"))
+        .agg(count(lit(1)).as("n_events"),
+          countDistinct(col("user_id")).as("n_users"),
+          round(sum(col("value")), 6).as("sum_value"))),
+
     // weekly cohort retention over the events stream: users bucketed by
     // first-event week, counted in each later active week (integer
     // microsecond division — no float anywhere in the gate)
@@ -1739,6 +1751,13 @@ object SparkEntry {
         |WHERE SQRT(GREATEST(s2/n - (s/n)*(s/n), 0.0)) > 0 AND value IS NOT NULL
         |  AND ABS((CAST(value AS DOUBLE) - s/n)
         |          / SQRT(GREATEST(s2/n - (s/n)*(s/n), 0.0))) >= 3.0""".stripMargin,
+
+    "event_rates" ->
+      """SELECT epoch_us(ts) // 86400000000 AS day, event_type,
+        |       CAST(COUNT(*) AS BIGINT) AS n_events,
+        |       CAST(COUNT(DISTINCT user_id) AS BIGINT) AS n_users,
+        |       ROUND(SUM(value), 6) AS sum_value
+        |FROM events GROUP BY day, event_type""".stripMargin,
 
     // integer floor-division replay (// in DuckDB == div in Spark on
     // positive epochs); activity is distinct (user, period) so each
