@@ -208,6 +208,13 @@ class PlanSpec extends AnyFlatSpec with Matchers {
     plan should not include "CartesianProduct" // stage-count crossjoins broadcast one-row sides
   }
 
+  "conv digest" should "reuse the window's conv partitioning: one exchange total" in {
+    val df = graft.SparkEntry.queries("conv_digest")(spark, sfDir)
+    // window and per-conv agg share the conv_id hash partitioning
+    shuffleCount(df) shouldBe 1
+    formatted(df) should not include "CartesianProduct"
+  }
+
   "pmi collocations" should "take its top-N without a global sort" in {
     val df = graft.SparkEntry.queries("pmi_bigrams")(spark, sfDir)
     val plan = formatted(df)
