@@ -109,6 +109,22 @@ class StatsSpec extends AnyFlatSpec with Matchers {
     d should be <= 1.0 + 1e-9
   }
 
+  it should "hold the JSD/KL invariants on random histograms (property)" in {
+    import org.scalacheck.{Gen, Prop, Test => ScTest}
+    val hist: Gen[Map[String, Long]] = Gen.nonEmptyMap(
+      Gen.zip(Gen.stringOfN(3, Gen.alphaChar), Gen.chooseNum(1L, 1000L)))
+    val p = Prop.forAll(hist, hist) { (a, b) =>
+      val d = Drift.jsd(a, b)
+      val (kl, _) = Drift.klPsi(a, b)
+      d >= 0.0 && d <= 1.0 + 1e-9 &&                  // bounded
+        math.abs(d - Drift.jsd(b, a)) < 1e-12 &&      // symmetric
+        Drift.jsd(a, a) < 1e-12 &&                    // identity
+        kl >= -1e-9                                   // Gibbs (within smoothing)
+    }
+    val r = ScTest.check(ScTest.Parameters.default.withMinSuccessfulTests(300), p)
+    withClue(r.status.toString)(r.passed shouldBe true)
+  }
+
   it should "be ~zero for identical snapshots and positive for shifted ones" in {
     val a = TranscriptGen.generate(spark, 50, 10)
     val b = TranscriptGen.generate(spark, 50, 10, TranscriptGen.Defects(badEnumRole = true, nullRole = true))
