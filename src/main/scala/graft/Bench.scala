@@ -37,6 +37,23 @@ object Bench {
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
     val spark = BenchSession.open(cpus)
 
+    // interleaved fixed-work CPU calibration probe (round-6 verdict
+    // item): the sandbox host's throughput fluctuates ~3x between
+    // hypervisor windows, invisible in guest loadavg. A fixed-cost
+    // single-thread hash loop timed at the start, between query blocks,
+    // and at the end ships in the JSON — cross-round comparisons can
+    // normalize by (or at least see) the host window instead of
+    // forensically re-deriving it from scan-shaped queries.
+    def calibProbe(): Double = {
+      val t0 = System.nanoTime()
+      var acc = 1469598103934665603L // FNV offset basis; fixed work, ~0.2 s nominal
+      var i = 0L
+      while (i < 200000000L) { acc = (acc ^ i) * 1099511628211L; i += 1 }
+      if (acc == 42L) print("") // defeat dead-code elimination
+      (System.nanoTime() - t0) / 1e9
+    }
+    val calib = scala.collection.mutable.ArrayBuffer(calibProbe())
+
     // best-of-2 per query: the first run pays JIT/codegen/file-listing;
     // the host VM's throughput also fluctuates (BENCH.md methodology).
     // The per-query spread (max/min of the two runs) ships in the JSON so
@@ -44,7 +61,9 @@ object Bench {
     // a throwing query must NOT enter the timing stats (its fail-fast
     // wall time would masquerade as the suite's fastest query); it is
     // reported by name in an `errors` array instead
-    val attempts = SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
+    val sorted = SparkEntry.queries.toSeq.sortBy(_._1)
+    val attempts = sorted.zipWithIndex.map { case ((name, fn), idx) =>
+      if (idx > 0 && idx % 25 == 0) calib += calibProbe()
       val times = (1 to 2).map { _ =>
         val t0 = System.nanoTime()
         val ok = try { fn(spark, sfDir).count(); true } catch { case _: Throwable => false }
@@ -52,6 +71,7 @@ object Bench {
       }
       (name, times)
     }
+    calib += calibProbe()
     val errors = attempts.collect { case (name, ts) if ts.exists(!_._1) => name }
     val results = attempts.collect { case (name, ts) if ts.forall(_._1) =>
       val secs = ts.map(_._2)
@@ -87,10 +107,18 @@ object Bench {
     }.mkString("{", ",", "}")
     val total = results.map(_._2).sum
     val errs = errors.map("\"" + _ + "\"").mkString("[", ",", "]")
+    // calibration summary: per-probe seconds (diagnostic line) plus the
+    // min and max/min drift ratio (ships on the metric lines). drift
+    // near 1.0 = stable window; >> 1.0 = the host moved mid-run and
+    // per-query numbers need the per-probe timeline to adjudicate
+    val calibArr = calib.map(r3).mkString("[", ",", "]")
+    val calibMin = calib.min
+    val calibDrift = calib.max / math.max(calib.min, 1e-9)
+    println(s"""{"calib_probes":$calibArr}""")
     println(s"""{"spread":$spreads}""")
     // full per-query map on its own earlier line (fine if the tail clips it)
     println(
-      s"""{"metric":"total_full","value":${r3(total)},"unit":"sec","queries":$qs,"errors":$errs,"sf":"${sfDir.replace("\\", "\\\\").replace("\"", "\\\"")}","turns":$nTurns,"validate_sec":${r3(vSec)},"turns_per_sec":${turnsPerSec.round}}""")
+      s"""{"metric":"total_full","value":${r3(total)},"unit":"sec","queries":$qs,"errors":$errs,"sf":"${sfDir.replace("\\", "\\\\").replace("\"", "\\\"")}","turns":$nTurns,"validate_sec":${r3(vSec)},"turns_per_sec":${turnsPerSec.round},"calib_sec":${r3(calibMin)},"calib_drift":${(math.round(calibDrift * 100) / 100.0)}}""")
     // The driver keeps only the last ~2000 chars of the log and regex-
     // parses the metric JSON out of that window; sbt appends ~80 chars
     // of "[success] Total time ..." after us. With 60+ queries the full
@@ -110,7 +138,7 @@ object Bench {
     val qsCompact = kept.mkString("{", ",", "}")
     val omitted = results.size - kept.size
     println(
-      s"""{"metric":"total","value":${r3(total)},"unit":"sec","queries":$qsCompact,"queries_omitted":$omitted,"errors":$errs,"sf":"${sfDir.replace("\\", "\\\\").replace("\"", "\\\"")}","turns":$nTurns,"validate_sec":${r3(vSec)},"turns_per_sec":${turnsPerSec.round}}""")
+      s"""{"metric":"total","value":${r3(total)},"unit":"sec","queries":$qsCompact,"queries_omitted":$omitted,"errors":$errs,"sf":"${sfDir.replace("\\", "\\\\").replace("\"", "\\\"")}","turns":$nTurns,"validate_sec":${r3(vSec)},"turns_per_sec":${turnsPerSec.round},"calib_sec":${r3(calibMin)},"calib_drift":${(math.round(calibDrift * 100) / 100.0)}}""")
     spark.stop()
   }
 }

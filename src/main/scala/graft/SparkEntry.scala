@@ -267,11 +267,19 @@ object SparkEntry {
     // capstone: the whole validation path in ONE summary row — fused
     // validator violations, duplicate keys, referential orphans, and
     // contiguity breaks (each count reuses the gated production query;
-    // the lambdas re-enter the map at call time, after construction)
+    // the lambdas re-enter the map at call time, after construction).
+    // The violations leg uses the zero-emission TOTAL form
+    // (Validator.violationTotal): a count never needs the emission
+    // path's Generate fan-out or pointer/JSON string building — at
+    // 10^12 rows that is the difference between a pure scan-aggregate
+    // and paying the emission tax once per violating row only to
+    // discard it. The total equals count(*) over emitted rows (each
+    // emitted row is exactly one failing check), so the oracle is
+    // unchanged.
     "validation_report" -> ((s, dir) => {
       def n(name: String, as: String) =
         queries(name)(s, dir).agg(count(lit(1)).as(as))
-      n("v_violations", "n_violations")
+      Validator.violationTotal(TranscriptDerive.fromLineitem(s, dir), schema)
         .crossJoin(n("uniq_duplicates", "n_dup_keys"))
         .crossJoin(n("ref_orphans", "n_orphans"))
         .crossJoin(n("turn_contiguity", "n_noncontiguous"))
@@ -554,12 +562,42 @@ object SparkEntry {
           col("channels").cast("long").as("channels"),
           col("pixel_sum"))),
 
+    // real JDK WAV/PCM decode (round 6, the audio twin of
+    // multimodal_decode): plant 16-bit PCM WAVs whose samples are pure
+    // arithmetic in (id, frame, channel), decode them back through
+    // javax.sound.sampled, and let DuckDB verify frame/channel counts
+    // and exact amplitude sums from the plant rule alone
+    "multimodal_audio" -> ((s, dir) =>
+      Multimodal.decodeAudio(Multimodal.plantWavTable(docs(s, dir).select(col("doc_id"))))
+        .toDF().select(col("doc_id"),
+          col("n_frames"),
+          col("channels").cast("long").as("channels"),
+          col("sample_rate").cast("long").as("sample_rate"),
+          col("amplitude_sum"))),
+
     // BPE tokenizer training: 8 merge rounds over the corpus word
     // census. The oracle replays the whole cascade (census, weighted
     // pair counts, deterministic argmax, literal-replace merge) stage
     // by stage — one wrong tie-break or rewrite anywhere diverges
     // every later merge
     "bpe_merges" -> ((s, dir) => TextOps.bpeMerges(docs(s, dir), numMerges = 8)),
+
+    // batched BPE training (round 6): up to 4 merges per census round —
+    // the distributed-rounds scale path. The oracle replays the batch
+    // rule itself (rank, greedy disjoint accept, one rewrite per round),
+    // NOT the sequential cascade: merge ORDER legitimately diverges from
+    // sequential on chained merges (documented in the Scaladoc with a
+    // three-word proof), so the gate pins the rule value-exactly
+    "bpe_merges_batched" -> ((s, dir) =>
+      TextOps.bpeMergesBatched(docs(s, dir), numMerges = 8, batch = 4)),
+
+    // exact BPE at production vocab sizes (round 6): census collected
+    // once (bounded, minFreq-truncatable — the standard trainer knob),
+    // classic incremental algorithm driver-side, zero Spark jobs per
+    // merge. Gate replays the SAME sequential cascade as bpe_merges:
+    // bit-equality with sequential semantics is the whole contract
+    "bpe_merges_local" -> ((s, dir) =>
+      TextOps.bpeMergesLocal(docs(s, dir), numMerges = 8)),
 
     // train-then-apply: the learned 8-merge table re-tokenizes the
     // corpus; per-doc counts under the learned vocab must match the
@@ -576,11 +614,14 @@ object SparkEntry {
     // at the end): both must collapse to the first occurrence, order
     // preserved
     "dedup_lines_withindoc" -> ((s, dir) => {
+      // coalesce pins the staging rule engine-identically: concat_ws
+      // SKIPS a null argument (separator and all) while the oracle's
+      // || propagates, so both sides stage nulls as '' explicitly
       val staged = docs(s, dir).select(col("doc_id"),
-        concat_ws("\n", col("text"),
+        concat_ws("\n", coalesce(col("text"), lit("")),
           concat(lit("dup "), (col("doc_id") % 3).cast("string")),
           concat(lit("dup "), (col("doc_id") % 3).cast("string")),
-          col("text")).as("text"))
+          coalesce(col("text"), lit(""))).as("text"))
       staged.select(col("doc_id"), TextOps.dedupLinesWithinDoc(col("text")).as("text"))
     }),
 
@@ -626,8 +667,10 @@ object SparkEntry {
     // in original order (the corpus has no text shared by >= 25 docs,
     // so no body line crosses the threshold at any provided SF)
     "boilerplate_removal" -> ((s, dir) => {
+      // coalesce: same engine-identical null staging rule as
+      // dedup_lines_withindoc (concat_ws skips nulls, || propagates)
       val staged = docs(s, dir).select(col("doc_id"),
-        concat_ws("\n", lit("=== COMMON HEADER ==="), col("text"),
+        concat_ws("\n", lit("=== COMMON HEADER ==="), coalesce(col("text"), lit("")),
           concat(lit("footer "), (col("doc_id") % 7).cast("string"))).as("text"))
       TextOps.removeBoilerplate(staged, minDocs = 25)
         .select(col("doc_id"), col("text"))
@@ -1244,6 +1287,83 @@ object SparkEntry {
     s"WITH ${bpeCascade(numMerges)}\n$finals"
   }
 
+  /** Replays the BATCH-selection rule itself (graft.pipeline.TextOps
+    * .bpeMergesBatched), not the sequential cascade: per round, rank
+    * pairs (cnt desc, l, r) within the top `8 * batch` scan window,
+    * greedily accept up to `least(batch, remaining)` pairs in rank
+    * order skipping any pair sharing a symbol with one already
+    * accepted this round, apply the whole batch in one rewrite. Greedy
+    * "scan and skip" == chained "top-1 disjoint from accepted so far",
+    * which is plain SQL (one small sub-CTE per batch slot — no
+    * recursion, nothing census-sized). Worst case every round accepts
+    * one merge, so `numMerges` stages are generated; spent stages
+    * no-op once the merge budget is reached. Together with the
+    * sequential bpe_merges gate this pins both the rule and its
+    * sequential-equality on the fixture corpus.
+    */
+  private def bpeMergesBatchedOracle(numMerges: Int, batch: Int): String = {
+    val scanWindow = 8 * batch
+    val seed =
+      """w AS MATERIALIZED (SELECT word, CAST(COUNT(*) AS BIGINT) AS n FROM (
+        |  SELECT unnest(regexp_split_to_array(trim(text), '\s+')) AS word FROM documents) t
+        |  WHERE word <> '' GROUP BY word),
+        |c0 AS MATERIALIZED (SELECT word, ' ' || array_to_string(
+        |  list_transform(range(1, length(word) + 1), i -> substr(word, i, 1)), '  ')
+        |  || '  </w> ' AS sym, n FROM w)""".stripMargin
+    val stages = (0 until numMerges).map { i =>
+      val cum = if (i == 0) "0"
+      else (0 until i).map(j => s"(SELECT COUNT(*) FROM a$j)").mkString(" + ")
+      // m_i = merges still allowed this round
+      val mi = s"LEAST($batch, $numMerges - ($cum))"
+      // slot g: the highest-ranked pair disjoint from slots 1..g-1
+      val slots = (1 to batch).map { g =>
+        val prevSyms =
+          if (g == 1) ""
+          else {
+            val u = (1 until g).map(h => s"SELECT l AS s FROM a${i}_$h UNION ALL SELECT r FROM a${i}_$h")
+              .mkString(" UNION ALL ")
+            s" AND l NOT IN ($u) AND r NOT IN ($u)"
+          }
+        s"""a${i}_$g AS MATERIALIZED (
+           |  SELECT l, r, cnt, rk FROM r$i
+           |  WHERE ($mi) >= $g$prevSyms
+           |  ORDER BY rk LIMIT 1)""".stripMargin
+      }
+      val aUnion = (1 to batch).map(g => s"SELECT * FROM a${i}_$g").mkString(" UNION ALL ")
+      // nested conditional replaces, slot g applies the g-th accepted
+      // pair (rank order; disjoint symbols cannot interfere). Single
+      // line on purpose: stripMargin over interpolated SQL would eat
+      // one pipe of the '||' concatenations (see bpeEncodeOracle's NB)
+      val applied = (1 to batch).foldLeft("sym") { (prev, g) =>
+        val lg = s"(SELECT l FROM a$i ORDER BY rk LIMIT 1 OFFSET ${g - 1})"
+        val rg = s"(SELECT r FROM a$i ORDER BY rk LIMIT 1 OFFSET ${g - 1})"
+        s"CASE WHEN (SELECT COUNT(*) FROM a$i) >= $g " +
+          s"THEN replace($prev, ' ' || $lg || '  ' || $rg || ' ', ' ' || $lg || $rg || ' ') " +
+          s"ELSE $prev END"
+      }
+      s"""p$i AS MATERIALIZED (
+         |  SELECT struct_extract(pr, 'l') AS l, struct_extract(pr, 'r') AS r,
+         |         CAST(SUM(n) AS BIGINT) AS cnt
+         |  FROM (SELECT n, unnest(list_transform(ts[1:len(ts)-1], (x, k) -> {'l': x, 'r': ts[k+1]})) AS pr
+         |        FROM (SELECT n, string_split(trim(sym), '  ') AS ts FROM c$i))
+         |  GROUP BY 1, 2),
+         |r$i AS MATERIALIZED (
+         |  SELECT l, r, cnt, rk FROM (
+         |    SELECT l, r, cnt, ROW_NUMBER() OVER (ORDER BY cnt DESC, l ASC, r ASC) AS rk
+         |    FROM p$i) WHERE rk <= $scanWindow),
+         |${slots.mkString(",\n")},
+         |a$i AS MATERIALIZED ($aUnion),
+         |c${i + 1} AS MATERIALIZED (SELECT word, $applied AS sym, n FROM c$i)""".stripMargin
+    }
+    val allA = (0 until numMerges).map(i =>
+      s"SELECT $i AS stage, l, r, cnt, rk FROM a$i").mkString(" UNION ALL ")
+    // NB: never stripMargin across the interpolated cascade — it would
+    // eat one pipe of the cascade's own `||` concatenations
+    s"WITH $seed,\n${stages.mkString(",\n")},\nall_a AS ($allA)\n" +
+      "SELECT CAST(ROW_NUMBER() OVER (ORDER BY stage, rk) - 1 AS BIGINT) AS step, " +
+      "l AS left_sym, r AS right_sym, cnt AS pair_count FROM all_a"
+  }
+
   /** The final census stage keys every distinct word to its learned
     * token sequence; per-doc counts are a words->census join — the same
     * vocab-apply shape as the Spark side.
@@ -1740,17 +1860,21 @@ object SparkEntry {
     // var = s2/n - mean*mean, z = (v-mean)/sd); IS NOT DISTINCT FROM
     // mirrors the operator's null-safe group join (a NULL event_type
     // is a group, not a dropped row)
+    // replays the operator's two-pass centered variance (mean first,
+    // then sum of squared deviations), the cancellation-safe shape
     "value_outliers" ->
-      """WITH m AS (SELECT event_type, SUM(CAST(value AS DOUBLE)) AS s,
-        |                  SUM(CAST(value AS DOUBLE) * CAST(value AS DOUBLE)) AS s2,
+      """WITH m AS (SELECT event_type, SUM(CAST(value AS DOUBLE)) / COUNT(value) AS mu,
         |                  CAST(COUNT(value) AS BIGINT) AS n
-        |           FROM events GROUP BY event_type)
+        |           FROM events GROUP BY event_type),
+        |ss AS (SELECT e.event_type, mu, n,
+        |              SUM((CAST(value AS DOUBLE) - mu) * (CAST(value AS DOUBLE) - mu)) AS ssq
+        |       FROM events e JOIN m ON e.event_type IS NOT DISTINCT FROM m.event_type
+        |       GROUP BY e.event_type, mu, n)
         |SELECT event_id, e.event_type, value,
-        |  ROUND((CAST(value AS DOUBLE) - s/n) / SQRT(GREATEST(s2/n - (s/n)*(s/n), 0.0)), 6) AS zscore
-        |FROM events e JOIN m ON e.event_type IS NOT DISTINCT FROM m.event_type
-        |WHERE SQRT(GREATEST(s2/n - (s/n)*(s/n), 0.0)) > 0 AND value IS NOT NULL
-        |  AND ABS((CAST(value AS DOUBLE) - s/n)
-        |          / SQRT(GREATEST(s2/n - (s/n)*(s/n), 0.0))) >= 3.0""".stripMargin,
+        |  ROUND((CAST(value AS DOUBLE) - mu) / SQRT(ssq / n), 6) AS zscore
+        |FROM events e JOIN ss ON e.event_type IS NOT DISTINCT FROM ss.event_type
+        |WHERE SQRT(ssq / n) > 0 AND value IS NOT NULL
+        |  AND ABS((CAST(value AS DOUBLE) - mu) / SQRT(ssq / n)) >= 3.0""".stripMargin,
 
     "event_rates" ->
       """SELECT epoch_us(ts) // 86400000000 AS day, event_type,
@@ -1904,11 +2028,13 @@ object SparkEntry {
 
     // entropy replay in the SAME algebraic form (-sum(c*log2 c)/n +
     // log2 n) so both engines round the same double
+    // nats summed, one /LN(2) at the end — mirrors the operator (and the
+    // jsd precedent) so the gate never depends on a native log2 kernel
     "char_entropy" ->
       """WITH ch AS (SELECT doc_id, unnest(string_split(text, '')) AS ch FROM documents),
         |f AS (SELECT doc_id, ch, CAST(COUNT(*) AS BIGINT) AS c
         |      FROM ch WHERE ch <> '' GROUP BY doc_id, ch)
-        |SELECT doc_id, ROUND(-SUM(c * LOG2(c)) / SUM(c) + LOG2(SUM(c)), 6) AS char_entropy
+        |SELECT doc_id, ROUND((-SUM(c * LN(c)) / SUM(c) + LN(SUM(c))) / LN(2), 6) AS char_entropy
         |FROM f GROUP BY doc_id""".stripMargin,
 
     // same per-term model as bm25_topk (df over the union term set),
@@ -2069,7 +2195,7 @@ object SparkEntry {
         |  SELECT source, quantile_cont(CAST(n_chars AS DOUBLE), 0.75) AS t
         |  FROM documents GROUP BY source)
         |SELECT d.doc_id, d.source, d.n_chars
-        |FROM documents d JOIN thr USING (source)
+        |FROM documents d JOIN thr ON d.source IS NOT DISTINCT FROM thr.source
         |WHERE CAST(d.n_chars AS DOUBLE) >= t""".stripMargin,
 
     "pipeline_endtoend" ->
@@ -2223,8 +2349,10 @@ object SparkEntry {
     // (DuckDB's list_distinct does not document order preservation)
     "dedup_lines_withindoc" ->
       """WITH staged AS (
-        |  SELECT doc_id, text || chr(10) || 'dup ' || CAST(doc_id % 3 AS VARCHAR)
-        |         || chr(10) || 'dup ' || CAST(doc_id % 3 AS VARCHAR) || chr(10) || text AS text
+        |  -- COALESCE mirrors the Spark side's null-skipping concat_ws, so a
+        |  -- null text row stages to the same string in both engines
+        |  SELECT doc_id, COALESCE(text, '') || chr(10) || 'dup ' || CAST(doc_id % 3 AS VARCHAR)
+        |         || chr(10) || 'dup ' || CAST(doc_id % 3 AS VARCHAR) || chr(10) || COALESCE(text, '') AS text
         |  FROM documents),
         |ln AS (
         |  SELECT doc_id, struct_extract(s, 'pos') AS pos, struct_extract(s, 'line') AS line
@@ -2289,6 +2417,15 @@ object SparkEntry {
     // is the right neighbor of slice element k
     "bpe_merges" -> bpeMergesOracle(8),
 
+    // independent replay of the greedy BATCH rule — NOT the sequential
+    // cascade (batched order diverges from sequential on chains, by
+    // design and documented)
+    "bpe_merges_batched" -> bpeMergesBatchedOracle(8, 4),
+
+    // the exact driver-side trainer must match the SEQUENTIAL cascade
+    // bit-for-bit — same oracle as bpe_merges
+    "bpe_merges_local" -> bpeMergesOracle(8),
+
     "bpe_encode" -> bpeEncodeOracle(8),
 
     // replays the line census + removal + ordered reassembly; DuckDB's
@@ -2296,7 +2433,9 @@ object SparkEntry {
     // ORDERS the reassembly, it is never emitted
     "boilerplate_removal" ->
       """WITH staged AS (
-        |  SELECT doc_id, '=== COMMON HEADER ===' || chr(10) || text || chr(10)
+        |  -- COALESCE mirrors the Spark side's null-skipping concat_ws, so a
+        |  -- null text row stages to the same string in both engines
+        |  SELECT doc_id, '=== COMMON HEADER ===' || chr(10) || COALESCE(text, '') || chr(10)
         |         || 'footer ' || CAST(doc_id % 7 AS VARCHAR) AS text
         |  FROM documents),
         |ln AS (
@@ -2328,6 +2467,20 @@ object SparkEntry {
         |CROSS JOIN generate_series(0, 6) gx(x)
         |CROSS JOIN generate_series(0, 4) gy(y)
         |WHERE gx.x < 2 + (d.doc_id % 6) AND gy.y < 2 + (d.doc_id % 4)
+        |GROUP BY 1, 2, 3, 4""".stripMargin,
+
+    // replays the WAV plant rule arithmetically (no audio library):
+    // doc_ids are nonnegative so DuckDB's % == the Spark side's floorMod
+    "multimodal_audio" ->
+      """SELECT d.doc_id,
+        |CAST(16 + (d.doc_id % 32) AS BIGINT) AS n_frames,
+        |1 + (d.doc_id % 2) AS channels,
+        |CAST(8000 AS BIGINT) AS sample_rate,
+        |CAST(SUM((37*d.doc_id + 257*gt.t + 101*gc.c) % 65536 - 32768) AS BIGINT) AS amplitude_sum
+        |FROM documents d
+        |CROSS JOIN generate_series(0, 47) gt(t)
+        |CROSS JOIN generate_series(0, 1) gc(c)
+        |WHERE gt.t < 16 + (d.doc_id % 32) AND gc.c < 1 + (d.doc_id % 2)
         |GROUP BY 1, 2, 3, 4""".stripMargin,
 
     "text_subwords" ->

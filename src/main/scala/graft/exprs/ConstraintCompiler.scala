@@ -785,6 +785,23 @@ object Validator {
       .filter(col("n") > 0)
   }
 
+  /** Grand-total violation count in ONE conditional-sum scan — zero
+    * Generate, zero per-check reshape (even [[violationCounts]]' one-row
+    * explode is unnecessary when only the total is wanted, as in the
+    * validation_report capstone). Equals `count(*)` over the emission
+    * path's rows: each emitted row is exactly one failing check, and a
+    * null check result counts as a pass here exactly as the emission
+    * path's `when` and violationCounts' null-skipping `sum` treat it.
+    */
+  def violationTotal(df: DataFrame, schema: TableSchema): DataFrame = {
+    val checks = ConstraintCompiler.compile(schema, df.schema)
+      .fold(e => throw new IllegalArgumentException(e), identity)
+    val perRow = checks.map(ch => coalesce((!ch.ok).cast("long"), lit(0L)))
+      .reduceOption(_ + _).getOrElse(lit(0L))
+    df.select(perRow.as("__nv"))
+      .agg(coalesce(sum(col("__nv")), lit(0L)).as("n_violations"))
+  }
+
   /** Per-row pass/fail flag in one pass (no explode) — used for
     * per-partition pass/fail accounting.
     */

@@ -10,11 +10,14 @@ import org.apache.spark.sql.functions._
   * `javax.imageio` (PNG/JPEG/BMP/GIF ship with the JRE — no external
   * codec needed) to produce dimensions, channel count, and exact pixel
   * statistics, with undecodable bytes degrading to a typed
-  * `decoded=false` row instead of failing the job. Audio/video remain
-  * stand-ins (`stubDecode`/`frameSample`/`resample` — those codecs are
-  * not in this container): the `mapPartitions` batching, schema, and
-  * output shape are the production plumbing either way; swapping in a
-  * real audio/video codec changes only the per-row body.
+  * `decoded=false` row instead of failing the job. AUDIO decode is
+  * REAL too: [[decodeAudio]] uses `javax.sound.sampled` (WAV/PCM ships
+  * with the JRE) for frame/channel/rate metadata and exact amplitude
+  * sums. Only VIDEO remains a stand-in (`frameSample`/`resample` — no
+  * video codec exists in the JDK or this container): the
+  * `mapPartitions` batching, schema, and output shape are the
+  * production plumbing either way; swapping in a real video codec
+  * changes only the per-row body.
   */
 object Multimodal {
 
@@ -154,6 +157,107 @@ object Multimodal {
         val bos = new java.io.ByteArrayOutputStream(256)
         javax.imageio.ImageIO.write(img, "png", bos)
         MediaRow(id, "image/png", bos.toByteArray)
+      }
+    }.toDF()
+  }
+
+  final case class AudioMeta(
+      doc_id: Long, mime: String, n_bytes: Int, decoded: Boolean,
+      n_frames: Long, channels: Int, sample_rate: Int, amplitude_sum: Long)
+
+  /** REAL audio decode over the binary column via the JDK's
+    * `javax.sound.sampled` (WAV/PCM ships with the JRE, like ImageIO's
+    * PNG — no external codec). Per row: frame count, channel count,
+    * sample rate, and the EXACT sum of all signed 16-bit sample values
+    * (channels interleaved) — enough to pin a lossless PCM round-trip
+    * bit-for-bit (the multimodal_audio gate replays the plant rule's
+    * arithmetic in DuckDB with no audio library). Non-audio mimes,
+    * empty payloads, bytes no installed reader accepts, and non-16-bit
+    * or non-PCM encodings yield a typed `decoded=false` row — one
+    * poison blob must not fail a 100-TB scan. One pass, no shuffle;
+    * decode cost is linear in sample count and stays on the executor.
+    * Video codecs remain genuinely absent from the JDK — [[frameSample]]
+    * stays the documented stand-in for that modality only.
+    */
+  def decodeAudio(media: DataFrame): Dataset[AudioMeta] = {
+    val spark = media.sparkSession
+    import spark.implicits._
+    media.select(col("doc_id"), col("mime"), col("media")).as[MediaRow]
+      .mapPartitions { rows =>
+        rows.map { r =>
+          val bytes = mediaBytes(r)
+          def undecoded = AudioMeta(r.doc_id, r.mime, bytes.length,
+            decoded = false, -1L, -1, -1, -1L)
+          if (r.mime == null || !r.mime.startsWith("audio/") || bytes.isEmpty) undecoded
+          else try {
+            val in = javax.sound.sampled.AudioSystem.getAudioInputStream(
+              new java.io.ByteArrayInputStream(bytes))
+            try {
+              val fmt = in.getFormat
+              val ok = fmt.getEncoding == javax.sound.sampled.AudioFormat.Encoding.PCM_SIGNED &&
+                fmt.getSampleSizeInBits == 16
+              if (!ok) undecoded
+              else {
+                val pcm = in.readAllBytes()
+                var sum = 0L
+                var i = 0
+                if (fmt.isBigEndian) {
+                  while (i + 1 < pcm.length) {
+                    sum += ((pcm(i) << 8) | (pcm(i + 1) & 0xff)).toShort; i += 2
+                  }
+                } else {
+                  while (i + 1 < pcm.length) {
+                    sum += ((pcm(i + 1) << 8) | (pcm(i) & 0xff)).toShort; i += 2
+                  }
+                }
+                AudioMeta(r.doc_id, r.mime, bytes.length, decoded = true,
+                  in.getFrameLength, fmt.getChannels, fmt.getSampleRate.toInt, sum)
+              }
+            } finally in.close()
+          } catch { case scala.util.control.NonFatal(_) => undecoded }
+        }
+      }
+  }
+
+  /** Deterministic WAV plant for the audio-decode gate (the audio twin
+    * of [[plantPngTable]]): each doc_id maps to a 16-bit signed PCM WAV
+    * with `channels = 1 + id%2`, `frames = 16 + id%32`, sample rate
+    * 8000, and interleaved sample values that are pure arithmetic in
+    * (id, frame, channel):
+    * `s(id,t,ch) = (37·id + 257·t + 101·ch) % 65536 - 32768`.
+    * WAV PCM is lossless, so decoding the planted bytes back through
+    * [[decodeAudio]] must reproduce the rule's frame/channel counts and
+    * amplitude sums EXACTLY, which a DuckDB oracle verifies from the
+    * arithmetic alone.
+    */
+  def plantWavTable(ids: DataFrame): DataFrame = {
+    val spark = ids.sparkSession
+    import spark.implicits._
+    ids.select(col("doc_id")).as[Long].mapPartitions { it =>
+      it.map { id =>
+        val channels = (1 + Math.floorMod(id, 2L)).toInt
+        val frames = (16 + Math.floorMod(id, 32L)).toInt
+        val fmt = new javax.sound.sampled.AudioFormat(
+          8000f, 16, channels, true /* signed */, false /* little-endian */)
+        val pcm = new Array[Byte](frames * channels * 2)
+        var t = 0
+        while (t < frames) {
+          var ch = 0
+          while (ch < channels) {
+            val v = (Math.floorMod(37L * id + 257L * t + 101L * ch, 65536L) - 32768L).toInt
+            val off = (t * channels + ch) * 2
+            pcm(off) = (v & 0xff).toByte
+            pcm(off + 1) = ((v >> 8) & 0xff).toByte
+            ch += 1
+          }
+          t += 1
+        }
+        val ais = new javax.sound.sampled.AudioInputStream(
+          new java.io.ByteArrayInputStream(pcm), fmt, frames.toLong)
+        val bos = new java.io.ByteArrayOutputStream(pcm.length + 64)
+        javax.sound.sampled.AudioSystem.write(
+          ais, javax.sound.sampled.AudioFileFormat.Type.WAVE, bos)
+        MediaRow(id, "audio/wav", bos.toByteArray)
       }
     }.toDF()
   }

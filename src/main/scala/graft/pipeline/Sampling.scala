@@ -124,6 +124,15 @@ object Sampling {
     * 52 hex-derived bits keep the hash exact in a double (2^52 < 2^53);
     * ties are broken by key string, so even a collision is
     * deterministic.
+    *
+    * SCALE BOUND: the winner set (|groups| x k key strings) is
+    * force-broadcast back onto the corpus — that is the whole point
+    * (full rows never shuffle), but it means this operator is sized for
+    * MODEST group cardinality (eval-set strata: languages, sources,
+    * domains — thousands of groups, not per-user millions). At
+    * |groups| x k x avg-key-bytes beyond the executor/driver broadcast
+    * budget (~hundreds of MB), switch the group column to a coarser
+    * stratum or use [[hashSampleMd5]] rate-based sampling instead.
     */
   def reservoirByGroupMd5(df: DataFrame, k: Int, keyCol: String, groupCol: String,
                           salt: String = ""): DataFrame = {
@@ -172,9 +181,11 @@ object Sampling {
     * dedup-cluster size), membership stays a pure function of
     * (key, salt, weight): the weighted companion to
     * [[reservoirByGroupMd5]], same TopK bounded heap, same broadcast
-    * LEFT SEMI join-back, full rows never shuffle. Rows with
-    * non-positive or null weight are excluded (ln(u)/w flips sign at
-    * w <= 0 and would win every heap).
+    * LEFT SEMI join-back, full rows never shuffle — and the same
+    * |groups| x k broadcast SCALE BOUND (see [[reservoirByGroupMd5]]:
+    * sized for modest group cardinality, not per-user groups). Rows
+    * with non-positive or null weight are excluded (ln(u)/w flips sign
+    * at w <= 0 and would win every heap).
     */
   def weightedReservoirByGroupMd5(df: DataFrame, k: Int, keyCol: String,
                                   groupCol: String, weightCol: String,

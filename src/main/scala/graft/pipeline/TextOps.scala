@@ -366,8 +366,13 @@ object TextOps {
       .filter(col("ch") =!= "")
       .groupBy(col(idCol), col("ch")).agg(count(lit(1)).as("c"))
       .groupBy(col(idCol))
-      .agg(round(-sum(col("c") * log2(col("c"))) / sum(col("c"))
-        + log2(sum(col("c"))), 6).as("char_entropy"))
+      // nats accumulated, ONE divide by ln 2 at the end (the jsd
+      // precedent): both engines' libms round ln(2) to the same double,
+      // while a native log2 kernel (DuckDB std::log2 vs Spark's
+      // ln/ln2) could diverge past 1 ulp and flip a round(...,6)
+      // boundary nondeterministically
+      .agg(round((-sum(col("c") * log(col("c"))) / sum(col("c"))
+        + log(sum(col("c")))) / lit(math.log(2.0)), 6).as("char_entropy"))
 
   /** BM25 retrieval scoring: the top-`topN` documents for a bag of
     * query terms under Okapi BM25 —
@@ -469,7 +474,8 @@ object TextOps {
     * (consecutive occurrences share a boundary space: 1+1 spaces
     * remain, so the next occurrence still matches — no regex, no
     * lookbehind, replayable on RE2-only engines like the DuckDB
-    * oracle). Each round caches its census and frees the previous one.
+    * oracle). Each round localCheckpoints its census (leaf plan — no
+    * lineage growth) and frees the previous round's blocks.
     *
     * Words containing a literal `</w>` or 2+ consecutive spaces cannot
     * occur (the census tokenizes on whitespace); a corpus whose tokens
@@ -484,9 +490,13 @@ object TextOps {
       .filter(col("w") =!= "")
       .groupBy("w").agg(count(lit(1)).as("n"))
     val merges = scala.collection.mutable.ArrayBuffer.empty[(Long, String, String, Long)]
-    var census = words.select(bpeSeedSym(col("w")).as("sym"), col("n")).cache()
+    // localCheckpoint (eager), not cache: each round's census must be a
+    // LEAF plan — chained withColumns otherwise grow the logical plan
+    // linearly in merges, and plan re-rendering (AQE explain, UI)
+    // quadratically, making the driver the bottleneck long before the
+    // data does (same idiom as Dedup.connectedComponents' rounds)
+    var census = words.select(bpeSeedSym(col("w")).as("sym"), col("n")).localCheckpoint()
     try {
-      census.count()
       var step = 0
       var exhausted = false
       while (step < numMerges && !exhausted) {
@@ -503,16 +513,164 @@ object TextOps {
         else {
           val (l, r, cnt) = (top(0).getString(0), top(0).getString(1), top(0).getLong(2))
           merges += ((step.toLong, l, r, cnt))
-          val next = census.withColumn("sym", bpeMergeStep(col("sym"), l, r)).cache()
-          try next.count()
-          catch { case t: Throwable => next.unpersist(); throw t }
-          census.unpersist()
+          val next = census.withColumn("sym", bpeMergeStep(col("sym"), l, r))
+            .localCheckpoint()
+          // round N materialized -> free round N-1's checkpoint blocks
+          org.apache.spark.sql.GraftSqlBridge.unpersistCheckpoint(census)
           census = next
           step += 1
         }
       }
-    } finally census.unpersist() // frees the live round on success AND failure
+    } finally org.apache.spark.sql.GraftSqlBridge.unpersistCheckpoint(census)
     merges.toSeq.toDF("step", "left_sym", "right_sym", "pair_count")
+  }
+
+  /** Batched BPE merge training — the standard distributed-BPE batching
+    * rule: per census round, greedily accept up to `batch` merges in
+    * rank order (count desc, left asc, right asc), skipping any pair
+    * that shares a symbol with a pair already accepted this round, then
+    * apply the whole batch in ONE census rewrite (mutually disjoint
+    * symbols cannot interfere) and re-census. ~batch x fewer rounds
+    * than [[bpeMerges]] — the scale shape for production vocab sizes
+    * (16k-50k merges), where one-driver-round-per-merge makes the
+    * driver the scheduler bottleneck (~2 Spark jobs x vocab size).
+    *
+    * Relationship to sequential [[bpeMerges]] — DOCUMENTED DIVERGENCE:
+    * sequential BPE frequently CHAINS (merging (l,o) immediately makes
+    * (lo,w) the next top pair — "the"/"ing"-style chains are the norm,
+    * not the exception), and a chained pair cannot exist before its
+    * prefix merge is applied, so NO within-round batch rule can
+    * reproduce sequential order (tiny proof: census {low x3, lower x1,
+    * newest x2} — sequential learns (l,o),(lo,w),(low,</w>); any
+    * one-census batch can only pick from pairs of ORIGINAL symbols).
+    * Greedy batching instead guarantees: every accepted pair's count is
+    * its true census count at the round start, accepted pairs are
+    * mutually non-interfering, and batch=1 degenerates to exactly
+    * sequential. Merge QUALITY is preserved (all accepted pairs are
+    * top-frequency); merge ORDER interleaves chains differently. The
+    * bpe_merges_batched gate replays THIS rule in DuckDB, pinning it
+    * value-exactly; PipelineSpec pins both the batch=1 equality and the
+    * tiny-fixture divergence as a contract. When bit-exact sequential
+    * semantics are required at production vocab sizes, use
+    * [[bpeMergesLocal]] (zero Spark jobs per merge).
+    *
+    * Only the top `scanWindow = 8 * batch` ranked pairs are considered
+    * per round (part of the rule, replayed by the oracle): the driver
+    * collect is O(batch), never census-sized. A round with fewer than
+    * `batch` disjoint pairs in the window accepts what it found —
+    * progress is guaranteed (the top-1 pair is always accepted).
+    */
+  def bpeMergesBatched(docs: DataFrame, numMerges: Int, batch: Int,
+                       textCol: String = "text"): DataFrame =
+    bpeMergesBatchedWithRounds(docs, numMerges, batch, textCol)._1
+
+  /** [[bpeMergesBatched]] plus the number of census rounds used — the
+    * measured evidence for the rounds-reduction claim.
+    */
+  def bpeMergesBatchedWithRounds(docs: DataFrame, numMerges: Int, batch: Int,
+                                 textCol: String = "text"): (DataFrame, Int) = {
+    require(numMerges >= 1, s"numMerges must be >= 1, got $numMerges")
+    require(batch >= 1, s"batch must be >= 1, got $batch")
+    val spark = docs.sparkSession
+    import spark.implicits._
+    val words = docs
+      .select(explode(split(trim(col(textCol)), "\\s+")).as("w"))
+      .filter(col("w") =!= "")
+      .groupBy("w").agg(count(lit(1)).as("n"))
+    val merges = scala.collection.mutable.ArrayBuffer.empty[(Long, String, String, Long)]
+    // leaf-plan census per round (see [[bpeMerges]]): at production
+    // vocab sizes the round count is numMerges/batch — lineage
+    // truncation is what keeps round cost O(census), not O(history)
+    var census = words.select(bpeSeedSym(col("w")).as("sym"), col("n")).localCheckpoint()
+    var rounds = 0
+    try {
+      var exhausted = false
+      while (merges.length < numMerges && !exhausted) {
+        val m = math.min(batch, numMerges - merges.length)
+        val scanWindow = 8 * batch // part of the rule — the oracle replays it
+        val ts = split(trim(col("sym")), "  ")
+        val ranked = census
+          .select(col("n"), explode(zip_with(
+            slice(ts, lit(1), size(ts) - 1), slice(ts, lit(2), size(ts) - 1),
+            (a, b) => struct(a.as("l"), b.as("r")))).as("pr"))
+          .groupBy(col("pr.l").as("l"), col("pr.r").as("r"))
+          .agg(sum(col("n")).as("cnt"))
+          .orderBy(col("cnt").desc, col("l").asc, col("r").asc)
+          .limit(scanWindow).collect()
+          .map(r => (r.getString(0), r.getString(1), r.getLong(2)))
+        if (ranked.isEmpty) exhausted = true
+        else {
+          // greedy disjoint acceptance: skip conflicts, keep scanning
+          val accepted = scala.collection.mutable.ArrayBuffer.empty[(String, String, Long)]
+          val used = scala.collection.mutable.Set.empty[String]
+          var i = 0
+          while (i < ranked.length && accepted.length < m) {
+            val (l, r, c) = ranked(i)
+            if (!used(l) && !used(r)) { accepted += ((l, r, c)); used += l; used += r }
+            i += 1
+          }
+          accepted.foreach { case (l, r, c) =>
+            merges += ((merges.length.toLong, l, r, c)) // step = global index
+          }
+          // one census rewrite applies the whole batch (disjoint symbols
+          // cannot interfere; rank order kept for determinism)
+          val newSym = accepted.foldLeft(col("sym")) { case (s, (l, r, _)) =>
+            bpeMergeStep(s, l, r)
+          }
+          val next = census.withColumn("sym", newSym).localCheckpoint()
+          org.apache.spark.sql.GraftSqlBridge.unpersistCheckpoint(census)
+          census = next
+          rounds += 1
+        }
+      }
+    } finally org.apache.spark.sql.GraftSqlBridge.unpersistCheckpoint(census)
+    (merges.toSeq.toDF("step", "left_sym", "right_sym", "pair_count"), rounds)
+  }
+
+  /** Exact BPE training at production vocab sizes: BIT-IDENTICAL to
+    * [[bpeMerges]] (same counts, same (count desc, left, right) tie
+    * order — pinned by PipelineSpec and the bpe_merges_local gate,
+    * which replays the same sequential cascade oracle), with ZERO Spark
+    * jobs per merge. This is how every production tokenizer trainer
+    * works: BPE operates on the word CENSUS (distinct words x
+    * frequency), not the corpus — so the engine runs ONE distributed
+    * corpus-sized job (the census aggregation, map-side combined,
+    * shuffle bounded by distinct words), pulls the census to the
+    * driver, and trains with the classic incremental algorithm
+    * (pair->words inverted index; each merge touches only the words
+    * containing the pair; lazily-invalidated max-heap argmax). 50k
+    * merges are seconds of driver CPU instead of ~100k sequential
+    * Spark jobs ([[bpeMerges]]) or ~12k batched rounds
+    * ([[bpeMergesBatched]]).
+    *
+    * The census collect is the deliberate, BOUNDED exception to the
+    * no-data-sized-collect rule: `minFreq` truncation (the standard
+    * tokenizer-trainer knob — hapax legomena cannot win a merge against
+    * any pair occurring in a frequent word, yet dominate census
+    * cardinality at web scale) plus the `maxCensusWords` guard make the
+    * driver footprint explicit; exceeding the guard fails loud with the
+    * knob to turn, never OOMs silently. NOTE: minFreq > 1 changes pair
+    * counts (it drops rare words' contributions), so bit-equality with
+    * [[bpeMerges]] holds at minFreq = 1; with truncation the result is
+    * the standard approximation every production trainer ships.
+    */
+  def bpeMergesLocal(docs: DataFrame, numMerges: Int, textCol: String = "text",
+                     minFreq: Long = 1L, maxCensusWords: Int = 10000000): DataFrame = {
+    require(numMerges >= 1, s"numMerges must be >= 1, got $numMerges")
+    require(minFreq >= 1L, s"minFreq must be >= 1, got $minFreq")
+    val spark = docs.sparkSession
+    import spark.implicits._
+    val censusRows = docs
+      .select(explode(split(trim(col(textCol)), "\\s+")).as("w"))
+      .filter(col("w") =!= "")
+      .groupBy("w").agg(count(lit(1)).as("n"))
+      .filter(col("n") >= minFreq)
+      .as[(String, Long)].collect()
+    require(censusRows.length <= maxCensusWords,
+      s"census has ${censusRows.length} words > maxCensusWords=$maxCensusWords; " +
+        "raise minFreq (standard tokenizer-trainer truncation) or maxCensusWords")
+    val merges = BpeLocal.train(censusRows, numMerges)
+    merges.toDF("step", "left_sym", "right_sym", "pair_count")
   }
 
   /** The BPE symbol encoding train and apply MUST share byte-for-byte:

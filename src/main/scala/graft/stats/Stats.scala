@@ -205,16 +205,27 @@ object Stats {
     require(!df.columns.exists(Set("__grp", "__s", "__s2", "__n", "zscore")),
       "input already carries a __grp/__s/__s2/__n/zscore column; rename it first")
     val v = col(valueCol).cast("double")
-    val moments = df.groupBy(col(groupCol).as("__grp"))
-      .agg(sum(v).as("__s"), sum(v * v).as("__s2"),
-        count(v).as("__n")) // count(v): nulls don't shrink the mean
-    val mean = col("__s") / col("__n")
-    val variance = col("__s2") / col("__n") - mean * mean
-    val sd = sqrt(greatest(variance, lit(0.0)))
+    // Two-pass centered variance: pass 1 gets the per-group mean, pass 2
+    // sums squared deviations FROM that mean. The one-pass identity
+    // E[v^2]-E[v]^2 suffers catastrophic cancellation for groups with
+    // large mean and small relative variance (epoch-like values collapse
+    // the variance to 0 and flag nothing); centering first keeps every
+    // addend small. Both passes are map-side-combining aggregations to
+    // |groups| rows, so the extra scan buys numerical safety without a
+    // data-sized shuffle. Sum of squares is >= 0 by construction — no
+    // greatest(...,0) clamp to hide a failure behind.
+    val means = df.groupBy(col(groupCol).as("__grp"))
+      .agg((sum(v) / count(v)).as("__m"), // count(v): nulls don't shrink the mean
+        count(v).as("__n"))
+    val moments = df.join(broadcast(means), col(groupCol) <=> col("__grp"))
+      .groupBy(col("__grp"), col("__m"), col("__n")) // __m/__n fold into the __grp key
+      .agg(sum((v - col("__m")) * (v - col("__m"))).as("__ss"))
+    val mean = col("__m")
+    val sd = sqrt(col("__ss") / col("__n"))
     df.join(broadcast(moments), col(groupCol) <=> col("__grp"))
       .filter(sd > 0.0 && v.isNotNull && abs((v - mean) / sd) >= threshold)
       .withColumn("zscore", round((v - mean) / sd, 6))
-      .drop("__grp", "__s", "__s2", "__n")
+      .drop("__grp", "__m", "__ss", "__n")
   }
 
   /** Per-group CDF (rank) normalization: each row gains the fraction of

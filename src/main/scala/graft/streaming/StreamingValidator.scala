@@ -233,6 +233,92 @@ object StreamingValidator {
   final case class ConvState(maxTurnIdx: Int, maxTsMillis: Long)
   final case class OrderViolation(conv_id: String, turn_idx: Int, kind: String)
 
+  final case class StreamEvent(key: String, event_id: Long, ts: Timestamp)
+  final case class DimUpdate(key: String, ts: Timestamp, seq: Long, payload: String)
+  final case class EnrichedEvent(key: String, event_id: Long, ts: Timestamp,
+                                 asof_payload: String, asof_seq: Long)
+  // public: Spark's generated SafeProjection cannot touch private types
+  final case class AsOfEnv(key: String, ts: Timestamp, side: Int,
+                           seq: Long, payload: String, event_id: Long)
+  final case class AsOfState(versions: List[(Long, Long, String)], // (tsMillis, seq, payload) ts-desc
+                             maxTsMillis: Long)
+
+  /** Streaming event-time AS-OF enrichment — the live-pipeline form of
+    * [[graft.pipeline.AsOf.asofJoin]]: each event is enriched with the
+    * LATEST dimension update of the same key at-or-before its event
+    * time (ties on ts resolve to the greatest seq, exactly the batch
+    * rule). The usual agent-transcript shape: a turn/event stream
+    * joined against a slowly-changing config/session dimension.
+    *
+    * Semantics and state bound: state per key is the dimension VERSION
+    * LIST within the watermark horizon plus ONE floor version at-or-
+    * below the watermark. Every admitted event has ts >= watermark, so
+    * the floor + in-horizon versions answer its as-of lookup EXACTLY —
+    * late events (within watermark) enrich correctly even after newer
+    * dimension versions arrived. State is bounded by dimension update
+    * rate within the horizon, never by history; idle keys evict after
+    * `stateTimeoutMs` of event-time inactivity (same monotone
+    * high-watermark anchoring as [[orderingViolations]]).
+    *
+    * The honest streaming trade (same class as dedup-within-horizon): a
+    * dimension update arriving in a LATER micro-batch than an event it
+    * precedes in event time cannot retro-enrich the already-emitted
+    * event. Batch parity therefore holds when each micro-batch carries
+    * the dimension updates at-or-before its events' event times — the
+    * StreamingSpec mirror pins parity for single-batch and
+    * dims-then-events orderings, and the late-event case.
+    */
+  def asofEnrich(events: Dataset[StreamEvent], dims: Dataset[DimUpdate],
+                 watermark: String = "10 minutes",
+                 stateTimeoutMs: Long = 30L * 60 * 1000): Dataset[EnrichedEvent] = {
+    val spark = events.sparkSession
+    import spark.implicits._
+    val e = events.select(col("key"), col("ts"), lit(1).as("side"),
+      lit(Long.MinValue).as("seq"), lit(null).cast("string").as("payload"),
+      col("event_id")).as[AsOfEnv]
+    val d = dims.filter(col("key").isNotNull && col("ts").isNotNull)
+      .select(col("key"), col("ts"), lit(0).as("side"), col("seq"),
+        col("payload"), lit(-1L).as("event_id")).as[AsOfEnv]
+    e.unionByName(d)
+      .withWatermark("ts", watermark)
+      .groupByKey(_.key)
+      .flatMapGroupsWithState(OutputMode.Append(), GroupStateTimeout.EventTimeTimeout())(
+        (key: String, rows: Iterator[AsOfEnv], state: GroupState[AsOfState]) => {
+          if (state.hasTimedOut) { state.remove(); Iterator.empty }
+          else {
+            var st = state.getOption.getOrElse(AsOfState(Nil, Long.MinValue))
+            val batch = rows.toSeq
+            // ingest this batch's dimension updates first: within a
+            // micro-batch, events see every dim of the same batch (the
+            // batch-parity discipline)
+            val newVersions = batch.filter(_.side == 0)
+              .map(r => (r.ts.getTime, r.seq, r.payload))
+            var versions = (newVersions.toList ++ st.versions)
+              .distinct.sortBy(v => (-v._1, -v._2)) // ts desc, seq desc
+            // prune: drop versions at-or-below the watermark except the
+            // single newest of them (the floor — every admitted event
+            // has ts >= watermark and may still need it)
+            val wm = state.getCurrentWatermarkMs()
+            val (inHorizon, below) = versions.partition(_._1 > wm)
+            versions = inHorizon ++ below.take(1)
+            val out = batch.filter(_.side == 1).map { ev =>
+              val t = ev.ts.getTime
+              versions.find(_._1 <= t) match { // first hit = latest <= t
+                case Some((_, seq, payload)) =>
+                  EnrichedEvent(key, ev.event_id, ev.ts, payload, seq)
+                case None =>
+                  EnrichedEvent(key, ev.event_id, ev.ts, null, -1L)
+              }
+            }
+            val maxTs = (st.maxTsMillis +: batch.map(_.ts.getTime)).max
+            st = AsOfState(versions, maxTs)
+            state.update(st)
+            state.setTimeoutTimestamp(maxTs + stateTimeoutMs)
+            out.iterator
+          }
+        })
+  }
+
   /** Stateful uniqueness/ordering: within each conversation, turn
     * indexes must be strictly increasing in arrival order (append-only
     * transcript streams). Emits a violation for every duplicate or

@@ -40,6 +40,19 @@ class PlanSpec extends AnyFlatSpec with Matchers {
     plan should not include "Join"
   }
 
+  "the validation report" should "count violations without any Generate fan-out" in {
+    val t = graft.sources.TranscriptDerive.fromLineitem(spark, sfDir)
+    // the capstone's violations leg is the zero-emission total: a pure
+    // conditional-sum aggregate over the scan — no Generate (explode),
+    // no pointer/JSON string building, map-side partial combine
+    val leg = formatted(Validator.violationTotal(t, schema))
+    leg should not include "Generate"
+    leg should include("partial_")
+    // and the full one-row report still carries no Generate anywhere
+    val report = formatted(graft.SparkEntry.queries("validation_report")(spark, sfDir))
+    report should not include "Generate"
+  }
+
   "column pruning" should "reach the parquet scan (ReadSchema minimal)" in {
     val docs = spark.read.parquet(s"$sfDir/documents.parquet")
     val plan = formatted(docs.select(graft.pipeline.TextOps.tokenCount(col("text")).as("n")))

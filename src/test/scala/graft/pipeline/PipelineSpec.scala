@@ -583,6 +583,59 @@ class PipelineSpec extends AnyFlatSpec with Matchers {
     }
   }
 
+  "Multimodal.decodeAudio" should "decode a hand-built WAV to exact samples" in {
+    import spark.implicits._
+    import javax.sound.sampled._
+    // stereo 16-bit PCM with chosen sample values, written through the
+    // JDK WAV encoder — lossless, so the decode must reproduce the sum
+    val samples = Array[Short](100, -100, 32767, -32768, 0, 1, -1, 12345) // 4 frames x 2ch
+    val pcm = new Array[Byte](samples.length * 2)
+    samples.zipWithIndex.foreach { case (v, i) =>
+      pcm(2 * i) = (v & 0xff).toByte; pcm(2 * i + 1) = ((v >> 8) & 0xff).toByte
+    }
+    val fmt = new AudioFormat(8000f, 16, 2, true, false)
+    val bos = new java.io.ByteArrayOutputStream
+    AudioSystem.write(new AudioInputStream(
+      new java.io.ByteArrayInputStream(pcm), fmt, 4L), AudioFileFormat.Type.WAVE, bos)
+    val wav = bos.toByteArray
+
+    val df = Seq(
+      (1L, "audio/wav", wav),
+      (2L, "audio/wav", "not audio".getBytes("UTF-8")), // no reader accepts
+      (3L, "text/plain", wav)                           // non-audio mime: skipped
+    ).toDF("doc_id", "mime", "media")
+    val out = Multimodal.decodeAudio(df).collect().map(m => m.doc_id -> m).toMap
+
+    val a = out(1L)
+    a.decoded shouldBe true
+    a.n_frames shouldBe 4L
+    a.channels shouldBe 2
+    a.sample_rate shouldBe 8000
+    a.amplitude_sum shouldBe samples.map(_.toLong).sum
+    out(2L).decoded shouldBe false
+    out(3L).decoded shouldBe false
+  }
+
+  it should "round-trip the planted WAV table against the plant rule" in {
+    import spark.implicits._
+    val ids = (0L until 40L).toDF("doc_id")
+    val out = Multimodal.decodeAudio(Multimodal.plantWavTable(ids))
+      .collect().map(m => m.doc_id -> m).toMap
+    (0L until 40L).foreach { id =>
+      val m = out(id)
+      withClue(s"doc_id=$id: ") {
+        m.decoded shouldBe true
+        m.n_frames shouldBe 16 + id % 32
+        m.channels shouldBe (1 + id % 2).toInt
+        m.sample_rate shouldBe 8000
+        val expect = (for {
+          t <- 0 until m.n_frames.toInt; ch <- 0 until m.channels
+        } yield Math.floorMod(37 * id + 257 * t + 101 * ch, 65536) - 32768).sum
+        m.amplitude_sum shouldBe expect
+      }
+    }
+  }
+
   "Multimodal.frameSample" should "sample deterministic byte windows" in {
     import spark.implicits._
     val df = Seq(
@@ -701,6 +754,60 @@ class PipelineSpec extends AnyFlatSpec with Matchers {
         merges.map(m => (m._2, m._3)))
       .collect().map(r => (r.getLong(0), r.getLong(1))).toMap
     counts shouldBe Map(1L -> 6L, 2L -> 15L)
+  }
+
+  "TextOps.bpeMergesLocal" should "equal sequential bpeMerges bit-for-bit" in {
+    import spark.implicits._
+    def table(df: org.apache.spark.sql.DataFrame) =
+      df.collect().map(r => (r.getLong(0), r.getString(1), r.getString(2), r.getLong(3)))
+        .sortBy(_._1).toList
+
+    // hand fixture incl. ties ((l,o)/(o,w) at 4) and merge chains
+    // ((l,o) -> (lo,w) -> (low,</w>)) — the cases that killed batching
+    val tiny = Seq((1L, "low low lower"), (2L, "newest newest  low")).toDF("doc_id", "text")
+    table(TextOps.bpeMergesLocal(tiny, numMerges = 3)) shouldBe
+      table(TextOps.bpeMerges(tiny, numMerges = 3))
+
+    // exhaustion parity: census runs out of pairs
+    val one = Seq((1L, "a")).toDF("doc_id", "text")
+    table(TextOps.bpeMergesLocal(one, numMerges = 5)) shouldBe
+      table(TextOps.bpeMerges(one, numMerges = 5))
+
+    // natural corpus, deep: 64 exact merges, zero Spark jobs per merge
+    table(TextOps.bpeMergesLocal(docs, numMerges = 64)) shouldBe
+      table(TextOps.bpeMerges(docs, numMerges = 64))
+
+    // the census guard fails loud with the truncation knob named
+    val e = intercept[IllegalArgumentException] {
+      TextOps.bpeMergesLocal(docs, numMerges = 1, maxCensusWords = 3)
+    }
+    e.getMessage should include("minFreq")
+  }
+
+  "TextOps.bpeMergesBatched" should "pin the greedy batch contract" in {
+    import spark.implicits._
+    def table(df: org.apache.spark.sql.DataFrame) =
+      df.collect().map(r => (r.getLong(0), r.getString(1), r.getString(2), r.getLong(3)))
+        .sortBy(_._1).toList
+
+    // batch=1 degenerates to exactly sequential
+    table(TextOps.bpeMergesBatched(docs, numMerges = 12, batch = 1)) shouldBe
+      table(TextOps.bpeMerges(docs, numMerges = 12))
+
+    // the documented divergence pinned as a contract: sequential CHAINS
+    // ((l,o) -> (lo,w) -> (low,</w>)) while a one-census batch can only
+    // pick original-symbol pairs — greedy takes the top disjoint trio
+    val tiny = Seq((1L, "low low lower"), (2L, "newest newest  low")).toDF("doc_id", "text")
+    table(TextOps.bpeMergesBatched(tiny, numMerges = 3, batch = 3)) shouldBe List(
+      (0L, "l", "o", 4L), (1L, "w", "</w>", 3L), (2L, "e", "s", 2L))
+    table(TextOps.bpeMerges(tiny, numMerges = 3)) shouldBe List(
+      (0L, "l", "o", 4L), (1L, "lo", "w", 4L), (2L, "low", "</w>", 3L))
+
+    // the point of batching: ~batch x fewer census rounds
+    val (df, rounds) = TextOps.bpeMergesBatchedWithRounds(docs, numMerges = 64, batch = 8)
+    df.count() shouldBe 64
+    info(s"64 merges in $rounds census rounds at batch=8 (sequential: 64)")
+    rounds should be <= 16
   }
 
   "TextOps.dedupLinesWithinDoc" should "keep first occurrences in order" in {

@@ -225,4 +225,57 @@ class StreamingSpec extends AnyFlatSpec with Matchers {
       candidates shouldBe 66L // the storm is measurable, not silent
     } finally q.stop()
   }
+
+  it should "enrich a live event stream as-of a dimension stream with batch parity" in {
+    import spark.implicits._
+    import StreamingValidator.{StreamEvent, DimUpdate}
+    implicit val sqlCtx = spark.sqlContext
+
+    // dimension: config versions for two keys; events interleave around
+    // the version boundaries, incl. an exact-ts tie (seq max wins) and
+    // an event before any version (null payload)
+    val dims = Seq(
+      DimUpdate("u1", ts(2), 1L, "v1"),
+      DimUpdate("u1", ts(5), 2L, "v2"),
+      DimUpdate("u1", ts(5), 3L, "v2b"), // ts tie -> greatest seq
+      DimUpdate("u2", ts(4), 1L, "w1"))
+    val events = Seq(
+      StreamEvent("u1", 10L, ts(1)), // before any version -> null
+      StreamEvent("u1", 11L, ts(2)), // exactly at v1 -> v1
+      StreamEvent("u1", 12L, ts(4)), // between -> v1
+      StreamEvent("u1", 13L, ts(5)), // tie ts -> v2b (greatest seq)
+      StreamEvent("u1", 14L, ts(9)), // after all -> v2b
+      StreamEvent("u2", 20L, ts(3)), // before u2's only version -> null
+      StreamEvent("u2", 21L, ts(8)))
+
+    // the batch oracle: AsOf.asofJoin on the same data
+    val batchOut = graft.pipeline.AsOf.asofJoin(
+        events.toDF("key", "event_id", "ts"),
+        dims.toDF("key", "ts", "seq", "payload"),
+        keyCol = "key", tsCol = "ts", payloadCols = Seq("payload"), seqCol = "seq")
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getString(3))).toSet
+
+    val de = MemoryStream[DimUpdate]
+    val ee = MemoryStream[StreamEvent]
+    val q = StreamingValidator.asofEnrich(ee.toDS(), de.toDS())
+      .writeStream.format("memory").queryName("sasof").outputMode("append").start()
+    try {
+      // micro-batch 1: dims first (the batch-parity discipline), then a
+      // first slice of events in the SAME batch — same-batch dims must
+      // be visible to same-batch events
+      de.addData(dims: _*)
+      ee.addData(events.take(4): _*)
+      q.processAllAvailable()
+      // micro-batch 2: remaining events, incl. a LATE event (ts(3) for
+      // u2 arrives after newer versions exist) — the version-list state
+      // must answer it exactly, not with the newest version
+      ee.addData(events.drop(4): _*)
+      q.processAllAvailable()
+      val got = spark.sql("SELECT key, event_id, asof_payload FROM sasof").collect()
+        .map(r => (r.getString(0), r.getLong(1), r.getString(2))).toSet
+      got shouldBe batchOut
+      got should contain(("u1", 13L, "v2b")) // tie resolved like batch
+      got should contain(("u1", 10L, null))  // pre-version event
+    } finally q.stop()
+  }
 }
