@@ -408,6 +408,52 @@ object QuantBench {
   }
 }
 
+/** Scaling evidence for the WINDOW+AGG-shaped plan family (round-6
+  * verdict item: scan-shaped flagship and shuffle-join plans were
+  * measured; the third physical family — one conversation-keyed
+  * exchange feeding a partitioned window and a per-key aggregation —
+  * was not). Runs [[graft.pipeline.Conversations.convDigest]] (the
+  * gated conv_digest plan, verbatim) over a generated transcripts
+  * table at N executor JVMs: one cluster per JVM, alternating N/4N
+  * best-of pairs, the same methodology as [[ClusterScalingBench]].
+  * The digest count is printed and must match across levels (the
+  * value-check that the timed work is the real work).
+  */
+object WindowScalingBench {
+  def main(args: Array[String]): Unit = {
+    import LocalClusterBench._
+    val rows = sys.env.getOrElse("SPARK_GRAFT_SCALE_ROWS", "32000000").toLong
+    val input = sys.env.getOrElse("SPARK_GRAFT_WINDOW_DIR", s"/tmp/graft_window_input_$rows")
+
+    ensureInput(input) { gen =>
+      graft.sources.TranscriptGen
+        .generate(gen, rows / 8, 8, graft.sources.TranscriptGen.all)
+        .repartition(128).write.mode("overwrite").parquet(input)
+    }
+
+    def run(executors: Int): (Long, Long, Double) = {
+      val s = LocalClusterBench.session(executors, executors * coresPerExec)
+      try {
+        val df = s.read.parquet(input)
+        def digest() = graft.pipeline.Conversations.convDigest(df).count()
+        val convs = digest() // warm-up (codegen + shuffle services)
+        val times = (1 to 2).map { _ =>
+          val t0 = System.nanoTime()
+          digest()
+          (System.nanoTime() - t0) / 1e9
+        }
+        (df.count(), convs, times.min)
+      } finally teardown(s)
+    }
+
+    // one measurement per JVM (stopped local-clusters starve follow-up
+    // clusters in-process — same constraint as ClusterScalingBench)
+    val executors = args.headOption.getOrElse("1").toInt
+    val (n, convs, sec) = run(executors)
+    println(s"""{"metric":"window_scaling_single","executors":$executors,"cores_per_executor":$coresPerExec,"input_rows":$n,"convs":$convs,"sec":$sec,"turns_per_sec":${(n / sec).round}}""")
+  }
+}
+
 /** Scaling evidence for a SHUFFLE-HEAVY operator (round-5 verdict item:
   * the local-cluster efficiency was measured only on the scan-shaped
   * flagship). Runs MinHash-LSH near-dup pair detection — explode +

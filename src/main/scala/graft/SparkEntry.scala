@@ -246,23 +246,11 @@ object SparkEntry {
     // texts concatenated in the PROVEN deterministic turn order (the
     // same conversation-partitioned window conv_structure gates) — two
     // tables agree on a conv iff every turn text agrees in order
-    "conv_digest" -> ((s, dir) => {
-      // rows tied on the full order key carry identical text, so the
-      // digest is tie-invariant; rn makes the collected array's sort
-      // key unique and null-free, and the per-conv aggregation reuses
-      // the window's hash partitioning — one shuffle
-      val w = org.apache.spark.sql.expressions.Window.partitionBy("conv_id")
-        .orderBy(col("turn_idx").asc_nulls_first, col("ts").asc_nulls_first,
-          col("role").asc_nulls_first, col("text").asc_nulls_first)
-      TranscriptDerive.fromLineitem(s, dir)
-        .select(col("conv_id"), row_number().over(w).as("__rn"),
-          coalesce(col("text"), lit("<null>")).as("__text"))
-        .groupBy(col("conv_id"))
-        .agg(count(lit(1)).as("n_turns"),
-          md5(concat_ws("\u0001",
-            transform(array_sort(collect_list(struct(col("__rn"), col("__text")))),
-              t => t.getField("__text")))).as("digest"))
-    }),
+    "conv_digest" -> ((s, dir) =>
+      // extracted to the operator library (round 6) so WindowScalingBench
+      // measures EXACTLY the gated plan; one conv-keyed shuffle, window
+      // partitioning reused by the aggregation (PlanSpec-pinned)
+      graft.pipeline.Conversations.convDigest(TranscriptDerive.fromLineitem(s, dir))),
 
     // capstone: the whole validation path in ONE summary row — fused
     // validator violations, duplicate keys, referential orphans, and

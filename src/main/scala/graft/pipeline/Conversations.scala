@@ -126,6 +126,34 @@ object Conversations {
       .reduce(_.crossJoin(_))
   }
 
+  /** Per-conversation fidelity digest (the north rule's "per-turn text
+    * equality under stable ordering" as data): md5 over each
+    * conversation's texts concatenated in the PROVEN deterministic turn
+    * order — two tables agree on a conversation iff every turn text
+    * agrees in order. Rows tied on the full order key carry identical
+    * text, so the digest is tie-invariant; `rn` makes the collected
+    * array's sort key unique and null-free.
+    *
+    * Scale shape: ONE conversation-keyed exchange — the per-conv
+    * aggregation reuses the window's hash partitioning (PlanSpec-
+    * pinned), the window buffer is bounded by conversation length, and
+    * the digest is a per-group fold. This is the engine's canonical
+    * window+agg-shaped plan; WindowScalingBench measures its N-vs-4N
+    * executor efficiency (BENCH.md).
+    */
+  def convDigest(df: DataFrame): DataFrame = {
+    val w = org.apache.spark.sql.expressions.Window.partitionBy("conv_id")
+      .orderBy(col("turn_idx").asc_nulls_first, col("ts").asc_nulls_first,
+        col("role").asc_nulls_first, col("text").asc_nulls_first)
+    df.select(col("conv_id"), row_number().over(w).as("__rn"),
+        coalesce(col("text"), lit("<null>")).as("__text"))
+      .groupBy(col("conv_id"))
+      .agg(count(lit(1)).as("n_turns"),
+        md5(concat_ws("\u0001",
+          transform(array_sort(collect_list(struct(col("__rn"), col("__text")))),
+            t => t.getField("__text")))).as("digest"))
+  }
+
   /** Cohort retention matrix: users bucketed by the period of their
     * FIRST event (the cohort), counted again in every later period
     * they were active — `(cohort, offset, n_users)` rows, the

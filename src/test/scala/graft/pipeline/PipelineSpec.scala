@@ -810,6 +810,92 @@ class PipelineSpec extends AnyFlatSpec with Matchers {
     rounds should be <= 16
   }
 
+  "the per-group TopK family" should "survive a pathologically hot group exactly, with no single-task blowup" in {
+    import spark.implicits._
+    // Zipf-hot fixture (the IntegritySpec skew pattern, applied to the
+    // heap-bounded operators): one group carries 80% of 100k rows
+    val n = 100000
+    val fixture = (0 until n).map { i =>
+      val g = if (i % 10 < 8) "hot" else s"g${i % 10}"
+      (i.toLong, g, ((i * 2654435761L) % 100000L).toDouble, s"t${i % 53} t${(i * 7) % 53}")
+    }
+    val df = fixture.toDF("doc_id", "source", "score", "text").repartition(16).cache()
+    df.count()
+    // alternate layout for the determinism check, materialized BEFORE
+    // the listener attaches (its repartition shuffles raw fixture rows
+    // and would otherwise drown the operator metrics being asserted)
+    val df3 = df.repartition(3).cache()
+    df3.count()
+
+    // runtime skew metric: max records any single task reads off a
+    // shuffle. A window/row_number shape would drag all 80k hot rows
+    // into ONE task; the heap-bounded partial-agg shape carries at most
+    // tasks x groups x k records through the exchange in total.
+    val maxTaskRead = new java.util.concurrent.atomic.AtomicLong(0)
+    val listener = new org.apache.spark.scheduler.SparkListener {
+      override def onTaskEnd(e: org.apache.spark.scheduler.SparkListenerTaskEnd): Unit = {
+        val m = e.taskMetrics
+        if (m != null)
+          maxTaskRead.getAndUpdate(cur => math.max(cur, m.shuffleReadMetrics.recordsRead))
+      }
+    }
+    spark.sparkContext.addSparkListener(listener)
+    try {
+      // capPerGroup: exact top-10 by (score desc, id asc) per group
+      val capped = Sampling.capPerGroup(df, n = 10, groupCol = "source", scoreCol = "score")
+      capped.queryExecution.executedPlan.toString should not include "Window"
+      capped.queryExecution.executedPlan.toString should include("partial_topkaggregator")
+      val gotCap = capped.collect()
+        .map(r => (r.getString(0), r.getLong(1), r.getDouble(2), r.getLong(3))).toSet
+      val expCap = fixture.groupBy(_._2).flatMap { case (g, rs) =>
+        rs.sortBy(r => (-r._3, r._1)).take(10).zipWithIndex
+          .map { case (r, i) => (g, r._1, r._3, (i + 1).toLong) }
+      }.toSet
+      gotCap shouldBe expCap
+
+      // vocabularyByGroup: exact per-group top tokens (tf desc, token asc)
+      val vocab = TextOps.vocabularyByGroup(df, k = 5, groupCol = "source")
+      vocab.queryExecution.executedPlan.toString should not include "Window"
+      vocab.queryExecution.executedPlan.toString should include("partial_topkaggregator")
+      val gotVocab = vocab.collect()
+        .map(r => (r.getString(0), r.getLong(1), r.getString(2), r.getLong(3))).toSet
+      val expVocab = fixture
+        .flatMap { case (_, g, _, text) => text.split(" ").map(t => (g, t)) }
+        .groupBy(identity).view.mapValues(_.size.toLong).toSeq
+        .map { case ((g, t), tf) => (g, t, tf) }
+        .groupBy(_._1).flatMap { case (g, ts) =>
+          ts.sortBy(t => (-t._3, t._2)).take(5).zipWithIndex
+            .map { case ((_, t, tf), i) => (g, i.toLong, t, tf) }
+        }.toSet
+      gotVocab shouldBe expVocab
+
+      // reservoirByGroupMd5: exactly min(k, |group|) rows per group,
+      // layout-invariant under the skew (same picks at 3 partitions)
+      val res = Sampling.reservoirByGroupMd5(df, k = 20,
+        keyCol = "doc_id", groupCol = "source", salt = "skew")
+      val picks = res.select("source", "doc_id").collect()
+        .map(r => (r.getString(0), r.getLong(1)))
+      picks.groupBy(_._1).view.mapValues(_.length).toMap shouldBe
+        fixture.groupBy(_._2).view.mapValues(rs => math.min(20, rs.size)).toMap
+      val picks3 = Sampling.reservoirByGroupMd5(df3, k = 20,
+          keyCol = "doc_id", groupCol = "source", salt = "skew")
+        .select("source", "doc_id").collect().map(r => (r.getString(0), r.getLong(1)))
+      picks3.toSet shouldBe picks.toSet
+
+      // listener events are async; give the bus a moment to drain, then
+      // assert no task read anywhere near the hot group's 80k rows
+      val deadline = System.currentTimeMillis() + 5000
+      while (maxTaskRead.get() == 0 && System.currentTimeMillis() < deadline)
+        Thread.sleep(50)
+      maxTaskRead.get() should be > 0L
+      maxTaskRead.get() should be < 20000L
+    } finally {
+      spark.sparkContext.removeSparkListener(listener)
+      df3.unpersist()
+      df.unpersist()
+    }
+  }
+
   "TextOps.dedupLinesWithinDoc" should "keep first occurrences in order" in {
     import spark.implicits._
     val out = Seq(
