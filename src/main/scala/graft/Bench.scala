@@ -423,7 +423,10 @@ object WindowScalingBench {
   def main(args: Array[String]): Unit = {
     import LocalClusterBench._
     val rows = sys.env.getOrElse("SPARK_GRAFT_SCALE_ROWS", "32000000").toLong
-    val input = sys.env.getOrElse("SPARK_GRAFT_WINDOW_DIR", s"/tmp/graft_window_input_$rows")
+    // same generation rule AND row-count-keyed path as ClusterScalingBench:
+    // the two benches share one on-disk input instead of storing a
+    // byte-identical multi-GB copy each
+    val input = sys.env.getOrElse("SPARK_GRAFT_SCALE_DIR", s"/tmp/graft_scaling_input_$rows")
 
     ensureInput(input) { gen =>
       graft.sources.TranscriptGen

@@ -142,9 +142,7 @@ object Conversations {
     * executor efficiency (BENCH.md).
     */
   def convDigest(df: DataFrame): DataFrame = {
-    val w = org.apache.spark.sql.expressions.Window.partitionBy("conv_id")
-      .orderBy(col("turn_idx").asc_nulls_first, col("ts").asc_nulls_first,
-        col("role").asc_nulls_first, col("text").asc_nulls_first)
+    val w = Window.partitionBy("conv_id").orderBy(turnOrder: _*)
     df.select(col("conv_id"), row_number().over(w).as("__rn"),
         coalesce(col("text"), lit("<null>")).as("__text"))
       .groupBy(col("conv_id"))

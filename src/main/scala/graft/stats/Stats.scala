@@ -189,10 +189,11 @@ object Stats {
     * `threshold` or more POPULATION standard deviations from their own
     * group's mean — the monitoring companion to the drift statistics
     * (drift says the distribution moved; this names the rows). The
-    * variance comes from the moment identity `E[v^2] - E[v]^2` so the
-    * whole model is one (sum, sum-of-squares, count) aggregation;
-    * degenerate groups (zero variance, single row) flag nothing rather
-    * than dividing by zero. Null values are never outliers.
+    * variance is computed two-pass (per-group mean first, then summed
+    * squared deviations from it) — numerically safe where the one-pass
+    * moment identity cancels catastrophically; degenerate groups (zero
+    * variance, single row) flag nothing rather than dividing by zero.
+    * Null values are never outliers.
     *
     * Scale shape: one map-side-combining moments aggregation to
     * |groups| rows, broadcast back (null-safe join, a NULL group is a
@@ -202,8 +203,8 @@ object Stats {
   def zscoreOutliers(df: DataFrame, valueCol: String, groupCol: String,
                      threshold: Double = 3.0): DataFrame = {
     require(threshold > 0.0, s"threshold must be positive, got $threshold")
-    require(!df.columns.exists(Set("__grp", "__s", "__s2", "__n", "zscore")),
-      "input already carries a __grp/__s/__s2/__n/zscore column; rename it first")
+    require(!df.columns.exists(Set("__grp", "__m", "__ss", "__n", "zscore")),
+      "input already carries a __grp/__m/__ss/__n/zscore column; rename it first")
     val v = col(valueCol).cast("double")
     // Two-pass centered variance: pass 1 gets the per-group mean, pass 2
     // sums squared deviations FROM that mean. The one-pass identity

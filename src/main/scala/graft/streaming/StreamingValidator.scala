@@ -302,15 +302,21 @@ object StreamingValidator {
             val (inHorizon, below) = versions.partition(_._1 > wm)
             versions = inHorizon ++ below.take(1)
             val out = batch.filter(_.side == 1).map { ev =>
-              val t = ev.ts.getTime
-              versions.find(_._1 <= t) match { // first hit = latest <= t
+              // null-ts events mirror the batch rule (AsOf.asofJoin:
+              // "left null-ts rows sort first and therefore see no
+              // right row") — enriched with a null payload, NOT an NPE
+              // that would kill the whole query on one poison row
+              val hit = if (ev.ts == null) None
+                        else versions.find(_._1 <= ev.ts.getTime) // first hit = latest <= t
+              hit match {
                 case Some((_, seq, payload)) =>
                   EnrichedEvent(key, ev.event_id, ev.ts, payload, seq)
                 case None =>
                   EnrichedEvent(key, ev.event_id, ev.ts, null, -1L)
               }
             }
-            val maxTs = (st.maxTsMillis +: batch.map(_.ts.getTime)).max
+            val maxTs =
+              (st.maxTsMillis +: batch.collect { case r if r.ts != null => r.ts.getTime }).max
             st = AsOfState(versions, maxTs)
             state.update(st)
             state.setTimeoutTimestamp(maxTs + stateTimeoutMs)

@@ -276,6 +276,18 @@ class StreamingSpec extends AnyFlatSpec with Matchers {
       got shouldBe batchOut
       got should contain(("u1", 13L, "v2b")) // tie resolved like batch
       got should contain(("u1", 10L, null))  // pre-version event
+
+      // poison row: one null-ts event must not kill the whole query
+      // (batch rule: null ts sorts first, sees no dimension row). The
+      // streaming watermark operator may drop the row outright (null
+      // event time fails the late filter) — the contract pinned here is
+      // no-crash plus null-payload-if-emitted.
+      ee.addData(StreamEvent("u1", 30L, null))
+      q.processAllAvailable()
+      val after = spark.sql("SELECT key, event_id, asof_payload FROM sasof").collect()
+        .map(r => (r.getString(0), r.getLong(1), r.getString(2))).toSet
+      after.filter(_._2 != 30L) shouldBe batchOut // earlier rows undisturbed
+      after.filter(_._2 == 30L).foreach(_._3 shouldBe null)
     } finally q.stop()
   }
 }
