@@ -319,6 +319,17 @@ object SparkEntry {
       wide.select(explode(array(structs: _*)).as("s")).select(col("s.*"))
     }),
 
+    // draft-4 constraint INFERENCE (Deequ-style suggestion): per column,
+    // the tightest type/required/bounds/lengths/enum the observed data
+    // satisfies. The emitted rule is exact (the oracle replays it with
+    // exact aggregates); the HLL only prunes enum candidates with a 2x
+    // margin. renderSchemaJson over these rows re-parses through
+    // TableSchemaCompiler and validates the source table clean
+    // (round-trip pinned by SchemaInferSpec).
+    "schema_infer" -> ((s, dir) =>
+      graft.stats.SchemaInfer.inferConstraints(
+        TranscriptDerive.fromLineitem(s, dir), enumMaxDistinct = 16)),
+
     "drift_role_klpsi" -> ((s, dir) =>
       klPsiBetweenHalves(s, dir, coalesce(col("role"), lit("<null>")))),
 
@@ -1482,6 +1493,38 @@ object SparkEntry {
            |CAST(COUNT(DISTINCT $n) AS BIGINT) AS n_distinct FROM transcripts""".stripMargin
       s"""WITH $tCte
          |${Seq("conv_id", "turn_idx", "role", "text", "tool", "ts").map(one).mkString("\nUNION ALL\n")}""".stripMargin
+    },
+
+    // replays the exact inference rule per column: required = null-free,
+    // numeric/timestamp bounds as doubles (timestamps in epoch micros),
+    // string length bounds, enum = sorted exact value set when the
+    // non-null distinct count is in [1,16] (string/integer columns only)
+    "schema_infer" -> {
+      def strCol(n: String) =
+        s"""SELECT '$n' AS "column", 'string' AS json_type, CAST(NULL AS VARCHAR) AS format,
+           |COUNT(*) FILTER (WHERE $n IS NULL) = 0 AND COUNT(*) > 0 AS required,
+           |CAST(NULL AS DOUBLE) AS min_num, CAST(NULL AS DOUBLE) AS max_num,
+           |CAST(MIN(LENGTH($n)) AS BIGINT) AS min_len, CAST(MAX(LENGTH($n)) AS BIGINT) AS max_len,
+           |CASE WHEN COUNT(DISTINCT $n) BETWEEN 1 AND 16
+           |     THEN array_to_string(list_sort(list(DISTINCT CAST($n AS VARCHAR))), ',') END AS enum_vals
+           |FROM transcripts""".stripMargin
+      def intCol(n: String) =
+        s"""SELECT '$n', 'integer', CAST(NULL AS VARCHAR),
+           |COUNT(*) FILTER (WHERE $n IS NULL) = 0 AND COUNT(*) > 0,
+           |CAST(MIN($n) AS DOUBLE), CAST(MAX($n) AS DOUBLE),
+           |CAST(NULL AS BIGINT), CAST(NULL AS BIGINT),
+           |CASE WHEN COUNT(DISTINCT $n) BETWEEN 1 AND 16
+           |     THEN array_to_string(list_sort(list(DISTINCT CAST($n AS VARCHAR))), ',') END
+           |FROM transcripts""".stripMargin
+      def tsCol(n: String) =
+        s"""SELECT '$n', 'string', 'date-time',
+           |COUNT(*) FILTER (WHERE $n IS NULL) = 0 AND COUNT(*) > 0,
+           |CAST(epoch_us(MIN($n)) AS DOUBLE), CAST(epoch_us(MAX($n)) AS DOUBLE),
+           |CAST(NULL AS BIGINT), CAST(NULL AS BIGINT), CAST(NULL AS VARCHAR)
+           |FROM transcripts""".stripMargin
+      s"""WITH $tCte
+         |${Seq(strCol("conv_id"), intCol("turn_idx"), strCol("role"),
+                strCol("text"), strCol("tool"), tsCol("ts")).mkString("\nUNION ALL\n")}""".stripMargin
     },
 
     "drift_role_klpsi" ->

@@ -1,0 +1,233 @@
+package graft.stats
+
+import org.apache.spark.sql.{DataFrame, Row}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+
+/** Draft-4 constraint INFERENCE — the "suggest constraints" companion
+  * to the validator (the feature Deequ/Great-Expectations ship as
+  * constraint suggestion, re-expressed over this engine's draft-4
+  * vocabulary; reference vocabulary:
+  * `/root/reference/src/main/scala/json/schema/parser/model.scala:71-94`).
+  * Profiles a table and emits, per column, the TIGHTEST draft-4 keyword
+  * set the observed data satisfies — `type` / `required` / `minimum` /
+  * `maximum` / `minLength` / `maxLength` / `enum` — plus a
+  * deterministic renderer producing a draft-4 schema document that
+  * [[graft.compile.TableSchemaCompiler]] re-parses and binds, so
+  * inferred schemas round-trip through the engine's own compile
+  * pipeline: `validate(render(infer(t)), t)` emits ZERO violations by
+  * construction (pinned by SchemaInferSpec), and any later row outside
+  * the observed envelope is flagged by the ordinary gated validator.
+  *
+  * Scale shape (the 100-TB contract):
+  *  - pass 1 is ONE wide map-side-combining aggregation over the scan
+  *    (nulls, typed min/max, string length bounds, HyperLogLog++
+  *    distinct per column) — the [[Stats.profile]] physical shape, one
+  *    1-row collect;
+  *  - enum candidacy is decided driver-side from the HLL estimate with
+  *    a 2x safety margin (HLL++ at Spark's default rsd 0.05 is within
+  *    a few percent — 2x cannot miss a true <=`enumMaxDistinct`-ary
+  *    column; the margin is part of the documented rule);
+  *  - pass 2 collects the EXACT value set for candidate columns only,
+  *    in ONE scan (exploded (column, value) pairs, map-side partial
+  *    collect_set) — every per-group set is bounded by the prune at
+  *    ~2x `enumMaxDistinct` values, so the collect is O(columns x
+  *    enumMaxDistinct), never data-sized. The exact set (not the HLL)
+  *    decides enum membership, so output is a pure function of the
+  *    data.
+  *
+  * Enum literals are inferred only for string / integral / boolean
+  * columns — fractional and timestamp literals do not render
+  * engine-stably (float formatting differs across engines) and are
+  * poor enum candidates anyway; they keep range constraints instead.
+  */
+object SchemaInfer {
+
+  /** One row per input column (input order), the inference result:
+    * `(column, json_type, format, required, min_num, max_num, min_len,
+    * max_len, enum_vals)`. `min_num`/`max_num` carry numeric bounds as
+    * exact-integer-valued doubles for integral columns,
+    * microseconds-since-epoch for timestamps, raw doubles for
+    * fractional columns; `min_len`/`max_len` are string length bounds;
+    * `enum_vals` is the sorted, comma-joined exact value set when the
+    * column's non-null distinct count is in `[1, enumMaxDistinct]`,
+    * else null.
+    */
+  val outputSchema: StructType = StructType(Seq(
+    StructField("column", StringType, nullable = false),
+    StructField("json_type", StringType, nullable = false),
+    StructField("format", StringType, nullable = true),
+    StructField("required", BooleanType, nullable = false),
+    StructField("min_num", DoubleType, nullable = true),
+    StructField("max_num", DoubleType, nullable = true),
+    StructField("min_len", LongType, nullable = true),
+    StructField("max_len", LongType, nullable = true),
+    StructField("enum_vals", StringType, nullable = true)))
+
+  private def isIntegral(dt: DataType): Boolean = dt match {
+    case ByteType | ShortType | IntegerType | LongType => true
+    case _ => false
+  }
+
+  private def jsonType(dt: DataType): (String, Option[String]) = dt match {
+    case StringType      => ("string", None)
+    case BooleanType     => ("boolean", None)
+    case dt if isIntegral(dt) => ("integer", None)
+    case FloatType | DoubleType | _: DecimalType => ("number", None)
+    case TimestampType | TimestampNTZType => ("string", Some("date-time"))
+    case _: ArrayType    => ("array", None)
+    case _               => ("object", None)
+  }
+
+  private def enumEligible(dt: DataType): Boolean =
+    dt == StringType || dt == BooleanType || isIntegral(dt)
+
+  def inferConstraints(df: DataFrame, enumMaxDistinct: Int = 16): DataFrame = {
+    require(enumMaxDistinct >= 1, s"enumMaxDistinct must be >= 1, got $enumMaxDistinct")
+    val spark = df.sparkSession
+    val fields = df.schema.fields.toSeq
+
+    // ---- pass 1: one wide agg ----
+    val aggs = count(lit(1)).as("__total") +: fields.flatMap { f =>
+      val c = col(f.name)
+      val (minC, maxC) = f.dataType match {
+        case _: NumericType => (min(c).cast("double"), max(c).cast("double"))
+        case TimestampType  => (min(unix_micros(c)).cast("double"), max(unix_micros(c)).cast("double"))
+        case TimestampNTZType =>
+          // NTZ micros are well-defined only when the NTZ->LTZ cast is an
+          // identity (the retentionCohorts precedent): require UTC rather
+          // than silently shifting bounds by the session zone offset
+          val tz = df.sparkSession.conf.get("spark.sql.session.timeZone")
+          require(tz == "UTC" || tz == "Etc/UTC" || tz == "GMT",
+            s"inferConstraints on a TIMESTAMP_NTZ '${f.name}' needs " +
+              s"spark.sql.session.timeZone=UTC (got $tz): the NTZ->LTZ cast " +
+              "would shift the inferred bounds by the zone offset")
+          (min(unix_micros(c.cast(TimestampType))).cast("double"),
+           max(unix_micros(c.cast(TimestampType))).cast("double"))
+        case _              => (lit(null).cast("double"), lit(null).cast("double"))
+      }
+      val (minL, maxL) = f.dataType match {
+        case StringType => (min(length(c)).cast("long"), max(length(c)).cast("long"))
+        case _          => (lit(null).cast("long"), lit(null).cast("long"))
+      }
+      Seq(
+        sum(c.isNull.cast("long")).as(s"${f.name}__nulls"),
+        minC.as(s"${f.name}__min"), maxC.as(s"${f.name}__max"),
+        minL.as(s"${f.name}__minlen"), maxL.as(s"${f.name}__maxlen"),
+        (if (enumEligible(f.dataType)) approx_count_distinct(c)
+         else lit(null).cast("long")).as(s"${f.name}__hll"))
+    }
+    val row = df.agg(aggs.head, aggs.tail: _*).collect()(0) // 1-row collect
+    def l(n: String): Option[Long] = Option(row.getAs[java.lang.Long](n)).map(_.longValue)
+    def d(n: String): Option[Double] = Option(row.getAs[java.lang.Double](n)).map(_.doubleValue)
+    val total = row.getAs[Long]("__total")
+
+    // ---- pass 2: exact enum sets for HLL-pruned candidates, one scan ----
+    val candidates = fields.filter { f =>
+      enumEligible(f.dataType) && l(s"${f.name}__hll").exists(_ <= 2L * enumMaxDistinct)
+    }
+    val enums: Map[String, Seq[String]] =
+      if (candidates.isEmpty) Map.empty
+      else {
+        val pairs = df.select(explode(array(candidates.map(f =>
+            struct(lit(f.name).as("c"), col(f.name).cast("string").as("v"))): _*)).as("p"))
+          .select(col("p.c").as("c"), col("p.v").as("v"))
+          .where(col("v").isNotNull)
+        pairs.groupBy("c").agg(sort_array(collect_set(col("v"))).as("vals"))
+          .collect() // bounded: candidates x ~2*enumMaxDistinct values
+          .map(r => r.getString(0) -> r.getSeq[String](1)).toMap
+      }
+
+    val out = fields.map { f =>
+      val (jt, fmt) = jsonType(f.dataType)
+      val nulls = l(s"${f.name}__nulls").getOrElse(0L)
+      val enumV = enums.get(f.name)
+        .filter(vs => vs.nonEmpty && vs.length <= enumMaxDistinct)
+        .map(_.mkString(","))
+      Row(f.name, jt, fmt.orNull, total > 0L && nulls == 0L,
+        d(s"${f.name}__min").map(Double.box).orNull,
+        d(s"${f.name}__max").map(Double.box).orNull,
+        l(s"${f.name}__minlen").map(Long.box).orNull,
+        l(s"${f.name}__maxlen").map(Long.box).orNull,
+        enumV.orNull)
+    }
+    spark.createDataFrame(spark.sparkContext.parallelize(out, 1), outputSchema)
+  }
+
+  private def esc(s: String): String = {
+    val b = new StringBuilder
+    s.foreach {
+      case '"'  => b.append("\\\"")
+      case '\\' => b.append("\\\\")
+      case c if c < ' ' => b.append(f"\\u${c.toInt}%04x")
+      case c    => b.append(c)
+    }
+    b.toString
+  }
+
+  /** Render one inferred number: integral values as integer literals
+    * (draft-4 `integer` bounds), everything else via BigDecimal's plain
+    * string (no locale, no E-notation surprises).
+    */
+  private def num(v: Double): String =
+    if (v.isWhole && math.abs(v) < 9.007199254740992e15) v.toLong.toString
+    else new java.math.BigDecimal(v).toPlainString
+
+  /** Deterministic draft-4 document from [[inferConstraints]] rows
+    * (column order preserved; `required` lists the null-free columns in
+    * that order; keywords per type: string -> minLength/maxLength,
+    * integer/number -> minimum/maximum, timestamp -> format date-time;
+    * enum rendered with type-correct literals). The output re-parses
+    * through [[graft.compile.TableSchemaCompiler]] — that round-trip is
+    * the contract.
+    */
+  def renderSchemaJson(constraints: Seq[Row],
+                       id: String = "http://graft.local/inferred#"): String = {
+    val props = constraints.map { r =>
+      val name = r.getString(0); val jt = r.getString(1)
+      val fmt = Option(r.getString(2))
+      val minN = Option(r.get(4)).map(_.asInstanceOf[Double])
+      val maxN = Option(r.get(5)).map(_.asInstanceOf[Double])
+      val minL = Option(r.get(6)).map(_.asInstanceOf[Long])
+      val maxL = Option(r.get(7)).map(_.asInstanceOf[Long])
+      val enumV = Option(r.getString(8)).map(_.split(",", -1).toSeq)
+      val kw = scala.collection.mutable.ArrayBuffer(s""""type": "$jt"""")
+      fmt.foreach(f => kw += s""""format": "$f"""")
+      if (fmt.isEmpty) { // ranges only where the literal renders stably
+        if (jt == "integer" || jt == "number") {
+          minN.foreach(v => kw += s""""minimum": ${num(v)}""")
+          maxN.foreach(v => kw += s""""maximum": ${num(v)}""")
+        }
+        if (jt == "string") {
+          minL.foreach(v => kw += s""""minLength": $v""")
+          maxL.foreach(v => kw += s""""maxLength": $v""")
+        }
+        enumV.foreach { vs =>
+          val lits = jt match {
+            case "string"  => vs.map(v => s""""${esc(v)}"""")
+            case "integer" => vs.map(_.toLong.toString)
+            case "boolean" => vs // "true"/"false" are already literals
+            case _         => Seq.empty
+          }
+          if (lits.nonEmpty) kw += s""""enum": [${lits.mkString(", ")}]"""
+        }
+      }
+      s""""${esc(name)}": { ${kw.mkString(", ")} }"""
+    }
+    val required = constraints.filter(_.getBoolean(3)).map(r => s""""${esc(r.getString(0))}"""")
+    val reqLine = if (required.isEmpty) "" else s"""  "required": [${required.mkString(", ")}],\n"""
+    s"""{
+       |  "$$schema": "http://json-schema.org/draft-04/schema#",
+       |  "id": "${esc(id)}",
+       |  "type": "object",
+       |$reqLine  "properties": {
+       |    ${props.mkString(",\n    ")}
+       |  }
+       |}""".stripMargin
+  }
+
+  /** infer + render in one call. */
+  def inferSchemaJson(df: DataFrame, enumMaxDistinct: Int = 16,
+                      id: String = "http://graft.local/inferred#"): String =
+    renderSchemaJson(inferConstraints(df, enumMaxDistinct).collect().toSeq, id)
+}

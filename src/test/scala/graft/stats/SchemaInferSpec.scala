@@ -1,0 +1,113 @@
+package graft.stats
+
+import org.scalatest.flatspec.AnyFlatSpec
+import org.scalatest.matchers.should.Matchers
+import org.apache.spark.sql.functions._
+import graft.SparkTestBase
+import graft.compile.TableSchemaCompiler
+import graft.exprs.Validator
+import graft.sources.TranscriptGen
+
+/** Constraint inference goldens + the round-trip contract: an inferred
+  * schema re-parses through the engine's own compile pipeline and
+  * validates its source table with ZERO violations; rows outside the
+  * observed envelope are flagged.
+  */
+class SchemaInferSpec extends AnyFlatSpec with Matchers {
+
+  private lazy val spark = SparkTestBase.spark
+  import spark.implicits._
+
+  private def byCol(df: org.apache.spark.sql.DataFrame) =
+    SchemaInfer.inferConstraints(df).collect().map(r => r.getString(0) -> r).toMap
+
+  "SchemaInfer" should "infer exact bounds, requiredness and enums on a known fixture" in {
+    val df = Seq(
+      (1L, "alpha", Some(3), Some(true), 1.5),
+      (2L, "beta", Some(7), Some(false), -2.0),
+      (3L, "alpha", None, Some(true), 0.25)
+    ).toDF("id", "name", "score", "flag", "ratio")
+    val rows = byCol(df)
+
+    rows("id").getString(1) shouldBe "integer"
+    rows("id").getBoolean(3) shouldBe true // no nulls
+    rows("id").getDouble(4) shouldBe 1.0
+    rows("id").getDouble(5) shouldBe 3.0
+    rows("id").getString(8) shouldBe "1,2,3" // 3 distinct ints -> enum
+
+    rows("name").getString(1) shouldBe "string"
+    rows("name").getLong(6) shouldBe 4L // minLength "beta"
+    rows("name").getLong(7) shouldBe 5L // maxLength "alpha"
+    rows("name").getString(8) shouldBe "alpha,beta"
+
+    rows("score").getBoolean(3) shouldBe false // has a null
+    rows("score").getString(8) shouldBe "3,7"
+
+    rows("flag").getString(1) shouldBe "boolean"
+    rows("flag").getString(8) shouldBe "false,true"
+
+    rows("ratio").getString(1) shouldBe "number"
+    rows("ratio").getDouble(4) shouldBe -2.0
+    rows("ratio").getDouble(5) shouldBe 1.5
+    rows("ratio").getString(8) shouldBe null // fractional: never an enum
+  }
+
+  it should "prune high-cardinality columns from enums and handle all-null columns" in {
+    val df = spark.range(2000).select(
+      concat(lit("u"), col("id")).as("uid"), // 2000 distinct -> no enum
+      (col("id") % 3).as("bucket"),
+      lit(null).cast("string").as("empty"))
+    val rows = byCol(df)
+    rows("uid").getString(8) shouldBe null
+    rows("uid").getLong(6) shouldBe 2L // "u0"
+    rows("uid").getLong(7) shouldBe 5L // "u1999"
+    rows("bucket").getString(8) shouldBe "0,1,2"
+    rows("empty").getBoolean(3) shouldBe false
+    rows("empty").getString(8) shouldBe null // zero distinct: no enum
+    rows("empty").isNullAt(6) shouldBe true
+  }
+
+  it should "round-trip: the inferred schema compiles and validates its source with zero violations" in {
+    val df = TranscriptGen.generate(spark, 20, 8).cache()
+    try {
+      val json = SchemaInfer.inferSchemaJson(df)
+      val schema = TableSchemaCompiler.compileString(json)
+        .fold(e => fail(s"inferred schema failed to compile: $e\n$json"), identity)
+      Validator.validateTranscripts(df, schema).count() shouldBe 0L
+
+      // a row outside the observed envelope is flagged by the same schema
+      val maxIdx = df.agg(max("turn_idx")).collect()(0).getInt(0)
+      val bad = df.limit(1).select(
+        col("conv_id"), lit(maxIdx + 100).as("turn_idx"),
+        lit("intruder_role").as("role"), col("text"), col("tool"), col("ts"))
+      val vios = Validator.validateTranscripts(df.unionByName(bad), schema)
+      vios.count() should be >= 2L // turn_idx above maximum + role outside enum
+      val constraints = vios.select("constraint").distinct().as[String].collect().toSet
+      constraints.exists(_.contains("maximum")) shouldBe true
+      constraints.exists(_.contains("enum")) shouldBe true
+    } finally df.unpersist()
+  }
+
+  it should "escape enum literals so hostile values still render a compilable schema" in {
+    val df = Seq(
+      ("""he said "hi"""", 1L),
+      ("""back\slash""", 2L),
+      ("tab\there", 3L)
+    ).toDF("label", "id")
+    val json = SchemaInfer.inferSchemaJson(df)
+    val schema = TableSchemaCompiler.compileString(json)
+      .fold(e => fail(s"escaped schema failed to compile: $e\n$json"), identity)
+    Validator.violations(df, schema, keyCols = Seq("id")).count() shouldBe 0L
+  }
+
+  it should "stay bounded: pass 2 collects only pruned candidates" in {
+    // 50k rows, one hot high-cardinality column: the enum scan must not
+    // collect it (candidates are HLL-pruned before the scan)
+    val df = spark.range(50000).select(
+      concat(lit("v"), col("id")).as("wide"),
+      (col("id") % 4).cast("int").as("narrow"))
+    val rows = byCol(df)
+    rows("wide").getString(8) shouldBe null
+    rows("narrow").getString(8) shouldBe "0,1,2,3"
+  }
+}
