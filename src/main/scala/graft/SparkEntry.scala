@@ -330,6 +330,18 @@ object SparkEntry {
       graft.stats.SchemaInfer.inferConstraints(
         TranscriptDerive.fromLineitem(s, dir), enumMaxDistinct = 16)),
 
+    // schema-LEVEL drift: constraints inferred on conversation half 0
+    // (the baseline snapshot) vs half 1 (the current table), diffed to
+    // one report row per column — the contract-moved companion to the
+    // histogram drift gates, over the same half split
+    "schema_drift" -> ((s, dir) => {
+      val t = TranscriptDerive.fromLineitem(s, dir)
+        .withColumn("__half", substring(col("conv_id"), 2, 30).cast("long") % 2)
+      graft.stats.SchemaInfer.constraintDrift(
+        t.filter(col("__half") === 0).drop("__half"),
+        t.filter(col("__half") === 1).drop("__half"), enumMaxDistinct = 16)
+    }),
+
     "drift_role_klpsi" -> ((s, dir) =>
       klPsiBetweenHalves(s, dir, coalesce(col("role"), lit("<null>")))),
 
@@ -1525,6 +1537,55 @@ object SparkEntry {
       s"""WITH $tCte
          |${Seq(strCol("conv_id"), intCol("turn_idx"), strCol("role"),
                 strCol("text"), strCol("tool"), tsCol("ts")).mkString("\nUNION ALL\n")}""".stripMargin
+    },
+
+    // the schema_infer replay per half + the diff rule (both halves
+    // carry all 6 columns, so status is always 'ok' on this fixture)
+    "schema_drift" -> {
+      def prof(half: Int) = {
+        def strCol(n: String) =
+          s"""SELECT '$n' AS "column", 'string' AS json_type,
+             |COUNT(*) FILTER (WHERE $n IS NULL) = 0 AND COUNT(*) > 0 AS required,
+             |CAST(NULL AS DOUBLE) AS min_num, CAST(NULL AS DOUBLE) AS max_num,
+             |CAST(MIN(LENGTH($n)) AS BIGINT) AS min_len, CAST(MAX(LENGTH($n)) AS BIGINT) AS max_len,
+             |CASE WHEN COUNT(DISTINCT $n) BETWEEN 1 AND 16
+             |     THEN array_to_string(list_sort(list(DISTINCT CAST($n AS VARCHAR))), ',') END AS enum_vals
+             |FROM th WHERE half = $half""".stripMargin
+        def intCol(n: String) =
+          s"""SELECT '$n', 'integer',
+             |COUNT(*) FILTER (WHERE $n IS NULL) = 0 AND COUNT(*) > 0,
+             |CAST(MIN($n) AS DOUBLE), CAST(MAX($n) AS DOUBLE),
+             |CAST(NULL AS BIGINT), CAST(NULL AS BIGINT),
+             |CASE WHEN COUNT(DISTINCT $n) BETWEEN 1 AND 16
+             |     THEN array_to_string(list_sort(list(DISTINCT CAST($n AS VARCHAR))), ',') END
+             |FROM th WHERE half = $half""".stripMargin
+        def tsCol(n: String) =
+          s"""SELECT '$n', 'string',
+             |COUNT(*) FILTER (WHERE $n IS NULL) = 0 AND COUNT(*) > 0,
+             |CAST(epoch_us(MIN($n)) AS DOUBLE), CAST(epoch_us(MAX($n)) AS DOUBLE),
+             |CAST(NULL AS BIGINT), CAST(NULL AS BIGINT), CAST(NULL AS VARCHAR)
+             |FROM th WHERE half = $half""".stripMargin
+        Seq(strCol("conv_id"), intCol("turn_idx"), strCol("role"),
+          strCol("text"), strCol("tool"), tsCol("ts")).mkString("\nUNION ALL\n")
+      }
+      s"""WITH $tCte,
+         |th AS (SELECT *, CAST(substr(conv_id,2) AS BIGINT) % 2 AS half FROM transcripts),
+         |b AS (${prof(0)}),
+         |c AS (${prof(1)}),
+         |ne AS (SELECT b."column" AS col2,
+         |  NULLIF(array_to_string(list_sort(list_filter(string_split(c.enum_vals, ','),
+         |    x -> NOT list_contains(string_split(b.enum_vals, ','), x))), ','), '') AS nv
+         |  FROM b JOIN c USING ("column")
+         |  WHERE b.enum_vals IS NOT NULL AND c.enum_vals IS NOT NULL)
+         |SELECT b."column" AS "column", 'ok' AS status,
+         |  b.json_type <> c.json_type AS type_changed,
+         |  b.required AND NOT c.required AS nullability_regressed,
+         |  COALESCE(c.min_num < b.min_num, FALSE) OR COALESCE(c.max_num > b.max_num, FALSE)
+         |    OR COALESCE(c.min_len < b.min_len, FALSE) OR COALESCE(c.max_len > b.max_len, FALSE)
+         |    AS bounds_widened,
+         |  ne.nv AS new_enum_vals,
+         |  b.enum_vals IS NOT NULL AND c.enum_vals IS NULL AS enum_exploded
+         |FROM b JOIN c USING ("column") LEFT JOIN ne ON ne.col2 = b."column"""".stripMargin
     },
 
     "drift_role_klpsi" ->

@@ -230,4 +230,59 @@ object SchemaInfer {
   def inferSchemaJson(df: DataFrame, enumMaxDistinct: Int = 16,
                       id: String = "http://graft.local/inferred#"): String =
     renderSchemaJson(inferConstraints(df, enumMaxDistinct).collect().toSeq, id)
+
+  /** CONSTRAINT drift: the schema-level companion to the histogram
+    * drift statistics (KL/PSI/JSD say the value distribution moved;
+    * this says the CONTRACT moved). Diffs two inferred constraint sets
+    * — a baseline snapshot vs the current table — into one row per
+    * column:
+    *
+    *  - `status`: `added` / `removed` / `ok` (column set drift)
+    *  - `type_changed`: the inferred json type differs
+    *  - `nullability_regressed`: baseline was null-free, current has
+    *    nulls — the drift that silently breaks `required`
+    *  - `bounds_widened`: current min/max (numeric or length) escapes
+    *    the baseline envelope — rows the baseline-inferred schema would
+    *    flag
+    *  - `new_enum_vals`: values in the current enum absent from the
+    *    baseline enum (sorted, comma-joined; null when either side has
+    *    no enum)
+    *  - `enum_exploded`: baseline had an enum, current cardinality blew
+    *    past the threshold — a categorical column went free-form
+    *
+    * Scale shape: two [[inferConstraints]] passes (each one wide agg +
+    * one bounded enum scan); the diff joins two |columns|-row frames —
+    * driver-sized, never data-sized.
+    */
+  def constraintDrift(baseline: DataFrame, current: DataFrame,
+                      enumMaxDistinct: Int = 16): DataFrame = {
+    val b = inferConstraints(baseline, enumMaxDistinct)
+      .select(col("column"), col("json_type").as("b_type"), col("required").as("b_req"),
+        col("min_num").as("b_min"), col("max_num").as("b_max"),
+        col("min_len").as("b_minlen"), col("max_len").as("b_maxlen"),
+        col("enum_vals").as("b_enum"))
+    val c = inferConstraints(current, enumMaxDistinct)
+      .select(col("column"), col("json_type").as("c_type"), col("required").as("c_req"),
+        col("min_num").as("c_min"), col("max_num").as("c_max"),
+        col("min_len").as("c_minlen"), col("max_len").as("c_maxlen"),
+        col("enum_vals").as("c_enum"))
+    val j = b.join(c, Seq("column"), "full_outer")
+    val inB = col("b_type").isNotNull
+    val inC = col("c_type").isNotNull
+    val both = inB && inC
+    def widened(lo: String, hi: String) =
+      (col(s"c_$lo").isNotNull && col(s"b_$lo").isNotNull && col(s"c_$lo") < col(s"b_$lo")) ||
+      (col(s"c_$hi").isNotNull && col(s"b_$hi").isNotNull && col(s"c_$hi") > col(s"b_$hi"))
+    val newEnum = array_join(array_sort(array_except(
+      split(col("c_enum"), ","), split(col("b_enum"), ","))), ",")
+    j.select(
+      col("column"),
+      when(!inB, lit("added")).when(!inC, lit("removed")).otherwise(lit("ok")).as("status"),
+      (both && col("b_type") =!= col("c_type")).as("type_changed"),
+      (both && col("b_req") && !col("c_req")).as("nullability_regressed"),
+      (both && (widened("min", "max") || widened("minlen", "maxlen"))).as("bounds_widened"),
+      when(both && col("b_enum").isNotNull && col("c_enum").isNotNull && newEnum =!= "", newEnum)
+        .as("new_enum_vals"),
+      (both && col("b_enum").isNotNull && col("c_enum").isNull).as("enum_exploded"))
+  }
 }

@@ -100,6 +100,37 @@ class SchemaInferSpec extends AnyFlatSpec with Matchers {
     Validator.violations(df, schema, keyCols = Seq("id")).count() shouldBe 0L
   }
 
+  it should "diff two inferred constraint sets into a drift report" in {
+    val base = Seq(
+      (1L, "a", Some("x"), 10),
+      (2L, "b", Some("y"), 20)
+    ).toDF("id", "cat", "opt", "score")
+    val cur = Seq(
+      (3L, "a", None: Option[String], 5, 1.0),   // opt gains a null, score breaks min
+      (4L, "c", Some("y"), 30, 2.0)              // cat gains value "c", score breaks max
+    ).toDF("id", "cat", "opt", "score", "extra") // extra: added column
+    val d = SchemaInfer.constraintDrift(base.drop("id").withColumn("gone", lit(1)), // removed col
+        cur.drop("id"))
+      .collect().map(r => r.getString(0) -> r).toMap
+
+    d("gone").getString(1) shouldBe "removed"
+    d("extra").getString(1) shouldBe "added"
+    d("cat").getString(1) shouldBe "ok"
+    d("cat").getString(5) shouldBe "c" // new enum value
+    d("opt").getBoolean(3) shouldBe true // nullability regressed
+    d("score").getBoolean(4) shouldBe true // bounds widened both ways
+    d("cat").getBoolean(4) shouldBe false
+  }
+
+  it should "flag an enum explosion when a categorical column goes free-form" in {
+    val base = Seq.tabulate(20)(i => (i.toLong, s"v${i % 3}")).toDF("id", "cat")
+    val cur = Seq.tabulate(2000)(i => (i.toLong, s"v$i")).toDF("id", "cat")
+    val d = SchemaInfer.constraintDrift(base, cur)
+      .collect().map(r => r.getString(0) -> r).toMap
+    d("cat").getBoolean(6) shouldBe true  // enum_exploded
+    d("cat").getString(5) shouldBe null   // no new_enum_vals without both enums
+  }
+
   it should "stay bounded: pass 2 collects only pruned candidates" in {
     // 50k rows, one hot high-cardinality column: the enum scan must not
     // collect it (candidates are HLL-pruned before the scan)
