@@ -330,6 +330,28 @@ object SparkEntry {
       graft.stats.SchemaInfer.inferConstraints(
         TranscriptDerive.fromLineitem(s, dir), enumMaxDistinct = 16)),
 
+    // JSONL source round-trip with corrupt-record quarantine: the
+    // transcripts serialize to JSON lines (pinned micros timestamp
+    // format), two deterministic corruption rules mangle a slice
+    // (okey%89=3 -> structurally invalid; else okey%97=41 -> turn_idx
+    // bound to a string), and JsonlTranscripts.parse reads everything
+    // back — clean rows must round-trip value-exactly, invalid lines
+    // must quarantine as all-null+corrupt, type-mangled lines keep the
+    // fields parsed before the failure (conv_id) and null the rest
+    "jsonl_roundtrip" -> ((s, dir) => {
+      val t = TranscriptDerive.fromLineitem(s, dir)
+        .withColumn("__okey", substring(col("conv_id"), 2, 30).cast("long"))
+      val lines = t.select(
+        when(col("__okey") % 89 === 3, lit("{not json"))
+          .when(col("__okey") % 97 === 41,
+            concat(lit("{\"conv_id\":\""), col("conv_id"), lit("\",\"turn_idx\":\"oops\"}")))
+          .otherwise(graft.sources.JsonlTranscripts.jsonLine).as("value"))
+      graft.sources.JsonlTranscripts.parse(lines)
+        .select(col("conv_id"), col("turn_idx"), col("role"), col("text"),
+          col("tool"), unix_micros(col("ts")).as("ts_us"), // no gate emits raw ts (engine dtype quibbles)
+          col("_corrupt").isNotNull.as("corrupt"))
+    }),
+
     // schema-LEVEL drift: constraints inferred on conversation half 0
     // (the baseline snapshot) vs half 1 (the current table), diffed to
     // one report row per column — the contract-moved companion to the
@@ -1538,6 +1560,22 @@ object SparkEntry {
          |${Seq(strCol("conv_id"), intCol("turn_idx"), strCol("role"),
                 strCol("text"), strCol("tool"), tsCol("ts")).mkString("\nUNION ALL\n")}""".stripMargin
     },
+
+    // replays the corruption rules over the identical base table:
+    // invalid lines surface as all-null+corrupt, type-mangled lines
+    // keep conv_id (parsed before the binding failure) and null the
+    // rest, everything else round-trips untouched
+    "jsonl_roundtrip" ->
+      s"""WITH $tCte,
+         |th AS (SELECT *, CAST(substr(conv_id,2) AS BIGINT) AS okey FROM transcripts)
+         |SELECT CASE WHEN okey % 89 = 3 THEN NULL ELSE conv_id END AS conv_id,
+         |  CASE WHEN okey % 89 = 3 OR okey % 97 = 41 THEN NULL ELSE turn_idx END AS turn_idx,
+         |  CASE WHEN okey % 89 = 3 OR okey % 97 = 41 THEN NULL ELSE role END AS role,
+         |  CASE WHEN okey % 89 = 3 OR okey % 97 = 41 THEN NULL ELSE text END AS text,
+         |  CASE WHEN okey % 89 = 3 OR okey % 97 = 41 THEN NULL ELSE tool END AS tool,
+         |  CASE WHEN okey % 89 = 3 OR okey % 97 = 41 THEN NULL ELSE epoch_us(ts) END AS ts_us,
+         |  okey % 89 = 3 OR okey % 97 = 41 AS corrupt
+         |FROM th""".stripMargin,
 
     // the schema_infer replay per half + the diff rule (both halves
     // carry all 6 columns, so status is always 'ok' on this fixture)
