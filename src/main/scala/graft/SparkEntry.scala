@@ -330,6 +330,19 @@ object SparkEntry {
       graft.stats.SchemaInfer.inferConstraints(
         TranscriptDerive.fromLineitem(s, dir), enumMaxDistinct = 16)),
 
+    // key-candidate suggestion: which candidate column sets are true
+    // primary keys (no null components, no duplicate values) — exact
+    // verdicts, HLL-pruned so only could-be keys pay the exact probe.
+    // conv_id fails on cardinality, (conv_id,turn_idx) on the planted
+    // duplicates, (conv_id,turn_idx,role) on role nulls; adding text
+    // separates every planted collision -> the one true key
+    "key_candidates" -> ((s, dir) =>
+      graft.stats.SchemaInfer.suggestKeys(TranscriptDerive.fromLineitem(s, dir), Seq(
+        Seq("conv_id"),
+        Seq("conv_id", "turn_idx"),
+        Seq("conv_id", "turn_idx", "role"),
+        Seq("conv_id", "turn_idx", "text")))),
+
     // JSONL source round-trip with corrupt-record quarantine: the
     // transcripts serialize to JSON lines (pinned micros timestamp
     // format), two deterministic corruption rules mangle a slice
@@ -1559,6 +1572,27 @@ object SparkEntry {
       s"""WITH $tCte
          |${Seq(strCol("conv_id"), intCol("turn_idx"), strCol("role"),
                 strCol("text"), strCol("tool"), tsCol("ts")).mkString("\nUNION ALL\n")}""".stripMargin
+    },
+
+    // replays the exact key rule per candidate: no null components, no
+    // duplicate key groups (the HLL prune is Spark-internal — it can
+    // only skip exact probes for candidates that are provably not keys)
+    "key_candidates" -> {
+      def one(cols: Seq[String]) = {
+        val csv = cols.mkString(",")
+        val anyNull = cols.map(c => s"$c IS NULL").mkString(" OR ")
+        s"""SELECT '$csv' AS key_cols,
+           |  (SELECT COUNT(*) FROM transcripts) AS n_rows,
+           |  (SELECT COUNT(*) FROM transcripts WHERE $anyNull) AS null_rows,
+           |  (SELECT COUNT(*) FROM transcripts WHERE $anyNull) = 0
+           |    AND (SELECT COUNT(*) FROM transcripts) > 0
+           |    AND NOT EXISTS (SELECT 1 FROM transcripts GROUP BY ${cols.mkString(", ")}
+           |                    HAVING COUNT(*) > 1) AS is_key""".stripMargin
+      }
+      s"""WITH $tCte
+         |${Seq(Seq("conv_id"), Seq("conv_id", "turn_idx"),
+                Seq("conv_id", "turn_idx", "role"),
+                Seq("conv_id", "turn_idx", "text")).map(one).mkString("\nUNION ALL\n")}""".stripMargin
     },
 
     // replays the corruption rules over the identical base table:

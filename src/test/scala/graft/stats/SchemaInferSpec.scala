@@ -131,6 +131,57 @@ class SchemaInferSpec extends AnyFlatSpec with Matchers {
     d("cat").getString(5) shouldBe null   // no new_enum_vals without both enums
   }
 
+  it should "judge key candidates exactly: nulls, duplicates, and true keys" in {
+    val df = Seq(
+      (1L, Some("a"), "x"),
+      (2L, Some("b"), "x"), // dup in (c3)
+      (2L, Some("b"), "y"), // dup in (c1)
+      (3L, None, "z")       // null component for c2
+    ).toDF("id", "opt", "grp")
+    val got = SchemaInfer.suggestKeys(df, Seq(
+        Seq("id"), Seq("id", "opt"), Seq("grp"), Seq("id", "grp")))
+      .collect().map(r => r.getString(0) -> (r.getLong(2), r.getBoolean(3))).toMap
+    got("id") shouldBe ((0L, false))        // duplicate 2
+    got("id,opt") shouldBe ((1L, false))    // null component row
+    got("grp") shouldBe ((0L, false))       // duplicate x
+    got("id,grp") shouldBe ((0L, true))     // the true key
+  }
+
+  it should "skip the exact key probe for HLL-obvious non-keys" in {
+    // 10k rows, 3 distinct values: HLL says ~3 << 9000 -> settled false
+    // with no second job; count jobs via a listener
+    val df = spark.range(10000).select((col("id") % 3).as("g")).cache()
+    df.count()
+    try {
+      val jobs = new java.util.concurrent.atomic.AtomicInteger(0)
+      val listener = new org.apache.spark.scheduler.SparkListener {
+        override def onJobStart(e: org.apache.spark.scheduler.SparkListenerJobStart): Unit =
+          jobs.incrementAndGet()
+      }
+      spark.sparkContext.addSparkListener(listener)
+      try {
+        def jobsFor(cols: Seq[String], expectKey: Boolean): Int = {
+          Thread.sleep(800) // listener events are async
+          val before = jobs.get()
+          SchemaInfer.suggestKeys(df, Seq(cols)).collect()
+            .head.getBoolean(3) shouldBe expectKey
+          Thread.sleep(800) // listener events are async
+          jobs.get() - before
+        }
+        val idCol = spark.range(10000).toDF("g2") // distinct -> true key, probe runs
+        idCol.createOrReplaceTempView("__unused") // keep symmetry trivial
+        val nonKeyJobs = jobsFor(Seq("g"), expectKey = false)
+        val before = jobs.get()
+        SchemaInfer.suggestKeys(idCol, Seq(Seq("g2"))).collect()
+          .head.getBoolean(3) shouldBe true
+        Thread.sleep(800) // listener events are async
+        val keyJobs = jobs.get() - before
+        // an HLL-obvious non-key settles without the exact groupBy probe
+        keyJobs should be > nonKeyJobs
+      } finally spark.sparkContext.removeSparkListener(listener)
+    } finally df.unpersist()
+  }
+
   it should "stay bounded: pass 2 collects only pruned candidates" in {
     // 50k rows, one hot high-cardinality column: the enum scan must not
     // collect it (candidates are HLL-pruned before the scan)
