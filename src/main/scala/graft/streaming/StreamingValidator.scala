@@ -132,6 +132,80 @@ object StreamingValidator {
       sumOf((p, q) => (p - q) * log(p / q)).as("psi"))
   }
 
+  /** Streaming constraint-envelope drift — the LIVE companion to
+    * [[graft.stats.SchemaInfer.constraintDrift]]: per event-time
+    * window, counts of rows escaping a broadcast baseline constraint
+    * envelope ([[graft.stats.SchemaInfer.inferConstraints]] rows,
+    * collected once driver-side): numeric/timestamp values below the
+    * baseline minimum or above the maximum, string lengths outside the
+    * length bounds, nulls arriving in a required column, and values
+    * outside the baseline enum (the "operator role influx" alarm).
+    *
+    * One windowed aggregation; every threshold is a LITERAL folded into
+    * map-side conditional sums — nothing joins, state is one row per
+    * open window bounded by the watermark. Emits only (window, column)
+    * pairs with at least one escape. Works identically on a batch
+    * frame (window + agg are batch operators; the watermark is a
+    * no-op), which is what the batch-parity spec pins.
+    */
+  def boundsDriftByWindow(stream: DataFrame, baseline: Seq[org.apache.spark.sql.Row],
+                          windowLength: String = "10 minutes",
+                          watermark: String = "10 minutes",
+                          tsCol: String = "ts"): DataFrame = {
+    require(baseline.nonEmpty, "empty baseline constraint set")
+    val present = stream.columns.toSet
+    val tracked = baseline.filter(r => present.contains(r.getString(0)))
+    require(tracked.nonEmpty, "no baseline column present in the stream")
+    val aggs = tracked.flatMap { r =>
+      val name = r.getString(0)
+      val fmt = Option(r.getString(2))
+      val required = r.getBoolean(3)
+      val c = col(name)
+      // the comparable value under the baseline's bound semantics
+      val v: Column = (r.getString(1), fmt) match {
+        case (_, Some("date-time")) => unix_micros(c.cast("timestamp")).cast("double")
+        case ("integer", _) | ("number", _) => c.cast("double")
+        case _ => lit(null).cast("double")
+      }
+      val len: Column =
+        if (r.getString(1) == "string" && fmt.isEmpty) length(c).cast("long")
+        else lit(null).cast("long")
+      def cnt(cond: Column, suffix: String) =
+        sum(when(cond, 1L).otherwise(0L)).as(s"__${name}__$suffix")
+      val below =
+        (if (r.isNullAt(4)) lit(false) else v < lit(r.getDouble(4))) ||
+        (if (r.isNullAt(6)) lit(false) else len < lit(r.getLong(6)))
+      val above =
+        (if (r.isNullAt(5)) lit(false) else v > lit(r.getDouble(5))) ||
+        (if (r.isNullAt(7)) lit(false) else len > lit(r.getLong(7)))
+      val novel: Column = Option(r.getString(8)) match {
+        case Some(enumCsv) =>
+          c.isNotNull && !c.cast("string").isin(enumCsv.split(",", -1).toSeq.map(lit): _*)
+        case None => lit(false)
+      }
+      Seq(cnt(below, "below"), cnt(above, "above"),
+        cnt(if (required) c.isNull else lit(false), "nulls"),
+        cnt(novel, "novel"))
+    }
+    val windowed = stream
+      .withWatermark(tsCol, watermark)
+      .groupBy(window(col(tsCol), windowLength))
+      .agg(aggs.head, aggs.tail: _*)
+    val reports = tracked.map { r =>
+      val name = r.getString(0)
+      struct(lit(name).as("column"),
+        col(s"__${name}__below").as("below_bounds"),
+        col(s"__${name}__above").as("above_bounds"),
+        col(s"__${name}__nulls").as("null_required"),
+        col(s"__${name}__novel").as("novel_enum"))
+    }
+    windowed
+      .select(col("window.start").as("window_start"), explode(array(reports: _*)).as("r"))
+      .select(col("window_start"), col("r.*"))
+      .filter(col("below_bounds") + col("above_bounds") +
+        col("null_required") + col("novel_enum") > 0L)
+  }
+
   /** Streaming near-duplicate pairs within the watermark horizon — the
     * stream analogue of [[graft.pipeline.Dedup.minhashPairs]]:
     *

@@ -226,6 +226,55 @@ class StreamingSpec extends AnyFlatSpec with Matchers {
     } finally q.stop()
   }
 
+  it should "flag constraint-envelope escapes per window with batch parity" in {
+    import spark.implicits._
+    import StreamingValidator.Turn
+    implicit val sqlCtx = spark.sqlContext
+
+    // baseline envelope inferred from a clean corpus (turn_idx 0..4,
+    // role enum, text lengths 2..5, role required)
+    val baseTable = Seq.tabulate(50) { i =>
+      Turn(s"c${i / 5}", i % 5, Seq("user", "assistant")(i % 2), "x" * (2 + i % 4), null, ts(1))
+    }.toDF()
+    val baseline = graft.stats.SchemaInfer.inferConstraints(baseTable).collect().toSeq
+
+    // live stream: window 1 clean, window 2 carries one of each escape
+    val clean = Seq.tabulate(6)(i =>
+      Turn(s"s$i", i % 5, "user", "xx", null, ts(i % 3)))
+    val drift = Seq(
+      Turn("d1", 99, "user", "xxx", null, ts(31)),            // turn_idx above max
+      Turn("d2", 1, "operator", "xxx", null, ts(32)),         // novel role
+      Turn("d3", 2, null, "xxx", null, ts(33)),               // null in required role
+      Turn("d4", 3, "user", "x" * 40, null, ts(34)))          // text above maxLength
+    val all = clean ++ drift
+
+    def summarize(df: org.apache.spark.sql.DataFrame) =
+      df.collect().map(r => (r.getString(1),
+        (r.getLong(2), r.getLong(3), r.getLong(4), r.getLong(5)))).toSet
+
+    // batch application of the SAME operator (window+agg run in batch)
+    val batchOut = summarize(StreamingValidator.boundsDriftByWindow(
+      all.toDF(), baseline, windowLength = "10 minutes"))
+
+    val in = MemoryStream[Turn]
+    val q = StreamingValidator.boundsDriftByWindow(in.toDF(), baseline,
+        windowLength = "10 minutes")
+      .writeStream.format("memory").queryName("sbounds").outputMode("append").start()
+    try {
+      in.addData(all: _*)
+      q.processAllAvailable()
+      in.addData(Turn("w", 0, "user", "xx", null, ts(55))) // close the windows
+      q.processAllAvailable()
+      val got = summarize(spark.sql("SELECT * FROM sbounds"))
+      got shouldBe batchOut
+      // on this tiny baseline turn_idx/text are also enums (<=16
+      // distinct), so the out-of-bounds rows register as novel too
+      got should contain(("turn_idx", (0L, 1L, 0L, 1L))) // 99: above max + novel
+      got should contain(("role", (0L, 0L, 1L, 1L)))     // null + "operator"
+      got should contain(("text", (0L, 1L, 0L, 1L)))     // len 40 + novel value
+    } finally q.stop()
+  }
+
   it should "enrich a live event stream as-of a dimension stream with batch parity" in {
     import spark.implicits._
     import StreamingValidator.{StreamEvent, DimUpdate}
