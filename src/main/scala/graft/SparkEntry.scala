@@ -358,7 +358,7 @@ object SparkEntry {
         when(col("__okey") % 89 === 3, lit("{not json"))
           .when(col("__okey") % 97 === 41,
             concat(lit("{\"conv_id\":\""), col("conv_id"), lit("\",\"turn_idx\":\"oops\"}")))
-          .otherwise(graft.sources.JsonlTranscripts.jsonLine).as("value"))
+          .otherwise(graft.sources.JsonlTranscripts.jsonLine(t)).as("value"))
       graft.sources.JsonlTranscripts.parse(lines)
         .select(col("conv_id"), col("turn_idx"), col("role"), col("text"),
           col("tool"), unix_micros(col("ts")).as("ts_us"), // no gate emits raw ts (engine dtype quibbles)
@@ -1553,7 +1553,7 @@ object SparkEntry {
            |CAST(NULL AS DOUBLE) AS min_num, CAST(NULL AS DOUBLE) AS max_num,
            |CAST(MIN(LENGTH($n)) AS BIGINT) AS min_len, CAST(MAX(LENGTH($n)) AS BIGINT) AS max_len,
            |CASE WHEN COUNT(DISTINCT $n) BETWEEN 1 AND 16
-           |     THEN array_to_string(list_sort(list(DISTINCT CAST($n AS VARCHAR))), ',') END AS enum_vals
+           |     THEN array_to_string(list_sort(list(DISTINCT CAST($n AS VARCHAR))), chr(1)) END AS enum_vals
            |FROM transcripts""".stripMargin
       def intCol(n: String) =
         s"""SELECT '$n', 'integer', CAST(NULL AS VARCHAR),
@@ -1561,7 +1561,7 @@ object SparkEntry {
            |CAST(MIN($n) AS DOUBLE), CAST(MAX($n) AS DOUBLE),
            |CAST(NULL AS BIGINT), CAST(NULL AS BIGINT),
            |CASE WHEN COUNT(DISTINCT $n) BETWEEN 1 AND 16
-           |     THEN array_to_string(list_sort(list(DISTINCT CAST($n AS VARCHAR))), ',') END
+           |     THEN array_to_string(list_sort(list(DISTINCT CAST($n AS VARCHAR))), chr(1)) END
            |FROM transcripts""".stripMargin
       def tsCol(n: String) =
         s"""SELECT '$n', 'string', 'date-time',
@@ -1616,23 +1616,23 @@ object SparkEntry {
     "schema_drift" -> {
       def prof(half: Int) = {
         def strCol(n: String) =
-          s"""SELECT '$n' AS "column", 'string' AS json_type,
+          s"""SELECT '$n' AS "column", 'string' AS json_type, CAST(NULL AS VARCHAR) AS format,
              |COUNT(*) FILTER (WHERE $n IS NULL) = 0 AND COUNT(*) > 0 AS required,
              |CAST(NULL AS DOUBLE) AS min_num, CAST(NULL AS DOUBLE) AS max_num,
              |CAST(MIN(LENGTH($n)) AS BIGINT) AS min_len, CAST(MAX(LENGTH($n)) AS BIGINT) AS max_len,
              |CASE WHEN COUNT(DISTINCT $n) BETWEEN 1 AND 16
-             |     THEN array_to_string(list_sort(list(DISTINCT CAST($n AS VARCHAR))), ',') END AS enum_vals
+             |     THEN array_to_string(list_sort(list(DISTINCT CAST($n AS VARCHAR))), chr(1)) END AS enum_vals
              |FROM th WHERE half = $half""".stripMargin
         def intCol(n: String) =
-          s"""SELECT '$n', 'integer',
+          s"""SELECT '$n', 'integer', CAST(NULL AS VARCHAR),
              |COUNT(*) FILTER (WHERE $n IS NULL) = 0 AND COUNT(*) > 0,
              |CAST(MIN($n) AS DOUBLE), CAST(MAX($n) AS DOUBLE),
              |CAST(NULL AS BIGINT), CAST(NULL AS BIGINT),
              |CASE WHEN COUNT(DISTINCT $n) BETWEEN 1 AND 16
-             |     THEN array_to_string(list_sort(list(DISTINCT CAST($n AS VARCHAR))), ',') END
+             |     THEN array_to_string(list_sort(list(DISTINCT CAST($n AS VARCHAR))), chr(1)) END
              |FROM th WHERE half = $half""".stripMargin
         def tsCol(n: String) =
-          s"""SELECT '$n', 'string',
+          s"""SELECT '$n', 'string', 'date-time',
              |COUNT(*) FILTER (WHERE $n IS NULL) = 0 AND COUNT(*) > 0,
              |CAST(epoch_us(MIN($n)) AS DOUBLE), CAST(epoch_us(MAX($n)) AS DOUBLE),
              |CAST(NULL AS BIGINT), CAST(NULL AS BIGINT), CAST(NULL AS VARCHAR)
@@ -1645,12 +1645,12 @@ object SparkEntry {
          |b AS (${prof(0)}),
          |c AS (${prof(1)}),
          |ne AS (SELECT b."column" AS col2,
-         |  NULLIF(array_to_string(list_sort(list_filter(string_split(c.enum_vals, ','),
-         |    x -> NOT list_contains(string_split(b.enum_vals, ','), x))), ','), '') AS nv
+         |  NULLIF(array_to_string(list_sort(list_filter(string_split(c.enum_vals, chr(1)),
+         |    x -> NOT list_contains(string_split(b.enum_vals, chr(1)), x))), chr(1)), '') AS nv
          |  FROM b JOIN c USING ("column")
          |  WHERE b.enum_vals IS NOT NULL AND c.enum_vals IS NOT NULL)
          |SELECT b."column" AS "column", 'ok' AS status,
-         |  b.json_type <> c.json_type AS type_changed,
+         |  b.json_type <> c.json_type OR COALESCE(b.format,'') <> COALESCE(c.format,'') AS type_changed,
          |  b.required AND NOT c.required AS nullability_regressed,
          |  COALESCE(c.min_num < b.min_num, FALSE) OR COALESCE(c.max_num > b.max_num, FALSE)
          |    OR COALESCE(c.min_len < b.min_len, FALSE) OR COALESCE(c.max_len > b.max_len, FALSE)

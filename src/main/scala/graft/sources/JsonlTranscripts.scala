@@ -67,22 +67,34 @@ object JsonlTranscripts {
   def readFiles(spark: SparkSession, path: String): DataFrame =
     parse(spark.read.text(path))
 
-  /** One JSONL line per row, as a column expression. Columns are cast
-    * to the PINNED schema types first — notably TIMESTAMP_NTZ inputs
-    * (the parquet int64 default) would otherwise serialize under
+  /** One JSONL line per row of `df`, as a column expression. Columns
+    * are cast to the PINNED schema types first — notably TIMESTAMP_NTZ
+    * inputs (the parquet int64 default) would otherwise serialize under
     * Jackson's separate timestampNTZFormat option and fail to rebind on
-    * read. The NTZ->LTZ cast is the identity in a UTC session (the
-    * engine's requirement, see retentionCohorts).
+    * read. The NTZ->LTZ cast is only the identity in a UTC session, so
+    * an NTZ input under any other zone fails loud (the
+    * retentionCohorts/inferConstraints rule) instead of silently
+    * shifting every instant by the zone offset.
     */
-  def jsonLine: org.apache.spark.sql.Column =
+  def jsonLine(df: DataFrame): org.apache.spark.sql.Column = {
+    val ntz = schema.fieldNames.filter(n =>
+      df.schema.find(_.name == n).exists(_.dataType == TimestampNTZType))
+    if (ntz.nonEmpty) {
+      val tz = df.sparkSession.conf.get("spark.sql.session.timeZone")
+      require(tz == "UTC" || tz == "Etc/UTC" || tz == "GMT",
+        s"jsonLine on TIMESTAMP_NTZ ${ntz.mkString(",")} needs " +
+          s"spark.sql.session.timeZone=UTC (got $tz): the NTZ->LTZ cast " +
+          "would shift every serialized instant by the zone offset")
+    }
     to_json(struct(schema.fields.map(f => col(f.name).cast(f.dataType).as(f.name)): _*),
       Map("timestampFormat" -> tsFormat))
+  }
 
   /** Serialize a transcript table to JSONL lines with the same pinned
     * timestamp format (write→[[parse]] is the identity on
     * micros-resolution rows; null fields are omitted, the JSON idiom).
     */
-  def toJsonl(df: DataFrame): DataFrame = df.select(jsonLine.as("value"))
+  def toJsonl(df: DataFrame): DataFrame = df.select(jsonLine(df).as("value"))
 
   /** Split a parsed frame into (clean, quarantined). */
   def quarantine(parsed: DataFrame): (DataFrame, DataFrame) =

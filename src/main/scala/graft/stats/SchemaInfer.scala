@@ -49,7 +49,7 @@ object SchemaInfer {
     * exact-integer-valued doubles for integral columns,
     * microseconds-since-epoch for timestamps, raw doubles for
     * fractional columns; `min_len`/`max_len` are string length bounds;
-    * `enum_vals` is the sorted, comma-joined exact value set when the
+    * `enum_vals` is the sorted exact value set joined with [[EnumSep]] when the
     * column's non-null distinct count is in `[1, enumMaxDistinct]`,
     * else null.
     */
@@ -63,6 +63,15 @@ object SchemaInfer {
     StructField("min_len", LongType, nullable = true),
     StructField("max_len", LongType, nullable = true),
     StructField("enum_vals", StringType, nullable = true)))
+
+  /** Separator for the `enum_vals` set encoding: U+0001 (DuckDB
+    * `chr(1)`, the engine's established digest separator) — a comma
+    * would corrupt the set for any value containing one. A value that
+    * itself contains U+0001 cannot be encoded; the enum is DROPPED for
+    * that column (conservative: bounds still apply, the set constraint
+    * is skipped rather than corrupted).
+    */
+  val EnumSep = ""
 
   private def isIntegral(dt: DataType): Boolean = dt match {
     case ByteType | ShortType | IntegerType | LongType => true
@@ -142,8 +151,9 @@ object SchemaInfer {
       val (jt, fmt) = jsonType(f.dataType)
       val nulls = l(s"${f.name}__nulls").getOrElse(0L)
       val enumV = enums.get(f.name)
-        .filter(vs => vs.nonEmpty && vs.length <= enumMaxDistinct)
-        .map(_.mkString(","))
+        .filter(vs => vs.nonEmpty && vs.length <= enumMaxDistinct &&
+          !vs.exists(_.contains(EnumSep))) // unencodable value: drop the enum
+        .map(_.mkString(EnumSep))
       Row(f.name, jt, fmt.orNull, total > 0L && nulls == 0L,
         d(s"${f.name}__min").map(Double.box).orNull,
         d(s"${f.name}__max").map(Double.box).orNull,
@@ -154,24 +164,33 @@ object SchemaInfer {
     spark.createDataFrame(spark.sparkContext.parallelize(out, 1), outputSchema)
   }
 
-  private def esc(s: String): String = {
-    val b = new StringBuilder
-    s.foreach {
-      case '"'  => b.append("\\\"")
-      case '\\' => b.append("\\\\")
-      case c if c < ' ' => b.append(f"\\u${c.toInt}%04x")
-      case c    => b.append(c)
-    }
-    b.toString
+  /** Quoted JSON string literal — the shared [[graft.functions.JsonRender]]
+    * escaper (one escaper in the codebase, not four slightly-divergent
+    * copies).
+    */
+  private def jstr(s: String): String = {
+    val sb = new java.lang.StringBuilder
+    graft.functions.JsonRender.appendEscaped(sb,
+      org.apache.spark.unsafe.types.UTF8String.fromString(s))
+    sb.toString
   }
 
-  /** Render one inferred number: integral values as integer literals
-    * (draft-4 `integer` bounds), everything else via BigDecimal's plain
-    * string (no locale, no E-notation surprises).
+  /** Render one fractional bound via BigDecimal's plain string (no
+    * locale, no E-notation surprises; the double is rendered exactly,
+    * so the bound is sound).
     */
-  private def num(v: Double): String =
-    if (v.isWhole && math.abs(v) < 9.007199254740992e15) v.toLong.toString
-    else new java.math.BigDecimal(v).toPlainString
+  private def num(v: Double): String = new java.math.BigDecimal(v).toPlainString
+
+  /** Integer bounds pass through the agg as doubles; above 2^53 a long
+    * does not round-trip, so the rendered bound is WIDENED one ulp
+    * outward (floor/ceil of the adjacent double) — the schema stays
+    * SOUND (never excludes an observed value) and stays exactly tight
+    * in the entire +-2^53 range.
+    */
+  private def intBound(v: Double, up: Boolean): Long =
+    if (math.ulp(v) <= 1.0) v.toLong
+    else if (up) math.ceil(Math.nextUp(v)).toLong // toLong saturates at Long.Max
+    else math.floor(Math.nextDown(v)).toLong
 
   /** Deterministic draft-4 document from [[inferConstraints]] rows
     * (column order preserved; `required` lists the null-free columns in
@@ -186,15 +205,23 @@ object SchemaInfer {
     val props = constraints.map { r =>
       val name = r.getString(0); val jt = r.getString(1)
       val fmt = Option(r.getString(2))
+      // NaN/Infinity bounds (a poison float in the data) cannot render
+      // as JSON literals: skip the bound rather than crash the render
       val minN = Option(r.get(4)).map(_.asInstanceOf[Double])
+        .filter(v => !v.isNaN && !v.isInfinite)
       val maxN = Option(r.get(5)).map(_.asInstanceOf[Double])
+        .filter(v => !v.isNaN && !v.isInfinite)
       val minL = Option(r.get(6)).map(_.asInstanceOf[Long])
       val maxL = Option(r.get(7)).map(_.asInstanceOf[Long])
-      val enumV = Option(r.getString(8)).map(_.split(",", -1).toSeq)
+      val enumV = Option(r.getString(8)).map(_.split(EnumSep, -1).toSeq)
       val kw = scala.collection.mutable.ArrayBuffer(s""""type": "$jt"""")
       fmt.foreach(f => kw += s""""format": "$f"""")
       if (fmt.isEmpty) { // ranges only where the literal renders stably
-        if (jt == "integer" || jt == "number") {
+        if (jt == "integer") {
+          minN.foreach(v => kw += s""""minimum": ${intBound(v, up = false)}""")
+          maxN.foreach(v => kw += s""""maximum": ${intBound(v, up = true)}""")
+        }
+        if (jt == "number") {
           minN.foreach(v => kw += s""""minimum": ${num(v)}""")
           maxN.foreach(v => kw += s""""maximum": ${num(v)}""")
         }
@@ -204,7 +231,7 @@ object SchemaInfer {
         }
         enumV.foreach { vs =>
           val lits = jt match {
-            case "string"  => vs.map(v => s""""${esc(v)}"""")
+            case "string"  => vs.map(jstr)
             case "integer" => vs.map(_.toLong.toString)
             case "boolean" => vs // "true"/"false" are already literals
             case _         => Seq.empty
@@ -212,13 +239,13 @@ object SchemaInfer {
           if (lits.nonEmpty) kw += s""""enum": [${lits.mkString(", ")}]"""
         }
       }
-      s""""${esc(name)}": { ${kw.mkString(", ")} }"""
+      s"""${jstr(name)}: { ${kw.mkString(", ")} }"""
     }
-    val required = constraints.filter(_.getBoolean(3)).map(r => s""""${esc(r.getString(0))}"""")
+    val required = constraints.filter(_.getBoolean(3)).map(r => jstr(r.getString(0)))
     val reqLine = if (required.isEmpty) "" else s"""  "required": [${required.mkString(", ")}],\n"""
     s"""{
        |  "$$schema": "http://json-schema.org/draft-04/schema#",
-       |  "id": "${esc(id)}",
+       |  "id": ${jstr(id)},
        |  "type": "object",
        |$reqLine  "properties": {
        |    ${props.mkString(",\n    ")}
@@ -238,14 +265,16 @@ object SchemaInfer {
     *
     * Output per candidate: `(key_cols, n_rows, null_rows, is_key)`.
     * `is_key` is EXACT: pass 1 is one wide agg (total, per-candidate
-    * null-component rows, per-candidate HLL distinct — plain agg
-    * functions, no Expand); candidates whose HLL estimate falls below
-    * `0.9 * non-null rows` cannot be keys (HLL++ at rsd 0.05 cannot
-    * under-read a true key by 10%) and are settled false without an
-    * exact pass. Each surviving candidate pays ONE exact duplicate
-    * probe — `groupBy(cols).count > 1` existence, shuffle bounded by
-    * distinct keys — the honest cost of CLAIMING a key at 100 TB,
-    * paid only for candidates that might be one.
+    * null-component rows, per-candidate HLL distinct at rsd 0.01 —
+    * plain agg functions, no Expand); candidates whose HLL estimate
+    * falls below `0.9 * non-null rows` are settled false without an
+    * exact pass — at rsd 0.01 a 10% under-read of a true key is a
+    * 10-sigma event (the margin is effectively unreachable, so the
+    * shortcut never contradicts the exact rule). Surviving candidates
+    * pay exact duplicate probes — `groupBy(cols).count > 1` existence,
+    * shuffle bounded by distinct keys, submitted CONCURRENTLY so the
+    * scheduler overlaps them — the honest cost of CLAIMING a key at
+    * 100 TB, paid only for candidates that might be one.
     */
   def suggestKeys(df: DataFrame, candidates: Seq[Seq[String]]): DataFrame = {
     require(candidates.nonEmpty, "need at least one candidate column set")
@@ -255,20 +284,26 @@ object SchemaInfer {
     val aggs = count(lit(1)).as("__total") +: candidates.zipWithIndex.flatMap { case (cs, i) =>
       val anyNull = cs.map(col(_).isNull).reduce(_ || _)
       Seq(sum(anyNull.cast("long")).as(s"__nulls_$i"),
-        approx_count_distinct(struct(cs.map(col): _*)).as(s"__hll_$i"))
+        approx_count_distinct(struct(cs.map(col): _*), 0.01).as(s"__hll_$i"))
     }
     val row = df.agg(aggs.head, aggs.tail: _*).collect()(0)
     val total = row.getAs[Long]("__total")
-    val out = candidates.zipWithIndex.map { case (cs, i) =>
-      val nulls = row.getAs[Long](s"__nulls_$i")
-      val couldBeKey = total > 0L && nulls == 0L &&
-        row.getAs[Long](s"__hll_$i") >= ((total - nulls) * 9L) / 10L
-      val isKey = couldBeKey && {
-        // exact probe, survivors only
-        df.groupBy(cs.map(col): _*).agg(count(lit(1)).as("__n"))
-          .filter(col("__n") > 1L).isEmpty
+    import scala.concurrent.{Await, Future}
+    import scala.concurrent.ExecutionContext.Implicits.global
+    val verdicts: Seq[Future[(Seq[String], Long, Boolean)]] =
+      candidates.zipWithIndex.map { case (cs, i) =>
+        val nulls = row.getAs[Long](s"__nulls_$i")
+        val couldBeKey = total > 0L && nulls == 0L &&
+          row.getAs[Long](s"__hll_$i") >= ((total - nulls) * 9L) / 10L
+        if (!couldBeKey) Future.successful((cs, nulls, false))
+        else Future { // exact probe, survivors only, jobs overlap
+          (cs, nulls, df.groupBy(cs.map(col): _*).agg(count(lit(1)).as("__n"))
+            .filter(col("__n") > 1L).isEmpty)
+        }
       }
-      Row(cs.mkString(","), total, nulls, isKey)
+    val out = verdicts.map(f =>
+      Await.result(f, scala.concurrent.duration.Duration.Inf)).map {
+      case (cs, nulls, isKey) => Row(cs.mkString(","), total, nulls, isKey)
     }
     spark.createDataFrame(spark.sparkContext.parallelize(out, 1), StructType(Seq(
       StructField("key_cols", StringType, nullable = false),
@@ -291,8 +326,8 @@ object SchemaInfer {
     *    the baseline envelope — rows the baseline-inferred schema would
     *    flag
     *  - `new_enum_vals`: values in the current enum absent from the
-    *    baseline enum (sorted, comma-joined; null when either side has
-    *    no enum)
+    *    baseline enum (sorted, [[EnumSep]]-joined; null when either side
+    *    has no enum)
     *  - `enum_exploded`: baseline had an enum, current cardinality blew
     *    past the threshold — a categorical column went free-form
     *
@@ -303,12 +338,14 @@ object SchemaInfer {
   def constraintDrift(baseline: DataFrame, current: DataFrame,
                       enumMaxDistinct: Int = 16): DataFrame = {
     val b = inferConstraints(baseline, enumMaxDistinct)
-      .select(col("column"), col("json_type").as("b_type"), col("required").as("b_req"),
+      .select(col("column"), col("json_type").as("b_type"), col("format").as("b_fmt"),
+        col("required").as("b_req"),
         col("min_num").as("b_min"), col("max_num").as("b_max"),
         col("min_len").as("b_minlen"), col("max_len").as("b_maxlen"),
         col("enum_vals").as("b_enum"))
     val c = inferConstraints(current, enumMaxDistinct)
-      .select(col("column"), col("json_type").as("c_type"), col("required").as("c_req"),
+      .select(col("column"), col("json_type").as("c_type"), col("format").as("c_fmt"),
+        col("required").as("c_req"),
         col("min_num").as("c_min"), col("max_num").as("c_max"),
         col("min_len").as("c_minlen"), col("max_len").as("c_maxlen"),
         col("enum_vals").as("c_enum"))
@@ -320,11 +357,15 @@ object SchemaInfer {
       (col(s"c_$lo").isNotNull && col(s"b_$lo").isNotNull && col(s"c_$lo") < col(s"b_$lo")) ||
       (col(s"c_$hi").isNotNull && col(s"b_$hi").isNotNull && col(s"c_$hi") > col(s"b_$hi"))
     val newEnum = array_join(array_sort(array_except(
-      split(col("c_enum"), ","), split(col("b_enum"), ","))), ",")
+      split(col("c_enum"), EnumSep), split(col("b_enum"), EnumSep))), EnumSep)
     j.select(
       col("column"),
       when(!inB, lit("added")).when(!inC, lit("removed")).otherwise(lit("ok")).as("status"),
-      (both && col("b_type") =!= col("c_type")).as("type_changed"),
+      // format is part of the inferred type: timestamp->free-string drift
+      // (json_type "string" both sides, format date-time -> null) is a
+      // type change, not silence
+      (both && (col("b_type") =!= col("c_type") ||
+        coalesce(col("b_fmt"), lit("")) =!= coalesce(col("c_fmt"), lit("")))).as("type_changed"),
       (both && col("b_req") && !col("c_req")).as("nullability_regressed"),
       (both && (widened("min", "max") || widened("minlen", "maxlen"))).as("bounds_widened"),
       when(both && col("b_enum").isNotNull && col("c_enum").isNotNull && newEnum =!= "", newEnum)

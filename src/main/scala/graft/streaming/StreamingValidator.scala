@@ -179,8 +179,9 @@ object StreamingValidator {
         (if (r.isNullAt(5)) lit(false) else v > lit(r.getDouble(5))) ||
         (if (r.isNullAt(7)) lit(false) else len > lit(r.getLong(7)))
       val novel: Column = Option(r.getString(8)) match {
-        case Some(enumCsv) =>
-          c.isNotNull && !c.cast("string").isin(enumCsv.split(",", -1).toSeq.map(lit): _*)
+        case Some(enumSet) =>
+          c.isNotNull && !c.cast("string").isin(
+            enumSet.split(graft.stats.SchemaInfer.EnumSep, -1).toSeq.map(lit): _*)
         case None => lit(false)
       }
       Seq(cnt(below, "below"), cnt(above, "above"),

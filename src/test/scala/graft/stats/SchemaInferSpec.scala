@@ -33,18 +33,18 @@ class SchemaInferSpec extends AnyFlatSpec with Matchers {
     rows("id").getBoolean(3) shouldBe true // no nulls
     rows("id").getDouble(4) shouldBe 1.0
     rows("id").getDouble(5) shouldBe 3.0
-    rows("id").getString(8) shouldBe "1,2,3" // 3 distinct ints -> enum
+    rows("id").getString(8) shouldBe Seq("1","2","3").mkString(SchemaInfer.EnumSep) // 3 distinct ints -> enum
 
     rows("name").getString(1) shouldBe "string"
     rows("name").getLong(6) shouldBe 4L // minLength "beta"
     rows("name").getLong(7) shouldBe 5L // maxLength "alpha"
-    rows("name").getString(8) shouldBe "alpha,beta"
+    rows("name").getString(8) shouldBe Seq("alpha","beta").mkString(SchemaInfer.EnumSep)
 
     rows("score").getBoolean(3) shouldBe false // has a null
-    rows("score").getString(8) shouldBe "3,7"
+    rows("score").getString(8) shouldBe Seq("3","7").mkString(SchemaInfer.EnumSep)
 
     rows("flag").getString(1) shouldBe "boolean"
-    rows("flag").getString(8) shouldBe "false,true"
+    rows("flag").getString(8) shouldBe Seq("false","true").mkString(SchemaInfer.EnumSep)
 
     rows("ratio").getString(1) shouldBe "number"
     rows("ratio").getDouble(4) shouldBe -2.0
@@ -61,7 +61,7 @@ class SchemaInferSpec extends AnyFlatSpec with Matchers {
     rows("uid").getString(8) shouldBe null
     rows("uid").getLong(6) shouldBe 2L // "u0"
     rows("uid").getLong(7) shouldBe 5L // "u1999"
-    rows("bucket").getString(8) shouldBe "0,1,2"
+    rows("bucket").getString(8) shouldBe Seq("0","1","2").mkString(SchemaInfer.EnumSep)
     rows("empty").getBoolean(3) shouldBe false
     rows("empty").getString(8) shouldBe null // zero distinct: no enum
     rows("empty").isNullAt(6) shouldBe true
@@ -98,6 +98,46 @@ class SchemaInferSpec extends AnyFlatSpec with Matchers {
     val schema = TableSchemaCompiler.compileString(json)
       .fold(e => fail(s"escaped schema failed to compile: $e\n$json"), identity)
     Validator.violations(df, schema, keyCols = Seq("id")).count() shouldBe 0L
+  }
+
+  it should "round-trip enum values containing commas (review regression)" in {
+    val df = Seq(("red", 1L), ("blue,green", 2L), ("red", 3L)).toDF("color", "id")
+    val json = SchemaInfer.inferSchemaJson(df)
+    val schema = TableSchemaCompiler.compileString(json)
+      .fold(e => fail(s"comma-value schema failed to compile: $e\n$json"), identity)
+    Validator.violations(df, schema, keyCols = Seq("id")).count() shouldBe 0L
+    // and the enum is real: a third color is flagged
+    val bad = Seq(("violet", 9L)).toDF("color", "id")
+    Validator.violations(df.unionByName(bad), schema, keyCols = Seq("id"))
+      .count() should be >= 1L
+  }
+
+  it should "skip unrenderable bounds instead of crashing (NaN) and stay sound above 2^53" in {
+    // NaN bound: render must not throw, and the bound is simply omitted
+    val nan = Seq((Double.NaN, 1L), (1.5, 2L)).toDF("ratio", "id")
+    val json = SchemaInfer.inferSchemaJson(nan)
+    json should not include "NaN"
+    TableSchemaCompiler.compileString(json).isRight shouldBe true
+
+    // above 2^53 the double-carried integer bound is widened outward,
+    // never inward: the rendered maximum must still admit the true max
+    val big = 9007199254740995L // not exactly representable as double
+    val row = org.apache.spark.sql.Row("huge", "integer", null, true,
+      big.toDouble, big.toDouble, null, null, null)
+    val doc = SchemaInfer.renderSchemaJson(Seq(row))
+    val max = """"maximum": (-?\d+)""".r.findFirstMatchIn(doc).get.group(1).toLong
+    val min = """"minimum": (-?\d+)""".r.findFirstMatchIn(doc).get.group(1).toLong
+    min should be <= big
+    max should be >= big
+  }
+
+  it should "flag a timestamp-to-string format drift as a type change (review regression)" in {
+    val base = Seq((1L, java.sql.Timestamp.valueOf("2024-01-01 00:00:00"))).toDF("id", "ts")
+    val cur = Seq((2L, "2024-01-01 not really a timestamp")).toDF("id", "ts")
+    val d = SchemaInfer.constraintDrift(base, cur)
+      .collect().map(r => r.getString(0) -> r).toMap
+    d("ts").getString(1) shouldBe "ok"
+    d("ts").getBoolean(2) shouldBe true // json_type string both sides, but format moved
   }
 
   it should "diff two inferred constraint sets into a drift report" in {
@@ -190,6 +230,6 @@ class SchemaInferSpec extends AnyFlatSpec with Matchers {
       (col("id") % 4).cast("int").as("narrow"))
     val rows = byCol(df)
     rows("wide").getString(8) shouldBe null
-    rows("narrow").getString(8) shouldBe "0,1,2,3"
+    rows("narrow").getString(8) shouldBe Seq("0","1","2","3").mkString(SchemaInfer.EnumSep)
   }
 }
