@@ -222,6 +222,41 @@ class SchemaInferSpec extends AnyFlatSpec with Matchers {
     } finally df.unpersist()
   }
 
+  it should "round-trip ANY table: property fuzz over adversarial values" in {
+    import org.scalacheck.{Gen, Prop, Test => ScTest}
+    // adversarial string alphabet: JSON metacharacters, control chars,
+    // the enum separator itself, non-ASCII, emoji
+    val hostileChar = Gen.oneOf(Gen.alphaNumChar, Gen.oneOf(
+      '"', '\\', '\n', '\t', '', ',', '/', '~', 'é', '漢', '\ud83d', ' ')) // lone high surrogate: worst-case string
+    val hostileStr = Gen.chooseNum(0, 8).flatMap(n => Gen.stringOfN(n, hostileChar))
+    val anyLong = Gen.oneOf(Gen.chooseNum(-100L, 100L),
+      Gen.oneOf(Long.MinValue, Long.MaxValue, 9007199254740995L, -9007199254740997L))
+    val anyDouble = Gen.oneOf(Gen.chooseNum(-1e6, 1e6),
+      Gen.oneOf(Double.NaN, Double.PositiveInfinity, Double.NegativeInfinity, -0.0, 1e300))
+    val rowGen = for {
+      s <- Gen.option(hostileStr)
+      l <- Gen.option(anyLong)
+      d <- Gen.option(anyDouble)
+    } yield (s, l, d)
+    val tableGen = Gen.chooseNum(1, 25).flatMap(n => Gen.listOfN(n, rowGen))
+
+    val p = Prop.forAll(tableGen) { rows =>
+      val df = rows.zipWithIndex
+        .map { case ((s, l, d), i) => (i.toLong, s, l, d) }
+        .toDF("id", "s", "l", "d")
+      val json = SchemaInfer.inferSchemaJson(df, enumMaxDistinct = 8)
+      TableSchemaCompiler.compileString(json) match {
+        case Left(e) => println(s"uncompilable: $e\n$json"); false
+        case Right(schema) =>
+          val n = Validator.violations(df, schema, keyCols = Seq("id")).count()
+          if (n != 0) println(s"violations=$n for\n$json")
+          n == 0L
+      }
+    }
+    val r = ScTest.check(ScTest.Parameters.default.withMinSuccessfulTests(30), p)
+    withClue(r.status.toString)(r.passed shouldBe true)
+  }
+
   it should "stay bounded: pass 2 collects only pruned candidates" in {
     // 50k rows, one hot high-cardinality column: the enum scan must not
     // collect it (candidates are HLL-pruned before the scan)
