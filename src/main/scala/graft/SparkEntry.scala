@@ -330,6 +330,12 @@ object SparkEntry {
       graft.stats.SchemaInfer.inferConstraints(
         TranscriptDerive.fromLineitem(s, dir), enumMaxDistinct = 16)),
 
+    // property-dependency suggestion (draft-4 dependencies keyword):
+    // for every ordered column pair, does antecedent-non-null imply
+    // consequent-non-null on the data — one wide conditional-sum agg
+    "dep_suggest" -> ((s, dir) =>
+      graft.stats.SchemaInfer.suggestDependencies(TranscriptDerive.fromLineitem(s, dir))),
+
     // key-candidate suggestion: which candidate column sets are true
     // primary keys (no null components, no duplicate values) — exact
     // verdicts, HLL-pruned so only could-be keys pay the exact probe.
@@ -1547,13 +1553,23 @@ object SparkEntry {
     // string length bounds, enum = sorted exact value set when the
     // non-null distinct count is in [1,16] (string/integer columns only)
     "schema_infer" -> {
+      // the pattern replay mirrors the fixed menu rule: first anchored
+      // candidate with zero non-matching non-null values (none if the
+      // column is all-null)
+      val menuSql = graft.stats.SchemaInfer.patternMenu.map(pt =>
+        s"WHEN COUNT(*) FILTER (WHERE VAL IS NOT NULL AND NOT regexp_matches(VAL, '$pt')) = 0 THEN '$pt'")
+        .mkString(" ")
+      def patSql(n: String) =
+        s"""CASE WHEN COUNT(*) FILTER (WHERE $n IS NOT NULL) > 0
+           |     THEN CASE ${menuSql.replace("VAL", n)} END END""".stripMargin
       def strCol(n: String) =
         s"""SELECT '$n' AS "column", 'string' AS json_type, CAST(NULL AS VARCHAR) AS format,
            |COUNT(*) FILTER (WHERE $n IS NULL) = 0 AND COUNT(*) > 0 AS required,
            |CAST(NULL AS DOUBLE) AS min_num, CAST(NULL AS DOUBLE) AS max_num,
            |CAST(MIN(LENGTH($n)) AS BIGINT) AS min_len, CAST(MAX(LENGTH($n)) AS BIGINT) AS max_len,
            |CASE WHEN COUNT(DISTINCT $n) BETWEEN 1 AND 16
-           |     THEN array_to_string(list_sort(list(DISTINCT CAST($n AS VARCHAR))), chr(1)) END AS enum_vals
+           |     THEN array_to_string(list_sort(list(DISTINCT CAST($n AS VARCHAR))), chr(1)) END AS enum_vals,
+           |${patSql(n)} AS pattern
            |FROM transcripts""".stripMargin
       def intCol(n: String) =
         s"""SELECT '$n', 'integer', CAST(NULL AS VARCHAR),
@@ -1561,17 +1577,34 @@ object SparkEntry {
            |CAST(MIN($n) AS DOUBLE), CAST(MAX($n) AS DOUBLE),
            |CAST(NULL AS BIGINT), CAST(NULL AS BIGINT),
            |CASE WHEN COUNT(DISTINCT $n) BETWEEN 1 AND 16
-           |     THEN array_to_string(list_sort(list(DISTINCT CAST($n AS VARCHAR))), chr(1)) END
+           |     THEN array_to_string(list_sort(list(DISTINCT CAST($n AS VARCHAR))), chr(1)) END,
+           |CAST(NULL AS VARCHAR)
            |FROM transcripts""".stripMargin
       def tsCol(n: String) =
         s"""SELECT '$n', 'string', 'date-time',
            |COUNT(*) FILTER (WHERE $n IS NULL) = 0 AND COUNT(*) > 0,
            |CAST(epoch_us(MIN($n)) AS DOUBLE), CAST(epoch_us(MAX($n)) AS DOUBLE),
-           |CAST(NULL AS BIGINT), CAST(NULL AS BIGINT), CAST(NULL AS VARCHAR)
+           |CAST(NULL AS BIGINT), CAST(NULL AS BIGINT), CAST(NULL AS VARCHAR), CAST(NULL AS VARCHAR)
            |FROM transcripts""".stripMargin
       s"""WITH $tCte
          |${Seq(strCol("conv_id"), intCol("turn_idx"), strCol("role"),
                 strCol("text"), strCol("tool"), tsCol("ts")).mkString("\nUNION ALL\n")}""".stripMargin
+    },
+
+    // replays the implication rule per ordered column pair: holds iff
+    // the antecedent is observed and no row has antecedent without
+    // consequent
+    "dep_suggest" -> {
+      val tcols = Seq("conv_id", "turn_idx", "role", "text", "tool", "ts")
+      val pairs = for { a <- tcols; b <- tcols if a != b } yield
+        s"""SELECT '$a' AS antecedent, '$b' AS consequent,
+           |COUNT(*) FILTER (WHERE $a IS NOT NULL) AS antecedent_rows,
+           |COUNT(*) FILTER (WHERE $a IS NOT NULL AND $b IS NULL) AS violations,
+           |COUNT(*) FILTER (WHERE $a IS NOT NULL) > 0
+           |  AND COUNT(*) FILTER (WHERE $a IS NOT NULL AND $b IS NULL) = 0 AS holds
+           |FROM transcripts""".stripMargin
+      s"""WITH $tCte
+         |${pairs.mkString("\nUNION ALL\n")}""".stripMargin
     },
 
     // replays the exact key rule per candidate: no null components, no

@@ -62,7 +62,24 @@ object SchemaInfer {
     StructField("max_num", DoubleType, nullable = true),
     StructField("min_len", LongType, nullable = true),
     StructField("max_len", LongType, nullable = true),
-    StructField("enum_vals", StringType, nullable = true)))
+    StructField("enum_vals", StringType, nullable = true),
+    StructField("pattern", StringType, nullable = true)))
+
+  /** Candidate `pattern` menu, most-specific first: the inferred
+    * pattern is the FIRST candidate every non-null value of a string
+    * column matches (fully — all candidates are anchored, so partial
+    * draft-4 `pattern` semantics coincide with full match). A fixed
+    * menu keeps the rule deterministic, cheap (a handful of conditional
+    * sums in the same wide agg) and replayable in RE2-only engines —
+    * open-ended regex induction is neither.
+    */
+  val patternMenu: Seq[String] = Seq(
+    "^[0-9]+$",
+    "^[a-z]+$",
+    "^[a-z][0-9]+$",
+    "^[a-z][a-z0-9_]*$",
+    "^[A-Za-z]+$",
+    "^[A-Za-z0-9_.-]+$")
 
   /** Separator for the `enum_vals` set encoding: U+0001 (DuckDB
     * `chr(1)`, the engine's established digest separator) — a comma
@@ -119,12 +136,18 @@ object SchemaInfer {
         case StringType => (min(length(c)).cast("long"), max(length(c)).cast("long"))
         case _          => (lit(null).cast("long"), lit(null).cast("long"))
       }
+      val patternMisses = f.dataType match {
+        case StringType => patternMenu.zipWithIndex.map { case (p, i) =>
+          sum((c.isNotNull && !c.rlike(p)).cast("long")).as(s"${f.name}__pm_$i")
+        }
+        case _ => Nil
+      }
       Seq(
         sum(c.isNull.cast("long")).as(s"${f.name}__nulls"),
         minC.as(s"${f.name}__min"), maxC.as(s"${f.name}__max"),
         minL.as(s"${f.name}__minlen"), maxL.as(s"${f.name}__maxlen"),
         (if (enumEligible(f.dataType)) approx_count_distinct(c)
-         else lit(null).cast("long")).as(s"${f.name}__hll"))
+         else lit(null).cast("long")).as(s"${f.name}__hll")) ++ patternMisses
     }
     val row = df.agg(aggs.head, aggs.tail: _*).collect()(0) // 1-row collect
     def l(n: String): Option[Long] = Option(row.getAs[java.lang.Long](n)).map(_.longValue)
@@ -154,12 +177,18 @@ object SchemaInfer {
         .filter(vs => vs.nonEmpty && vs.length <= enumMaxDistinct &&
           !vs.exists(_.contains(EnumSep))) // unencodable value: drop the enum
         .map(_.mkString(EnumSep))
+      val pattern =
+        if (f.dataType != StringType || nulls == total) None
+        else patternMenu.zipWithIndex
+          .find { case (_, i) => l(s"${f.name}__pm_$i").contains(0L) }
+          .map(_._1)
       Row(f.name, jt, fmt.orNull, total > 0L && nulls == 0L,
         d(s"${f.name}__min").map(Double.box).orNull,
         d(s"${f.name}__max").map(Double.box).orNull,
         l(s"${f.name}__minlen").map(Long.box).orNull,
         l(s"${f.name}__maxlen").map(Long.box).orNull,
-        enumV.orNull)
+        enumV.orNull,
+        pattern.orNull)
     }
     spark.createDataFrame(spark.sparkContext.parallelize(out, 1), outputSchema)
   }
@@ -201,7 +230,8 @@ object SchemaInfer {
     * the contract.
     */
   def renderSchemaJson(constraints: Seq[Row],
-                       id: String = "http://graft.local/inferred#"): String = {
+                       id: String = "http://graft.local/inferred#",
+                       dependencies: Seq[(String, String)] = Nil): String = {
     val props = constraints.map { r =>
       val name = r.getString(0); val jt = r.getString(1)
       val fmt = Option(r.getString(2))
@@ -228,6 +258,8 @@ object SchemaInfer {
         if (jt == "string") {
           minL.foreach(v => kw += s""""minLength": $v""")
           maxL.foreach(v => kw += s""""maxLength": $v""")
+          if (r.length > 9) Option(r.getString(9))
+            .foreach(p => kw += s""""pattern": ${jstr(p)}""")
         }
         enumV.foreach { vs =>
           val lits = jt match {
@@ -243,20 +275,82 @@ object SchemaInfer {
     }
     val required = constraints.filter(_.getBoolean(3)).map(r => jstr(r.getString(0)))
     val reqLine = if (required.isEmpty) "" else s"""  "required": [${required.mkString(", ")}],\n"""
+    val depLine =
+      if (dependencies.isEmpty) ""
+      else {
+        val order = constraints.map(_.getString(0)).zipWithIndex.toMap
+        val byAnte = dependencies.groupBy(_._1).toSeq
+          .sortBy { case (a, _) => order.getOrElse(a, Int.MaxValue) }
+          .map { case (a, ds) =>
+            val targets = ds.map(_._2).distinct
+              .sortBy(t => order.getOrElse(t, Int.MaxValue)).map(jstr)
+            s"${jstr(a)}: [${targets.mkString(", ")}]"
+          }
+        s"""  "dependencies": { ${byAnte.mkString(", ")} },\n"""
+      }
     s"""{
        |  "$$schema": "http://json-schema.org/draft-04/schema#",
        |  "id": ${jstr(id)},
        |  "type": "object",
-       |$reqLine  "properties": {
+       |$reqLine$depLine  "properties": {
        |    ${props.mkString(",\n    ")}
        |  }
        |}""".stripMargin
   }
 
-  /** infer + render in one call. */
+  /** Property-dependency suggestion (the draft-4 `dependencies`
+    * keyword, property form): for every ordered column pair (a, b),
+    * does `a IS NOT NULL ⇒ b IS NOT NULL` hold on the data? ONE wide
+    * conditional-sum aggregation over the scan (|columns|^2 counters —
+    * counters, not shuffled data). Output per pair:
+    * `(antecedent, consequent, antecedent_rows, violations, holds)`
+    * with `holds` exact. [[inferSchemaJson]] folds in the
+    * NON-REDUNDANT holding pairs (consequent not already `required`,
+    * antecedent actually observed) — e.g. the flagship's
+    * `dependencies: {tool: [role]}` re-derived from data alone.
+    */
+  def suggestDependencies(df: DataFrame): DataFrame = {
+    val spark = df.sparkSession
+    val cols = df.columns.toSeq
+    require(cols.length >= 2, "need at least two columns")
+    val pairs = for { a <- cols; b <- cols if a != b } yield (a, b)
+    val aggs = count(lit(1)).as("__total") +:
+      (cols.map(a => sum(col(a).isNotNull.cast("long")).as(s"__nn_$a")) ++
+        pairs.map { case (a, b) =>
+          sum((col(a).isNotNull && col(b).isNull).cast("long")).as(s"__v_${a}__$b")
+        })
+    val row = df.agg(aggs.head, aggs.tail: _*).collect()(0)
+    val out = pairs.map { case (a, b) =>
+      val nn = row.getAs[Long](s"__nn_$a")
+      val v = row.getAs[Long](s"__v_${a}__$b")
+      Row(a, b, nn, v, nn > 0L && v == 0L)
+    }
+    spark.createDataFrame(spark.sparkContext.parallelize(out, 1), StructType(Seq(
+      StructField("antecedent", StringType, nullable = false),
+      StructField("consequent", StringType, nullable = false),
+      StructField("antecedent_rows", LongType, nullable = false),
+      StructField("violations", LongType, nullable = false),
+      StructField("holds", BooleanType, nullable = false))))
+  }
+
+  /** infer + render in one call; `withDependencies` folds in the
+    * non-redundant data-true property dependencies (they hold on the
+    * profiled table, so the round-trip stays zero-violation).
+    */
   def inferSchemaJson(df: DataFrame, enumMaxDistinct: Int = 16,
-                      id: String = "http://graft.local/inferred#"): String =
-    renderSchemaJson(inferConstraints(df, enumMaxDistinct).collect().toSeq, id)
+                      id: String = "http://graft.local/inferred#",
+                      withDependencies: Boolean = true): String = {
+    val rows = inferConstraints(df, enumMaxDistinct).collect().toSeq
+    val deps =
+      if (!withDependencies || df.columns.length < 2) Nil
+      else {
+        val requiredCols = rows.filter(_.getBoolean(3)).map(_.getString(0)).toSet
+        suggestDependencies(df).collect().toSeq
+          .filter(r => r.getBoolean(4) && !requiredCols.contains(r.getString(1)))
+          .map(r => (r.getString(0), r.getString(1)))
+      }
+    renderSchemaJson(rows, id, deps)
+  }
 
   /** Key-candidate suggestion: for each candidate column set, decide
     * whether it is a PRIMARY KEY of the table — no null components and

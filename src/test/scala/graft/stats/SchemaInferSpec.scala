@@ -100,6 +100,47 @@ class SchemaInferSpec extends AnyFlatSpec with Matchers {
     Validator.violations(df, schema, keyCols = Seq("id")).count() shouldBe 0L
   }
 
+  it should "infer the most specific menu pattern, or none" in {
+    val df = Seq(
+      ("c1", "Bad-Tool", "has space", "007"),
+      ("c23", "web_search", "plain", "42")
+    ).toDF("conv", "tool", "free", "digits")
+    val rows = byCol(df)
+    rows("conv").getString(9) shouldBe "^[a-z][0-9]+$"
+    rows("tool").getString(9) shouldBe "^[A-Za-z0-9_.-]+$"
+    rows("free").getString(9) shouldBe null // space matches nothing in the menu
+    rows("digits").getString(9) shouldBe "^[0-9]+$"
+    // all-null column: no pattern (not the vacuous first candidate)
+    val nulls = Seq((1L, None: Option[String])).toDF("id", "empty")
+    byCol(nulls)("empty").getString(9) shouldBe null
+  }
+
+  it should "suggest data-true property dependencies and render them into the schema" in {
+    // tool set => role set; role itself sometimes null (so the dep is
+    // non-redundant); text unconditionally present (required, so any
+    // dep onto it is filtered as redundant)
+    val df = Seq(
+      (1L, Some("search"), Some("tool"), "a"),
+      (2L, None, Some("user"), "b"),
+      (3L, None, None: Option[String], "c")
+    ).toDF("id", "tool", "role", "text")
+    val deps = SchemaInfer.suggestDependencies(df).collect()
+      .map(r => (r.getString(0), r.getString(1)) -> r.getBoolean(4)).toMap
+    deps(("tool", "role")) shouldBe true
+    deps(("role", "tool")) shouldBe false // role=user row has no tool
+    deps(("tool", "text")) shouldBe true  // holds, but redundant in the render
+
+    val json = SchemaInfer.inferSchemaJson(df)
+    json should include(""""dependencies": { "tool": ["role"] }""")
+    val schema = TableSchemaCompiler.compileString(json)
+      .fold(e => fail(s"dep schema failed to compile: $e\n$json"), identity)
+    Validator.violations(df, schema, keyCols = Seq("id")).count() shouldBe 0L
+    // a row violating the dependency (tool without role) is flagged
+    val bad = Seq((9L, Some("calc"), None: Option[String], "a")).toDF("id", "tool", "role", "text")
+    Validator.violations(df.unionByName(bad), schema, keyCols = Seq("id"))
+      .filter(col("constraint").contains("dependen")).count() should be >= 1L
+  }
+
   it should "round-trip enum values containing commas (review regression)" in {
     val df = Seq(("red", 1L), ("blue,green", 2L), ("red", 3L)).toDF("color", "id")
     val json = SchemaInfer.inferSchemaJson(df)
