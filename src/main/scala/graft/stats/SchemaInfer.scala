@@ -138,7 +138,10 @@ object SchemaInfer {
       }
       val patternMisses = f.dataType match {
         case StringType => patternMenu.zipWithIndex.map { case (p, i) =>
-          sum((c.isNotNull && !c.rlike(p)).cast("long")).as(s"${f.name}__pm_$i")
+          // the validator's codegen byte-loop fast path (the whole menu
+          // is inside SimplePattern's subset; rlike only as a safety net)
+          val hit = graft.functions.SimplePatternMatch.tryColumn(c, p).getOrElse(c.rlike(p))
+          sum((c.isNotNull && !hit).cast("long")).as(s"${f.name}__pm_$i")
         }
         case _ => Nil
       }
