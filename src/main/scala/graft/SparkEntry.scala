@@ -1647,14 +1647,21 @@ object SparkEntry {
     // the schema_infer replay per half + the diff rule (both halves
     // carry all 6 columns, so status is always 'ok' on this fixture)
     "schema_drift" -> {
+      val menuSql2 = graft.stats.SchemaInfer.patternMenu.map(pt =>
+        s"WHEN COUNT(*) FILTER (WHERE VAL IS NOT NULL AND NOT regexp_matches(VAL, '$pt')) = 0 THEN '$pt'")
+        .mkString(" ")
       def prof(half: Int) = {
+        def patSql(n: String) =
+          s"""CASE WHEN COUNT(*) FILTER (WHERE $n IS NOT NULL) > 0
+             |     THEN CASE ${menuSql2.replace("VAL", n)} END END""".stripMargin
         def strCol(n: String) =
           s"""SELECT '$n' AS "column", 'string' AS json_type, CAST(NULL AS VARCHAR) AS format,
              |COUNT(*) FILTER (WHERE $n IS NULL) = 0 AND COUNT(*) > 0 AS required,
              |CAST(NULL AS DOUBLE) AS min_num, CAST(NULL AS DOUBLE) AS max_num,
              |CAST(MIN(LENGTH($n)) AS BIGINT) AS min_len, CAST(MAX(LENGTH($n)) AS BIGINT) AS max_len,
              |CASE WHEN COUNT(DISTINCT $n) BETWEEN 1 AND 16
-             |     THEN array_to_string(list_sort(list(DISTINCT CAST($n AS VARCHAR))), chr(1)) END AS enum_vals
+             |     THEN array_to_string(list_sort(list(DISTINCT CAST($n AS VARCHAR))), chr(1)) END AS enum_vals,
+             |${patSql(n)} AS pattern
              |FROM th WHERE half = $half""".stripMargin
         def intCol(n: String) =
           s"""SELECT '$n', 'integer', CAST(NULL AS VARCHAR),
@@ -1662,13 +1669,14 @@ object SparkEntry {
              |CAST(MIN($n) AS DOUBLE), CAST(MAX($n) AS DOUBLE),
              |CAST(NULL AS BIGINT), CAST(NULL AS BIGINT),
              |CASE WHEN COUNT(DISTINCT $n) BETWEEN 1 AND 16
-             |     THEN array_to_string(list_sort(list(DISTINCT CAST($n AS VARCHAR))), chr(1)) END
+             |     THEN array_to_string(list_sort(list(DISTINCT CAST($n AS VARCHAR))), chr(1)) END,
+             |CAST(NULL AS VARCHAR)
              |FROM th WHERE half = $half""".stripMargin
         def tsCol(n: String) =
           s"""SELECT '$n', 'string', 'date-time',
              |COUNT(*) FILTER (WHERE $n IS NULL) = 0 AND COUNT(*) > 0,
              |CAST(epoch_us(MIN($n)) AS DOUBLE), CAST(epoch_us(MAX($n)) AS DOUBLE),
-             |CAST(NULL AS BIGINT), CAST(NULL AS BIGINT), CAST(NULL AS VARCHAR)
+             |CAST(NULL AS BIGINT), CAST(NULL AS BIGINT), CAST(NULL AS VARCHAR), CAST(NULL AS VARCHAR)
              |FROM th WHERE half = $half""".stripMargin
         Seq(strCol("conv_id"), intCol("turn_idx"), strCol("role"),
           strCol("text"), strCol("tool"), tsCol("ts")).mkString("\nUNION ALL\n")
@@ -1689,7 +1697,8 @@ object SparkEntry {
          |    OR COALESCE(c.min_len < b.min_len, FALSE) OR COALESCE(c.max_len > b.max_len, FALSE)
          |    AS bounds_widened,
          |  ne.nv AS new_enum_vals,
-         |  b.enum_vals IS NOT NULL AND c.enum_vals IS NULL AS enum_exploded
+         |  b.enum_vals IS NOT NULL AND c.enum_vals IS NULL AS enum_exploded,
+         |  b.pattern IS DISTINCT FROM c.pattern AS pattern_changed
          |FROM b JOIN c USING ("column") LEFT JOIN ne ON ne.col2 = b."column"""".stripMargin
     },
 

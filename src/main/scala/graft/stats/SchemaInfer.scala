@@ -1,6 +1,6 @@
 package graft.stats
 
-import org.apache.spark.sql.{DataFrame, Row}
+import org.apache.spark.sql.{Column, DataFrame, Row}
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types._
 
@@ -108,14 +108,28 @@ object SchemaInfer {
   private def enumEligible(dt: DataType): Boolean =
     dt == StringType || dt == BooleanType || isIntegral(dt)
 
-  def inferConstraints(df: DataFrame, enumMaxDistinct: Int = 16): DataFrame = {
-    require(enumMaxDistinct >= 1, s"enumMaxDistinct must be >= 1, got $enumMaxDistinct")
-    val spark = df.sparkSession
-    val fields = df.schema.fields.toSeq
+  /** Characters java.util.regex treats as line terminators (where a
+    * bare `$` also matches BEFORE a trailing one) but RE2 does not.
+    * Values containing any of them never pattern-match — that keeps the
+    * rule identical across regex engines (and across SimplePattern,
+    * which mirrors java semantics).
+    */
+  private val lineTerminators = Seq("\n", "\r", "", " ", " ")
 
-    // ---- pass 1: one wide agg ----
-    val aggs = count(lit(1)).as("__total") +: fields.flatMap { f =>
-      val c = col(f.name)
+  /** All inference passes run over a POSITIONALLY RENAMED frame
+    * (`__c0`, `__c1`, ...) so arbitrary real-world column names —
+    * dots, backticks, double underscores — never reach the column
+    * parser or collide in aggregate aliases; outputs report the
+    * original names.
+    */
+  private def safeFrame(df: DataFrame): DataFrame =
+    df.toDF(df.columns.indices.map(i => s"__c$i"): _*)
+
+  /** Pass-1 profile aggregates over the safe frame (index-keyed
+    * aliases). */
+  private def profileAggs(df: DataFrame): Seq[Column] =
+    count(lit(1)).as("__total") +: df.schema.fields.toSeq.zipWithIndex.flatMap { case (f, i) =>
+      val c = col(s"__c$i")
       val (minC, maxC) = f.dataType match {
         case _: NumericType => (min(c).cast("double"), max(c).cast("double"))
         case TimestampType  => (min(unix_micros(c)).cast("double"), max(unix_micros(c)).cast("double"))
@@ -137,63 +151,84 @@ object SchemaInfer {
         case _          => (lit(null).cast("long"), lit(null).cast("long"))
       }
       val patternMisses = f.dataType match {
-        case StringType => patternMenu.zipWithIndex.map { case (p, i) =>
+        case StringType => patternMenu.zipWithIndex.map { case (p, k) =>
           // the validator's codegen byte-loop fast path (the whole menu
-          // is inside SimplePattern's subset; rlike only as a safety net)
-          val hit = graft.functions.SimplePatternMatch.tryColumn(c, p).getOrElse(c.rlike(p))
-          sum((c.isNotNull && !hit).cast("long")).as(s"${f.name}__pm_$i")
+          // is inside SimplePattern's subset; rlike only as a safety
+          // net); the terminator conjunct keeps java-regex and RE2
+          // verdicts identical on trailing-newline values
+          val hit = graft.functions.SimplePatternMatch.tryColumn(c, p).getOrElse(c.rlike(p)) &&
+            lineTerminators.map(t => !c.contains(t)).reduce(_ && _)
+          sum((c.isNotNull && !hit).cast("long")).as(s"__c${i}__pm_$k")
         }
         case _ => Nil
       }
       Seq(
-        sum(c.isNull.cast("long")).as(s"${f.name}__nulls"),
-        minC.as(s"${f.name}__min"), maxC.as(s"${f.name}__max"),
-        minL.as(s"${f.name}__minlen"), maxL.as(s"${f.name}__maxlen"),
+        sum(c.isNull.cast("long")).as(s"__c${i}__nulls"),
+        minC.as(s"__c${i}__min"), maxC.as(s"__c${i}__max"),
+        minL.as(s"__c${i}__minlen"), maxL.as(s"__c${i}__maxlen"),
         (if (enumEligible(f.dataType)) approx_count_distinct(c)
-         else lit(null).cast("long")).as(s"${f.name}__hll")) ++ patternMisses
+         else lit(null).cast("long")).as(s"__c${i}__hll")) ++ patternMisses
     }
-    val row = df.agg(aggs.head, aggs.tail: _*).collect()(0) // 1-row collect
+
+  /** Pass 2: exact enum sets for HLL-pruned candidate indexes, one
+    * bounded scan over the safe frame. */
+  private def enumPass(sdf: DataFrame, candidateIdx: Seq[Int]): Map[Int, Seq[String]] =
+    if (candidateIdx.isEmpty) Map.empty
+    else {
+      val pairs = sdf.select(explode(array(candidateIdx.map(i =>
+          struct(lit(i).as("i"), col(s"__c$i").cast("string").as("v"))): _*)).as("p"))
+        .select(col("p.i").as("i"), col("p.v").as("v"))
+        .where(col("v").isNotNull)
+      pairs.groupBy("i").agg(sort_array(collect_set(col("v"))).as("vals"))
+        .collect() // bounded: candidates x ~2*enumMaxDistinct values
+        .map(r => r.getInt(0) -> r.getSeq[String](1)).toMap
+    }
+
+  private def parseProfile(row: Row, fields: Seq[StructField],
+                           enums: Map[Int, Seq[String]], enumMaxDistinct: Int): Seq[Row] = {
     def l(n: String): Option[Long] = Option(row.getAs[java.lang.Long](n)).map(_.longValue)
     def d(n: String): Option[Double] = Option(row.getAs[java.lang.Double](n)).map(_.doubleValue)
     val total = row.getAs[Long]("__total")
-
-    // ---- pass 2: exact enum sets for HLL-pruned candidates, one scan ----
-    val candidates = fields.filter { f =>
-      enumEligible(f.dataType) && l(s"${f.name}__hll").exists(_ <= 2L * enumMaxDistinct)
-    }
-    val enums: Map[String, Seq[String]] =
-      if (candidates.isEmpty) Map.empty
-      else {
-        val pairs = df.select(explode(array(candidates.map(f =>
-            struct(lit(f.name).as("c"), col(f.name).cast("string").as("v"))): _*)).as("p"))
-          .select(col("p.c").as("c"), col("p.v").as("v"))
-          .where(col("v").isNotNull)
-        pairs.groupBy("c").agg(sort_array(collect_set(col("v"))).as("vals"))
-          .collect() // bounded: candidates x ~2*enumMaxDistinct values
-          .map(r => r.getString(0) -> r.getSeq[String](1)).toMap
-      }
-
-    val out = fields.map { f =>
+    fields.zipWithIndex.map { case (f, i) =>
       val (jt, fmt) = jsonType(f.dataType)
-      val nulls = l(s"${f.name}__nulls").getOrElse(0L)
-      val enumV = enums.get(f.name)
+      val nulls = l(s"__c${i}__nulls").getOrElse(0L)
+      val enumV = enums.get(i)
         .filter(vs => vs.nonEmpty && vs.length <= enumMaxDistinct &&
           !vs.exists(_.contains(EnumSep))) // unencodable value: drop the enum
         .map(_.mkString(EnumSep))
       val pattern =
         if (f.dataType != StringType || nulls == total) None
         else patternMenu.zipWithIndex
-          .find { case (_, i) => l(s"${f.name}__pm_$i").contains(0L) }
+          .find { case (_, k) => l(s"__c${i}__pm_$k").contains(0L) }
           .map(_._1)
       Row(f.name, jt, fmt.orNull, total > 0L && nulls == 0L,
-        d(s"${f.name}__min").map(Double.box).orNull,
-        d(s"${f.name}__max").map(Double.box).orNull,
-        l(s"${f.name}__minlen").map(Long.box).orNull,
-        l(s"${f.name}__maxlen").map(Long.box).orNull,
+        d(s"__c${i}__min").map(Double.box).orNull,
+        d(s"__c${i}__max").map(Double.box).orNull,
+        l(s"__c${i}__minlen").map(Long.box).orNull,
+        l(s"__c${i}__maxlen").map(Long.box).orNull,
         enumV.orNull,
         pattern.orNull)
     }
-    spark.createDataFrame(spark.sparkContext.parallelize(out, 1), outputSchema)
+  }
+
+  private def candidateIdx(row: Row, fields: Seq[StructField], enumMaxDistinct: Int): Seq[Int] =
+    fields.zipWithIndex.collect {
+      case (f, i) if enumEligible(f.dataType) &&
+        Option(row.getAs[java.lang.Long](s"__c${i}__hll"))
+          .exists(_.longValue <= 2L * enumMaxDistinct) => i
+    }
+
+  def inferConstraints(df: DataFrame, enumMaxDistinct: Int = 16): DataFrame = {
+    require(enumMaxDistinct >= 1, s"enumMaxDistinct must be >= 1, got $enumMaxDistinct")
+    val spark = df.sparkSession
+    val fields = df.schema.fields.toSeq
+    val sdf = safeFrame(df)
+    val aggs = profileAggs(df)
+    val row = sdf.agg(aggs.head, aggs.tail: _*).collect()(0) // 1-row collect
+    val enums = enumPass(sdf, candidateIdx(row, fields, enumMaxDistinct))
+    spark.createDataFrame(
+      spark.sparkContext.parallelize(parseProfile(row, fields, enums, enumMaxDistinct), 1),
+      outputSchema)
   }
 
   /** Quoted JSON string literal — the shared [[graft.functions.JsonRender]]
@@ -312,43 +347,68 @@ object SchemaInfer {
     * antecedent actually observed) — e.g. the flagship's
     * `dependencies: {tool: [role]}` re-derived from data alone.
     */
+  /** Ordered index pairs + their conditional-sum aggregates over the
+    * safe frame: pair k counts rows violating `__c_a non-null =>
+    * __c_b non-null` (pair-INDEX-keyed aliases — original column names
+    * never form aliases, so names containing "__" cannot collide).
+    */
+  private def depPairs(n: Int): Seq[(Int, Int)] =
+    for { a <- 0 until n; b <- 0 until n if a != b } yield (a, b)
+
+  private def depAggs(n: Int): Seq[Column] =
+    (0 until n).map(i => sum(col(s"__c$i").isNotNull.cast("long")).as(s"__nn_$i")) ++
+      depPairs(n).zipWithIndex.map { case ((a, b), k) =>
+        sum((col(s"__c$a").isNotNull && col(s"__c$b").isNull).cast("long")).as(s"__dv_$k")
+      }
+
+  private def parseDeps(row: Row, names: Seq[String]): Seq[Row] =
+    depPairs(names.length).zipWithIndex.map { case ((a, b), k) =>
+      val nn = row.getAs[Long](s"__nn_$a")
+      val v = row.getAs[Long](s"__dv_$k")
+      Row(names(a), names(b), nn, v, nn > 0L && v == 0L)
+    }
+
+  private val depSchema = StructType(Seq(
+    StructField("antecedent", StringType, nullable = false),
+    StructField("consequent", StringType, nullable = false),
+    StructField("antecedent_rows", LongType, nullable = false),
+    StructField("violations", LongType, nullable = false),
+    StructField("holds", BooleanType, nullable = false)))
+
   def suggestDependencies(df: DataFrame): DataFrame = {
     val spark = df.sparkSession
-    val cols = df.columns.toSeq
-    require(cols.length >= 2, "need at least two columns")
-    val pairs = for { a <- cols; b <- cols if a != b } yield (a, b)
-    val aggs = count(lit(1)).as("__total") +:
-      (cols.map(a => sum(col(a).isNotNull.cast("long")).as(s"__nn_$a")) ++
-        pairs.map { case (a, b) =>
-          sum((col(a).isNotNull && col(b).isNull).cast("long")).as(s"__v_${a}__$b")
-        })
-    val row = df.agg(aggs.head, aggs.tail: _*).collect()(0)
-    val out = pairs.map { case (a, b) =>
-      val nn = row.getAs[Long](s"__nn_$a")
-      val v = row.getAs[Long](s"__v_${a}__$b")
-      Row(a, b, nn, v, nn > 0L && v == 0L)
-    }
-    spark.createDataFrame(spark.sparkContext.parallelize(out, 1), StructType(Seq(
-      StructField("antecedent", StringType, nullable = false),
-      StructField("consequent", StringType, nullable = false),
-      StructField("antecedent_rows", LongType, nullable = false),
-      StructField("violations", LongType, nullable = false),
-      StructField("holds", BooleanType, nullable = false))))
+    val names = df.columns.toSeq
+    require(names.length >= 2, "need at least two columns")
+    val sdf = safeFrame(df)
+    val aggs = depAggs(names.length)
+    val row = sdf.agg(aggs.head, aggs.tail: _*).collect()(0)
+    spark.createDataFrame(
+      spark.sparkContext.parallelize(parseDeps(row, names), 1), depSchema)
   }
 
   /** infer + render in one call; `withDependencies` folds in the
     * non-redundant data-true property dependencies (they hold on the
-    * profiled table, so the round-trip stays zero-violation).
+    * profiled table, so the round-trip stays zero-violation). The
+    * profile AND dependency counters ride ONE wide aggregation — the
+    * CLI path pays one scan plus the bounded enum scan, never a third.
     */
   def inferSchemaJson(df: DataFrame, enumMaxDistinct: Int = 16,
                       id: String = "http://graft.local/inferred#",
                       withDependencies: Boolean = true): String = {
-    val rows = inferConstraints(df, enumMaxDistinct).collect().toSeq
+    require(enumMaxDistinct >= 1, s"enumMaxDistinct must be >= 1, got $enumMaxDistinct")
+    val fields = df.schema.fields.toSeq
+    val names = fields.map(_.name)
+    val withDeps = withDependencies && names.length >= 2
+    val sdf = safeFrame(df)
+    val aggs = profileAggs(df) ++ (if (withDeps) depAggs(names.length) else Nil)
+    val row = sdf.agg(aggs.head, aggs.tail: _*).collect()(0)
+    val enums = enumPass(sdf, candidateIdx(row, fields, enumMaxDistinct))
+    val rows = parseProfile(row, fields, enums, enumMaxDistinct)
     val deps =
-      if (!withDependencies || df.columns.length < 2) Nil
+      if (!withDeps) Nil
       else {
         val requiredCols = rows.filter(_.getBoolean(3)).map(_.getString(0)).toSet
-        suggestDependencies(df).collect().toSeq
+        parseDeps(row, names)
           .filter(r => r.getBoolean(4) && !requiredCols.contains(r.getString(1)))
           .map(r => (r.getString(0), r.getString(1)))
       }
@@ -378,12 +438,15 @@ object SchemaInfer {
     candidates.flatten.foreach(c => require(df.columns.contains(c),
       s"candidate column '$c' not in ${df.columns.mkString(",")}"))
     val spark = df.sparkSession
+    val idx = df.columns.zipWithIndex.toMap // safe-frame positions (dot-proof)
+    val sdf = safeFrame(df)
+    def safeCols(cs: Seq[String]) = cs.map(c => col(s"__c${idx(c)}"))
     val aggs = count(lit(1)).as("__total") +: candidates.zipWithIndex.flatMap { case (cs, i) =>
-      val anyNull = cs.map(col(_).isNull).reduce(_ || _)
+      val anyNull = safeCols(cs).map(_.isNull).reduce(_ || _)
       Seq(sum(anyNull.cast("long")).as(s"__nulls_$i"),
-        approx_count_distinct(struct(cs.map(col): _*), 0.01).as(s"__hll_$i"))
+        approx_count_distinct(struct(safeCols(cs): _*), 0.01).as(s"__hll_$i"))
     }
-    val row = df.agg(aggs.head, aggs.tail: _*).collect()(0)
+    val row = sdf.agg(aggs.head, aggs.tail: _*).collect()(0)
     val total = row.getAs[Long]("__total")
     import scala.concurrent.{Await, Future}
     import scala.concurrent.ExecutionContext.Implicits.global
@@ -394,7 +457,7 @@ object SchemaInfer {
           row.getAs[Long](s"__hll_$i") >= ((total - nulls) * 9L) / 10L
         if (!couldBeKey) Future.successful((cs, nulls, false))
         else Future { // exact probe, survivors only, jobs overlap
-          (cs, nulls, df.groupBy(cs.map(col): _*).agg(count(lit(1)).as("__n"))
+          (cs, nulls, sdf.groupBy(safeCols(cs): _*).agg(count(lit(1)).as("__n"))
             .filter(col("__n") > 1L).isEmpty)
         }
       }
@@ -439,13 +502,13 @@ object SchemaInfer {
         col("required").as("b_req"),
         col("min_num").as("b_min"), col("max_num").as("b_max"),
         col("min_len").as("b_minlen"), col("max_len").as("b_maxlen"),
-        col("enum_vals").as("b_enum"))
+        col("enum_vals").as("b_enum"), col("pattern").as("b_pat"))
     val c = inferConstraints(current, enumMaxDistinct)
       .select(col("column"), col("json_type").as("c_type"), col("format").as("c_fmt"),
         col("required").as("c_req"),
         col("min_num").as("c_min"), col("max_num").as("c_max"),
         col("min_len").as("c_minlen"), col("max_len").as("c_maxlen"),
-        col("enum_vals").as("c_enum"))
+        col("enum_vals").as("c_enum"), col("pattern").as("c_pat"))
     val j = b.join(c, Seq("column"), "full_outer")
     val inB = col("b_type").isNotNull
     val inC = col("c_type").isNotNull
@@ -467,6 +530,9 @@ object SchemaInfer {
       (both && (widened("min", "max") || widened("minlen", "maxlen"))).as("bounds_widened"),
       when(both && col("b_enum").isNotNull && col("c_enum").isNotNull && newEnum =!= "", newEnum)
         .as("new_enum_vals"),
-      (both && col("b_enum").isNotNull && col("c_enum").isNull).as("enum_exploded"))
+      (both && col("b_enum").isNotNull && col("c_enum").isNull).as("enum_exploded"),
+      // the baseline pattern constraint no longer holds (or tightened/
+      // appeared) — same blindness class as the format fix above
+      (both && !(col("b_pat") <=> col("c_pat"))).as("pattern_changed"))
   }
 }

@@ -263,6 +263,55 @@ class SchemaInferSpec extends AnyFlatSpec with Matchers {
     } finally df.unpersist()
   }
 
+  it should "survive hostile column names: dots and double-underscores (review regression)" in {
+    // "user.id" would parse as a struct access; x__y/y__z used to
+    // collide in the dependency counter aliases
+    val df = Seq(
+      (1L, Some("a"), Some("q"), None: Option[String]),
+      (2L, None, Some("r"), Some("w"))
+    ).toDF("user.id", "x__y", "x", "y__z")
+    // inference, render and compile all succeed (the review's CLI crash
+    // class); the VALIDATOR's own dotted-physical-column binding is a
+    // separate pre-existing boundary (bindReport surfaces it), so the
+    // zero-violation round-trip is asserted on the renamed twin
+    val json = SchemaInfer.inferSchemaJson(df)
+    TableSchemaCompiler.compileString(json)
+      .fold(e => fail(s"hostile-name schema failed to compile: $e\n$json"), identity)
+    val renamed = df.withColumnRenamed("user.id", "user_id")
+    val schema2 = TableSchemaCompiler.compileString(SchemaInfer.inferSchemaJson(renamed))
+      .fold(e => fail(e), identity)
+    Validator.violations(renamed, schema2, keyCols = Seq("user_id")).count() shouldBe 0L
+    // dependency verdicts are per-pair exact despite the __ names
+    val deps = SchemaInfer.suggestDependencies(df).collect()
+      .map(r => (r.getString(0), r.getString(1)) -> r.getBoolean(4)).toMap
+    deps(("x__y", "x")) shouldBe true   // a present => q/r present
+    deps(("x__y", "y__z")) shouldBe false // row 1: a without w
+    deps(("y__z", "x__y")) shouldBe false // row 2: w without a
+    // and keys under hostile names
+    val keys = SchemaInfer.suggestKeys(df, Seq(Seq("user.id"), Seq("x__y")))
+      .collect().map(r => r.getString(0) -> r.getBoolean(3)).toMap
+    keys("user.id") shouldBe true
+    keys("x__y") shouldBe false // null component
+  }
+
+  it should "never pattern-match values with trailing line terminators (java-vs-RE2 parity)" in {
+    val df = Seq(("abc", 1L), ("def\n", 2L)).toDF("v", "id")
+    // java regex alone would accept "def\n" under ^[a-z]+$ ($ matches
+    // before a final terminator); the rule must reject it like RE2
+    byCol(df)("v").getString(9) shouldBe null
+    val clean = Seq(("abc", 1L), ("def", 2L)).toDF("v", "id")
+    byCol(clean)("v").getString(9) shouldBe "^[a-z]+$"
+  }
+
+  it should "flag pattern drift (review regression)" in {
+    val base = Seq(("c1", 1L), ("c22", 2L)).toDF("v", "id")   // ^[a-z][0-9]+$
+    val cur = Seq(("1-c", 3L), ("2-d", 4L)).toDF("v", "id")   // no menu match
+    val d = SchemaInfer.constraintDrift(base, cur)
+      .collect().map(r => r.getString(0) -> r).toMap
+    d("v").getBoolean(7) shouldBe true  // pattern_changed
+    d("v").getBoolean(2) shouldBe false // not a type change
+  }
+
   it should "round-trip ANY table: property fuzz over adversarial values" in {
     import org.scalacheck.{Gen, Prop, Test => ScTest}
     // adversarial string alphabet: JSON metacharacters, control chars,
