@@ -172,6 +172,47 @@ object BenchExtra {
         run("hash_rsd005", (cs, i) => Seq(nullsOf(cs, i),
           approx_count_distinct(xxhash64(cs.map(col): _*)).as(s"__hll_$i")))
 
+      case "stages-minhash" :: _ =>
+        // attribute minhash_pairs' cost across its stages (all on the
+        // same dedupPool input, k=24 bands=12 as gated)
+        import graft.pipeline.Dedup
+        val pool = SparkEntry.dedupPool(spark, sfDir)
+        def t3(label: String)(f: => Unit): Unit = {
+          f // warm
+          (1 to reps).foreach(_ => println(s"STAGE $label " + fmt(time(f))))
+        }
+        t3("pool_count") { pool.count(); () }
+        val sig = Dedup.minhashSigTable(pool, "text", "doc_id", 24)
+        t3("sig_table") { sig.count(); () }
+        val rowsPerBand = 2
+        val bandHashes = (0 until 12).map { b =>
+          hash((b * rowsPerBand until (b + 1) * rowsPerBand).map(i => col(s"m$i")): _*)
+        }
+        val bandedRaw = sig.select(col("id"), posexplode(array(bandHashes: _*)).as(Seq("band", "bandHash")))
+        t3("banded_raw") { bandedRaw.count(); () }
+        val bandedCounts = bandedRaw.groupBy(col("band"), col("bandHash"))
+          .agg(count(lit(1)).as("__bucket_n"))
+          .filter(col("__bucket_n") <= 4096)
+        val banded = bandedRaw.join(bandedCounts, Seq("band", "bandHash")).drop("__bucket_n")
+        t3("banded_capped") { banded.count(); () }
+        val a = banded.select(col("band"), col("bandHash"), col("id").as("id_a"))
+        val b = banded.select(col("band"), col("bandHash"), col("id").as("id_b"))
+        val candidates = a.join(b, Seq("band", "bandHash"))
+          .filter(col("id_a") < col("id_b"))
+          .select("id_a", "id_b").distinct()
+        t3("candidates") { candidates.count(); () }
+        val docsA = pool.select(col("doc_id").as("id_a"), col("text").as("text_a"))
+        val docsB = pool.select(col("doc_id").as("id_b"), col("text").as("text_b"))
+        val verified = candidates.join(docsA, "id_a").join(docsB, "id_b")
+          .withColumn("jaccard",
+            Dedup.jaccard(Dedup.shingles(col("text_a"), 3), Dedup.shingles(col("text_b"), 3)))
+          .filter(col("jaccard") >= 0.5)
+          .select("id_a", "id_b", "jaccard")
+        t3("verified") { verified.count(); () }
+        println("POOLROWS " + pool.count() + " CANDROWS " + candidates.count())
+        val full = Dedup.minhashPairs(pool, k = 24, bands = 12, threshold = 0.5)
+        t3("full_pairs") { full.count(); () }
+
       case other =>
         System.err.println(s"unknown BenchExtra mode: $other")
         sys.exit(1)

@@ -126,12 +126,22 @@ object Dedup {
       .filter(col("id_a") < col("id_b"))
       .select("id_a", "id_b").distinct()
 
-    // exact-Jaccard verification, computed only for surviving candidates
-    val docsA = df.select(col(idCol).as("id_a"), col(textCol).as("text_a"))
-    val docsB = df.select(col(idCol).as("id_b"), col(textCol).as("text_b"))
+    // exact-Jaccard verification, computed only for surviving candidates.
+    // The distinct shingle set is materialized ONCE PER DOC in the
+    // projection BELOW the join (guide §2.3: project before the
+    // exchange): the shingle builder rides interpreted higher-order
+    // functions, and inlining it into the pair-level jaccard expression
+    // re-evaluated it up to 3x per pair side (each appearance in the
+    // intersect/union/guard subtrees is a separate interpreted eval —
+    // measured ~2s of minhash_pairs' 3.2s at sf0.1). After the join the
+    // arrays are plain attributes, so the per-pair work is one
+    // array_intersect plus two size() reads.
+    val docsA = df.select(col(idCol).as("id_a"),
+      array_distinct(shingles(col(textCol), shingleN)).as("sh_a"))
+    val docsB = df.select(col(idCol).as("id_b"),
+      array_distinct(shingles(col(textCol), shingleN)).as("sh_b"))
     candidates.join(docsA, "id_a").join(docsB, "id_b")
-      .withColumn("jaccard",
-        jaccard(shingles(col("text_a"), shingleN), shingles(col("text_b"), shingleN)))
+      .withColumn("jaccard", jaccardDistinct(col("sh_a"), col("sh_b")))
       .filter(col("jaccard") >= threshold)
       .select("id_a", "id_b", "jaccard")
   }
@@ -395,10 +405,27 @@ object Dedup {
     df.join(losers, Seq(idCol), "left_anti")
   }
 
-  /** Exact n-gram Jaccard similarity of two shingle arrays. */
+  /** Exact n-gram Jaccard similarity of two shingle arrays. (Expression
+    * evaluation has no common-subexpression elimination on the
+    * interpreted HOF path, so every textual appearance of `a`/`b` here
+    * is a real re-eval — pass cheap inputs, or precompute the distinct
+    * arrays and use [[jaccardDistinct]] as the LSH verify stage does.)
+    */
   def jaccard(a: Column, b: Column): Column = {
     val inter = size(array_intersect(array_distinct(a), array_distinct(b))).cast("double")
     val union = size(array_union(a, b)).cast("double")
+    when(union === 0, lit(0.0)).otherwise(inter / union)
+  }
+
+  /** [[jaccard]] over inputs that are ALREADY distinct arrays (attribute
+    * references after a join — each appearance is then a free read, not
+    * an interpreted re-computation). `|A ∪ B|` by inclusion-exclusion:
+    * the same integer `array_union` would produce, without building the
+    * union array.
+    */
+  private[graft] def jaccardDistinct(da: Column, db: Column): Column = {
+    val inter = size(array_intersect(da, db)).cast("double")
+    val union = (size(da) + size(db)).cast("double") - inter
     when(union === 0, lit(0.0)).otherwise(inter / union)
   }
 
