@@ -213,6 +213,278 @@ object BenchExtra {
         val full = Dedup.minhashPairs(pool, k = 24, bands = 12, threshold = 0.5)
         t3("full_pairs") { full.count(); () }
 
+      case "stages-infer" :: _ =>
+        // attribute schema_infer's cost: derive scan, the wide profile
+        // agg (with and without its components), the enum pass
+        val t = graft.sources.TranscriptDerive.fromLineitem(spark, sfDir)
+        def t3(label: String)(f: => Unit): Unit = {
+          f // warm
+          (1 to reps).foreach(_ => println(s"STAGE $label " + fmt(time(f))))
+        }
+        t3("derive_count") { t.count(); () }
+        t3("full_infer") {
+          graft.stats.SchemaInfer.inferConstraints(t, enumMaxDistinct = 16).count(); ()
+        }
+        // component aggs over the safe frame
+        val sdf = t.toDF(t.columns.indices.map(i => s"__c$i"): _*)
+        val strCols = t.schema.fields.zipWithIndex.collect {
+          case (f, i) if f.dataType == org.apache.spark.sql.types.StringType => i
+        }.toSeq
+        val menu = graft.stats.SchemaInfer.patternMenu
+        val terms = Seq("\n", "\r", "", " ", " ")
+        def agg1(label: String, aggs: Seq[org.apache.spark.sql.Column]): Unit =
+          t3(label) { sdf.agg(aggs.head, aggs.tail: _*).collect(); () }
+        agg1("nulls_minmax", sdf.columns.toSeq.flatMap(c =>
+          Seq(sum(col(c).isNull.cast("long")), min(col(c)).cast("string"), max(col(c)).cast("string"))))
+        agg1("hll_only", sdf.columns.toSeq.map(c => approx_count_distinct(col(c))))
+        agg1("pattern_sums", strCols.flatMap { i =>
+          menu.zipWithIndex.map { case (p, k) =>
+            val c = col(s"__c$i")
+            val hit = graft.functions.SimplePatternMatch.tryColumn(c, p).getOrElse(c.rlike(p)) &&
+              terms.map(x => !c.contains(x)).reduce(_ && _)
+            sum((c.isNotNull && !hit).cast("long")).as(s"__c${i}__pm_$k")
+          }
+        })
+
+      case "plan-vs-exec" :: names =>
+        // split a query's wall time into (plan+codegen) vs (execute):
+        // executedPlan forces analysis/optimization/physical planning;
+        // a second count() on the SAME DataFrame reuses all of it
+        names.foreach { name =>
+          val fn = SparkEntry.queries(name)
+          fn(spark, sfDir).count() // warm (janino cache, file listing)
+          (1 to reps).foreach { _ =>
+            val t0 = System.nanoTime()
+            val df = fn(spark, sfDir)
+            df.queryExecution.executedPlan // force planning
+            val t1 = System.nanoTime()
+            df.count()
+            val t2 = System.nanoTime()
+            df.count() // plan fully reused
+            val t3 = System.nanoTime()
+            println(s"PLANEXEC $name plan=${fmt((t1 - t0) / 1e9)} " +
+              s"exec1=${fmt((t2 - t1) / 1e9)} exec2=${fmt((t3 - t2) / 1e9)}")
+          }
+        }
+
+      case "barrier-violations" :: _ =>
+        // test whether filter/projection pushdown through the derive
+        // projection multiplies derive-expression evaluation inside the
+        // check predicates: same validator over (a) the inline derive,
+        // (b) a localCheckpoint barrier (attributes only)
+        val schema = graft.compile.TableSchemaCompiler
+          .compileString(SparkEntry.querySchema).toOption.get
+        val t = graft.sources.TranscriptDerive.fromLineitem(spark, sfDir)
+        def t3(label: String)(f: => Unit): Unit = {
+          f // warm
+          (1 to reps).foreach(_ => println(s"STAGE $label " + fmt(time(f))))
+        }
+        t3("inline_derive") {
+          graft.exprs.Validator.validateTranscripts(t, schema).count(); ()
+        }
+        val ck = t.localCheckpoint()
+        t3("checkpoint_barrier") {
+          graft.exprs.Validator.validateTranscripts(ck, schema).count(); ()
+        }
+        org.apache.spark.sql.GraftSqlBridge.unpersistCheckpoint(ck)
+
+      case "stages-formats" :: _ =>
+        // bisect v_formats: one single-format schema per column
+        val d = graft.sources.DirtyDerive.fromLineitem(spark, sfDir)
+        def t3(label: String)(f: => Unit): Unit = {
+          f // warm
+          (1 to reps).foreach(_ => println(s"STAGE $label " + fmt(time(f))))
+        }
+        t3("derive_count") { d.count(); () }
+        val fmts = Seq("email" -> "email", "ip" -> "ipv4", "url" -> "uri",
+          "dt_str" -> "date-time", "host" -> "hostname", "ip6" -> "ipv6", "rgx" -> "regex")
+        fmts.foreach { case (cn, f) =>
+          val sj = s"""{ "type": "object", "required": ["l_orderkey", "l_linenumber"],
+            "properties": { "l_orderkey": {"type": "integer"}, "l_linenumber": {"type": "integer"},
+              "$cn": { "type": "string", "format": "$f" } } }"""
+          val ts = graft.compile.TableSchemaCompiler.compileString(sj).toOption.get
+          t3(s"fmt_$f") {
+            graft.exprs.Validator.violations(d, ts, Seq("l_orderkey", "l_linenumber")).count(); ()
+          }
+        }
+
+      case "repart" :: _ =>
+        // single-row-group scans are 1-task: measure the effect of a
+        // round-robin repartition right after the read (guide §2.5)
+        def t3(label: String)(f: => Unit): Unit = {
+          f // warm
+          (1 to reps).foreach(_ => println(s"STAGE $label " + fmt(time(f))))
+        }
+        val fmtsSchema = graft.compile.TableSchemaCompiler.compileString(s"""
+          { "type": "object", "required": ["l_orderkey", "l_linenumber"],
+            "properties": {
+              "l_orderkey": {"type": "integer"}, "l_linenumber": {"type": "integer"},
+              "email":  { "type": "string", "format": "email" },
+              "ip":     { "type": "string", "format": "ipv4" },
+              "url":    { "type": "string", "format": "uri" },
+              "dt_str": { "type": "string", "format": "date-time" },
+              "host":   { "type": "string", "format": "hostname" },
+              "ip6":    { "type": "string", "format": "ipv6" },
+              "rgx":    { "type": "string", "format": "regex" } } }""").toOption.get
+        val d0 = graft.sources.DirtyDerive.fromLineitem(spark, sfDir)
+        t3("formats_1task") {
+          graft.exprs.Validator.violations(d0, fmtsSchema, Seq("l_orderkey", "l_linenumber")).count(); ()
+        }
+        val li32 = spark.read.parquet(s"$sfDir/lineitem.parquet").repartition(32)
+        // DirtyDerive reads internally; emulate on the repartitioned frame
+        val d32names = d0.columns
+        val d32 = {
+          // re-run the derive selectExpr over the repartitioned lineitem
+          val exprs = classOf[graft.sources.DirtyDerive.type] // placeholder, not used
+          graft.sources.DirtyDerive.fromLineitem(spark, sfDir) // cannot inject; approximate below
+        }
+        // approximate: repartition AFTER derive (same per-row work moved)
+        val dR = d0.repartition(32)
+        t3("formats_repart_after_derive") {
+          graft.exprs.Validator.violations(dR, fmtsSchema, Seq("l_orderkey", "l_linenumber")).count(); ()
+        }
+        val t0 = graft.sources.TranscriptDerive.fromLineitem(spark, sfDir)
+        t3("convstats_1task") {
+          t0.groupBy(col("conv_id")).agg(count(col("tool")).as("n"),
+            countDistinct(col("tool")).as("d")).filter(col("n") > 0).count(); ()
+        }
+        val tR = t0.repartition(32)
+        t3("convstats_repart") {
+          tR.groupBy(col("conv_id")).agg(count(col("tool")).as("n"),
+            countDistinct(col("tool")).as("d")).filter(col("n") > 0).count(); ()
+        }
+        // dump the AQE-final plan of the repartitioned formats variant +
+        // a task-count listener reading
+        val stats = new java.util.concurrent.ConcurrentHashMap[Int, Int]()
+        val listener = new org.apache.spark.scheduler.SparkListener {
+          override def onStageCompleted(e: org.apache.spark.scheduler.SparkListenerStageCompleted): Unit =
+            stats.put(e.stageInfo.stageId, e.stageInfo.numTasks)
+        }
+        spark.sparkContext.addSparkListener(listener)
+        val q = graft.exprs.Validator.violations(dR, fmtsSchema, Seq("l_orderkey", "l_linenumber"))
+        q.count()
+        Thread.sleep(1000)
+        println("TASKS per stage: " + stats)
+        println(q.queryExecution.executedPlan.toString.take(3000))
+        spark.sparkContext.removeSparkListener(listener)
+
+      case "stagetimes" :: names =>
+        // per-stage (numTasks, total task runtime, max task runtime) for
+        // one execution of each named query
+        names.foreach { name =>
+          val fn = SparkEntry.queries(name)
+          fn(spark, sfDir).count() // warm
+          val rows = new java.util.concurrent.ConcurrentLinkedQueue[String]()
+          val listener = new org.apache.spark.scheduler.SparkListener {
+            override def onStageCompleted(e: org.apache.spark.scheduler.SparkListenerStageCompleted): Unit = {
+              val si = e.stageInfo
+              val ms = si.taskMetrics
+              rows.add(s"stage=${si.stageId} tasks=${si.numTasks} " +
+                s"runtimeMs=${ms.executorRunTime} cpuMs=${ms.executorCpuTime / 1000000} " +
+                s"input=${ms.inputMetrics.recordsRead} " +
+                s"sRead=${ms.shuffleReadMetrics.recordsRead} " +
+                s"sWrite=${ms.shuffleWriteMetrics.recordsWritten} " +
+                s"name=${si.name.take(60)}")
+            }
+          }
+          spark.sparkContext.addSparkListener(listener)
+          val w = time(fn(spark, sfDir).count())
+          Thread.sleep(1500)
+          spark.sparkContext.removeSparkListener(listener)
+          println(s"STAGETIMES $name wall=${fmt(w)}")
+          rows.forEach(r => println(s"  $r"))
+        }
+
+      case "finalplan" :: names =>
+        val captured = new java.util.concurrent.atomic.AtomicReference[String]("")
+        val ql = new org.apache.spark.sql.util.QueryExecutionListener {
+          override def onSuccess(funcName: String,
+                                 qe: org.apache.spark.sql.execution.QueryExecution,
+                                 durationNs: Long): Unit =
+            captured.set(qe.executedPlan.toString)
+          override def onFailure(funcName: String,
+                                 qe: org.apache.spark.sql.execution.QueryExecution,
+                                 exception: Exception): Unit = ()
+        }
+        spark.listenerManager.register(ql)
+        names.foreach { name =>
+          val df = SparkEntry.queries(name)(spark, sfDir)
+          df.count()
+          Thread.sleep(1500)
+          println(s"==== FINALPLAN $name (of the count() execution) ====")
+          // show operator tree skeleton only: strip expression detail
+          captured.get().linesIterator
+            .map(_.take(140)).take(60).foreach(println)
+        }
+        spark.listenerManager.unregister(ql)
+
+      case "abregex" :: _ =>
+        // controlled test: same derive+regex work, scan-fused (1 task)
+        // vs post-shuffle (32 tasks), fence vs no fence — report total
+        // stage CPU via listener
+        val cpu = new java.util.concurrent.atomic.AtomicLong(0)
+        val listener2 = new org.apache.spark.scheduler.SparkListener {
+          override def onStageCompleted(e: org.apache.spark.scheduler.SparkListenerStageCompleted): Unit =
+            cpu.addAndGet(e.stageInfo.taskMetrics.executorCpuTime / 1000000)
+        }
+        spark.sparkContext.addSparkListener(listener2)
+        def cpuOf(f: => Unit): (Double, Long) = {
+          f // warm
+          Thread.sleep(500); cpu.set(0)
+          val w = time(f)
+          Thread.sleep(1000)
+          (w, cpu.get())
+        }
+        val raw = spark.read.parquet(s"$sfDir/lineitem.parquet")
+        def derive(df: DataFrame) = df.selectExpr("l_orderkey", "l_linenumber",
+          """CASE WHEN l_orderkey % 7 = 0 THEN concat('user', l_orderkey, '.example.com')
+                  ELSE concat('u', l_orderkey, '@example.com') END AS email""")
+        def q(df: DataFrame, fenced: Boolean) = {
+          val pred = !col("email").rlike("^[^@\\s]+@[^@\\s]+\\.[^@\\s]+$")
+          derive(df).filter(if (fenced) graft.functions.PushdownFence.fence(pred) else pred).count()
+        }
+        Seq(
+          ("scan_nofence", () => q(raw, false)),
+          ("scan_fence", () => q(raw, true)),
+          ("shuffle_nofence", () => q(raw.repartition(32), false)),
+          ("shuffle_fence", () => q(raw.repartition(32), true))
+        ).foreach { case (label, f) =>
+          val (w, c) = cpuOf { f(); () }
+          println(s"ABREGEX $label wall=${fmt(w)} cpuTotalMs=$c")
+        }
+        spark.sparkContext.removeSparkListener(listener2)
+        val cap = new java.util.concurrent.atomic.AtomicReference[String]("")
+        val ql2 = new org.apache.spark.sql.util.QueryExecutionListener {
+          override def onSuccess(n: String, qe: org.apache.spark.sql.execution.QueryExecution, d: Long): Unit =
+            cap.set(qe.executedPlan.toString)
+          override def onFailure(n: String, qe: org.apache.spark.sql.execution.QueryExecution, e: Exception): Unit = ()
+        }
+        spark.listenerManager.register(ql2)
+        q(raw.repartition(32), true)
+        Thread.sleep(1500)
+        println("==== shuffle_fence executed plan ====")
+        cap.get().linesIterator.map(_.take(160)).take(30).foreach(println)
+        spark.listenerManager.unregister(ql2)
+
+      case "dbgbarrier" :: _ =>
+        val schema = graft.compile.TableSchemaCompiler
+          .compileString(SparkEntry.querySchema).toOption.get
+        val t = graft.sources.TranscriptDerive.fromLineitem(spark, sfDir)
+        val checks = graft.exprs.ConstraintCompiler.compile(schema, t.schema)
+          .fold(e => throw new IllegalArgumentException(e), identity)
+        val refs = checks.flatMap(ch => Seq(ch.ok, ch.actual))
+          .map(org.apache.spark.sql.GraftSqlBridge.expression)
+          .flatMap(_.collect {
+            case a: org.apache.spark.sql.catalyst.analysis.UnresolvedAttribute => a.name
+            case a: org.apache.spark.sql.catalyst.expressions.AttributeReference => a.name
+          })
+        println("DBG checkRefs distinct = " + refs.distinct.mkString(","))
+        println("DBG df.columns = " + t.columns.mkString(","))
+        val e0 = org.apache.spark.sql.GraftSqlBridge.expression(col("x").isNotNull)
+        println("DBG expr class = " + e0.getClass.getName)
+        println("DBG expr tree = " + e0.treeString)
+        println("DBG nodes = " + e0.collect { case n => n.getClass.getSimpleName }.mkString(","))
+
       case other =>
         System.err.println(s"unknown BenchExtra mode: $other")
         sys.exit(1)

@@ -25,6 +25,15 @@ object SparkEntry {
   private def docs(s: SparkSession, dir: String): DataFrame =
     s.read.parquet(s"$dir/documents.parquet")
 
+  // balanced variants: per-operator opt-in (measured winners only, see
+  // OPTIMIZATION_r07.md "scan balancing"); BalancedInput is a no-op on
+  // sane file layouts, so these are layout repairs, not local tuning
+  private def docsBalanced(s: SparkSession, dir: String): DataFrame =
+    graft.sources.BalancedInput.parquet(s, s"$dir/documents.parquet")
+
+  private def embeddingsBalanced(s: SparkSession, dir: String): DataFrame =
+    graft.sources.BalancedInput.parquet(s, s"$dir/embeddings.parquet")
+
   private def embeddings(s: SparkSession, dir: String): DataFrame =
     s.read.parquet(s"$dir/embeddings.parquet")
 
@@ -216,8 +225,9 @@ object SparkEntry {
     TableSchemaCompiler.compileString(json)
       .fold(e => throw new IllegalArgumentException(e), identity)
 
-  private def dirtyViolations(s: SparkSession, dir: String, schemaJson: String): DataFrame =
-    Validator.violations(DirtyDerive.fromLineitem(s, dir), compileSchema(schemaJson),
+  private def dirtyViolations(s: SparkSession, dir: String, schemaJson: String,
+                              balance: Boolean = false): DataFrame =
+    Validator.violations(DirtyDerive.fromLineitem(s, dir, balance), compileSchema(schemaJson),
       Seq("l_orderkey", "l_linenumber"))
 
   private val dirtyKeyProps =
@@ -328,7 +338,7 @@ object SparkEntry {
     // (round-trip pinned by SchemaInferSpec).
     "schema_infer" -> ((s, dir) =>
       graft.stats.SchemaInfer.inferConstraints(
-        TranscriptDerive.fromLineitem(s, dir), enumMaxDistinct = 16)),
+        TranscriptDerive.fromLineitem(s, dir, balance = true), enumMaxDistinct = 16)),
 
     // property-dependency suggestion (draft-4 dependencies keyword):
     // for every ordered column pair, does antecedent-non-null imply
@@ -512,7 +522,7 @@ object SparkEntry {
     // parsed into columns: natural (not planted) violations — 'signup'
     // excluded from the enum, value capped at 50, k capped at 79
     "events_props_violations" -> ((s, dir) => {
-      val e = s.read.parquet(s"$dir/events.parquet").select(
+      val e = graft.sources.BalancedInput.parquet(s, s"$dir/events.parquet").select(
         col("user_id"), col("event_id"), col("event_type"),
         get_json_object(col("props"), "$.k").cast("int").as("k"),
         col("value"))
@@ -537,7 +547,7 @@ object SparkEntry {
     // multipleOf on a double column through the real validator (the
     // decimal-exact remainder path, SURVEY §7 hard part)
     "v_multipleof" -> ((s, dir) => {
-      val li = s.read.parquet(s"$dir/lineitem.parquet")
+      val li = graft.sources.BalancedInput.parquet(s, s"$dir/lineitem.parquet")
       val schemaJson = """
       {
         "type": "object",
@@ -680,7 +690,7 @@ object SparkEntry {
     // cross-doc duplicated 8-token spans over the NATURAL corpus — the
     // exact-dup doc groups guarantee hot spans exist unplanted (same
     // naturalness precedent as the events gates)
-    "dup_spans" -> ((s, dir) => Dedup.dupSpans(docs(s, dir), n = 8)),
+    "dup_spans" -> ((s, dir) => Dedup.dupSpans(docsBalanced(s, dir), n = 8)),
 
     // substring-level dedup: every token covered by a cross-doc
     // duplicated 8-gram removed, survivors reassembled in order; the
@@ -768,7 +778,7 @@ object SparkEntry {
     // measured gap: the nearest pair is >=7e-4 from the boundary at the
     // gate scales, far beyond any cross-engine arithmetic divergence)
     "embed_neardup_pairs" -> ((s, dir) =>
-      Ann.cosineNearDupPairs(embeddings(s, dir), tau = 0.42)),
+      Ann.cosineNearDupPairs(embeddingsBalanced(s, dir), tau = 0.42)),
 
     // the SCALE path for embedding near-dup: seeded SRP-LSH banding +
     // exact verify, gated against the exact all-pairs oracle over the
@@ -817,7 +827,7 @@ object SparkEntry {
           "frac": { "type": "integer" }
         } }""")),
 
-    "v_formats" -> ((s, dir) => dirtyViolations(s, dir, s"""
+    "v_formats" -> ((s, dir) => dirtyViolations(s, dir, balance = true, schemaJson = s"""
       { "type": "object", "required": ["l_orderkey", "l_linenumber"],
         "properties": {
           $dirtyKeyProps,
@@ -880,7 +890,7 @@ object SparkEntry {
     // object schema on a STRUCT-typed column (the fail-open class the
     // round-2 review caught: without the struct branch this compiled to
     // zero checks and every planted violation passed silently)
-    "v_structs" -> ((s, dir) => dirtyViolations(s, dir, s"""
+    "v_structs" -> ((s, dir) => dirtyViolations(s, dir, balance = true, schemaJson = s"""
       { "type": "object", "required": ["l_orderkey", "l_linenumber"],
         "properties": {
           $dirtyKeyProps,
@@ -1083,7 +1093,7 @@ object SparkEntry {
     // batch retrieval: three queries scored in ONE corpus pass, ranked
     // per query by the bounded-heap aggregator (never a global sort)
     "bm25_multi" -> ((s, dir) =>
-      TextOps.bm25Multi(docs(s, dir), Map(
+      TextOps.bm25Multi(docsBalanced(s, dir), Map(
         "q_engine" -> Seq("spark", "join"),
         "q_stream" -> Seq("stream", "window"),
         "q_data" -> Seq("vector", "data")), k = 10)
@@ -1137,7 +1147,7 @@ object SparkEntry {
     // benchmark decontamination: docs sharing any 8-gram with the
     // benchmark slice (doc_id % 13 == 1), counted per doc
     "contamination" -> ((s, dir) => {
-      val d = docs(s, dir)
+      val d = docsBalanced(s, dir)
       TextOps.contaminationHits(d, d.filter(col("doc_id") % 13 === 1), n = 8)
         .select(col("doc_id"), col("n_hits").cast("long").as("n_hits"))
     }),
@@ -1146,7 +1156,7 @@ object SparkEntry {
     // exact join — output must be IDENTICAL to plain contamination
     // (false positives removed by the verify join), so: same oracle
     "contamination_bloom" -> ((s, dir) => {
-      val d = docs(s, dir)
+      val d = docsBalanced(s, dir)
       TextOps.contaminationHitsBloom(d, d.filter(col("doc_id") % 13 === 1), n = 8)
         .select(col("doc_id"), col("n_hits").cast("long").as("n_hits"))
     }),
@@ -1252,7 +1262,7 @@ object SparkEntry {
     // across sf0.001/0.01/0.1 and repeated trainings; nprobe=3 of 8
     // buckets still prunes 5/8 of the scored candidates.
     "ivf_trained_recall" -> ((s, dir) => {
-      val e = embeddings(s, dir)
+      val e = embeddingsBalanced(s, dir)
       val q = embPool(s, dir).filter(col("vec_id") >= 2000000)
       val cents = Ann.kmeansCentroids(e, k = 8, iters = 4)
       Ann.ivfTopK(q, e, cents, k = 10, nprobe = 3)

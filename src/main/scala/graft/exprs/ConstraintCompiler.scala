@@ -737,9 +737,30 @@ object Validator {
     //     (the overwhelmingly common all-valid row never builds structs);
     //  2. explode (codegen Generate) fans out the per-check structs;
     //  3. compiled null filter drops the passing checks.
+    // A BARRIER PROJECTION (one field wrapped in PushdownFence, guide
+    // §4.4's non-determinism trick) sits between the input and the
+    // validator: `PushPredicateThroughNonJoin` pushes a filter below a
+    // Project — substituting each attribute reference with its
+    // producing expression, once per referencing check, with no
+    // subexpression reuse — whenever ALL project fields are
+    // deterministic. When the input is itself a derivation (the
+    // lineitem-derived fixtures, a JSON-parse projection, any ETL
+    // select), that substitution re-derives every input column
+    // ~|referencing checks| times per row: measured 4.1-5.2 s vs ~0.5 s
+    // on the flagship validator at sf0.1. The barrier pins every check,
+    // the pre-filter and the emission structs to ATTRIBUTE reads; the
+    // input projection evaluates once per row below it.
+    // The fence rides the FIRST KEY column (always referenced by the
+    // output, so column pruning can never drop it); every other barrier
+    // field is a plain attribute, so pruning still narrows the project
+    // and the scan to the columns the checks actually read.
     val anyViolation = !checks.map(_.ok).reduce(_ && _)
     val passthrough = keyCols ++ carryCols
-    df.filter(anyViolation)
+    val fenced = keyCols.head
+    val barrier = df.select(df.columns.toSeq.map { c =>
+      if (c == fenced) graft.functions.PushdownFence.fence(col(c)).as(c) else col(c)
+    }: _*)
+    barrier.filter(anyViolation)
       .withColumn("__ptr_prefix", concat(prefixParts: _*))
       .select(passthrough.map(col) :+ explode(array(vioStructs: _*)).as("__v"): _*)
       .filter(col("__v").isNotNull)

@@ -20,9 +20,14 @@ object DirtyDerive {
   /** Spark-side derivation. Array/map columns are built as literals per
     * branch so the violation row's `actual` (`to_json`) is a fixed string
     * the oracle can emit verbatim.
+    *
+    * `balance` as in [[TranscriptDerive.fromLineitem]]: per-operator
+    * opt-in scan balancing, no-op on sane file layouts.
     */
-  def fromLineitem(spark: SparkSession, sfDir: String): DataFrame =
-    spark.read.parquet(s"$sfDir/lineitem.parquet").selectExpr(
+  def fromLineitem(spark: SparkSession, sfDir: String,
+                   balance: Boolean = false): DataFrame =
+    (if (balance) BalancedInput.parquet(spark, s"$sfDir/lineitem.parquet")
+     else spark.read.parquet(s"$sfDir/lineitem.parquet")).selectExpr(
       "l_orderkey",
       "l_linenumber",
       // ---- lengths: len(code) = n + 1, n in 1..7 -> 2..8 ----

@@ -113,9 +113,19 @@ object TranscriptDerive {
 
   /** Transcripts derived from lineitem — defects planted by modulus rules.
     * MUST stay in lockstep with [[duckdbCte]].
+    *
+    * `balance = true` routes the read through [[BalancedInput]] (scan
+    * repartitioned when the file layout under-splits the session; no-op
+    * on sane layouts). Callers opt in per operator: it pays when the
+    * downstream per-row work is compute-dense and single-pass (measured
+    * per query in OPTIMIZATION_r07.md) and costs an extra exchange per
+    * job otherwise.
     */
-  def fromLineitem(spark: SparkSession, sfDir: String): DataFrame = {
-    val li = spark.read.parquet(s"$sfDir/lineitem.parquet")
+  def fromLineitem(spark: SparkSession, sfDir: String,
+                   balance: Boolean = false): DataFrame = {
+    val li =
+      if (balance) BalancedInput.parquet(spark, s"$sfDir/lineitem.parquet")
+      else spark.read.parquet(s"$sfDir/lineitem.parquet")
     val roleBase = element_at(
       array(lit("system"), lit("user"), lit("assistant"), lit("tool")),
       ((col("l_partkey") + col("l_linenumber")) % 4 + 1).cast("int"))
