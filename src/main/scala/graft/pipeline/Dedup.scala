@@ -110,7 +110,16 @@ object Dedup {
                    maxBucket: Int = 4096, shingleN: Int = 3): DataFrame = {
     require(k % bands == 0)
     val rowsPerBand = k / bands
-    val sig = minhashSigTable(df, textCol, idCol, k, shingleN)
+    // the signature table is the pipeline's lightweight proxy (id + k
+    // longs, ~200 B/doc — guide §8 "decide with small rows"), and three
+    // downstream subtrees consume it (bucket counts, both self-join
+    // sides) whose exchanges differ in projection, so exchange reuse
+    // cannot deduplicate them: left lazy, the tokenize+shingle+explode+
+    // k-min-agg pass ran ~3x per call (listener-measured as the
+    // dominant stage cost at sf0.1). Materialize it once; like the
+    // connected-components result checkpoint, it stays persisted
+    // because the returned pairs read it.
+    val sig = minhashSigTable(df, textCol, idCol, k, shingleN).localCheckpoint()
 
     // band bucket keys only — no payload travels through the pair join
     val bandHashes = (0 until bands).map { b =>
@@ -303,10 +312,19 @@ object Dedup {
       .distinct()
       .localCheckpoint()
     // every input node must appear in the output even if its edges
-    // collapse away mid-iteration (a center keeps no outgoing edge);
-    // used once in the final join, so it stays a lazy plan
-    val nodes = pairs.select(col(aCol).as("id")).union(pairs.select(col(bCol).as("id")))
+    // collapse away mid-iteration (a center keeps no outgoing edge).
+    // Derived from the CHECKPOINTED canonical edge set, not from
+    // `pairs`: a node appears in `pairs` iff it appears in `edges`
+    // (pairs are self-loop-free, so canonicalization drops nothing),
+    // and a lazy plan over `pairs` re-ran the ENTIRE upstream pipeline
+    // (LSH: tokenize, signatures, band join, verify) a second time for
+    // the final join — listener-measured as half of
+    // neardup_components_alt's wall at sf0.1. Checkpointed because the
+    // loop unpersists the edge checkpoint it reads from; like the final
+    // edge checkpoint, it stays persisted (the result reads it).
+    val nodes = edges.select(col("hi").as("id")).union(edges.select(col("lo").as("id")))
       .distinct()
+      .localCheckpoint()
 
     def fingerprint(e: DataFrame): (Long, Long) = {
       // bit_xor: order-independent and cannot overflow (ANSI sum of
@@ -514,7 +532,11 @@ object Dedup {
     */
   def simhashPairsFromSig(withSim: DataFrame,
                           maxHamming: Int = 3, maxBucket: Int = 4096): DataFrame = {
-    val banded = capBuckets(withSim.select(
+    // same proxy-materialization as minhashPairs: (id, simhash) is 16
+    // bytes/doc and three band subtrees consume it with non-reusable
+    // exchanges — lazy, the per-token signature hash ran ~3x per call
+    val sig = withSim.localCheckpoint()
+    val banded = capBuckets(sig.select(
       col("id"), col("simhash"),
       posexplode(array((0 until 4).map { b =>
         shiftright(col("simhash"), b * 16).bitwiseAND(lit(0xFFFFL))

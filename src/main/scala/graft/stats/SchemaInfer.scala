@@ -531,13 +531,21 @@ object SchemaInfer {
     */
   def constraintDrift(baseline: DataFrame, current: DataFrame,
                       enumMaxDistinct: Int = 16): DataFrame = {
-    val b = inferConstraints(baseline, enumMaxDistinct)
+    // the two profiles are independent read-only job chains — submit
+    // them concurrently so the scheduler overlaps their stages (the
+    // suggestKeys probe precedent; serialized they are strictly
+    // additive: profile+enum for baseline, then again for current)
+    import scala.concurrent.{Await, Future}
+    import scala.concurrent.ExecutionContext.Implicits.global
+    val bF = Future(inferConstraints(baseline, enumMaxDistinct))
+    val cF = Future(inferConstraints(current, enumMaxDistinct))
+    val b = Await.result(bF, scala.concurrent.duration.Duration.Inf)
       .select(col("column"), col("json_type").as("b_type"), col("format").as("b_fmt"),
         col("required").as("b_req"),
         col("min_num").as("b_min"), col("max_num").as("b_max"),
         col("min_len").as("b_minlen"), col("max_len").as("b_maxlen"),
         col("enum_vals").as("b_enum"), col("pattern").as("b_pat"))
-    val c = inferConstraints(current, enumMaxDistinct)
+    val c = Await.result(cF, scala.concurrent.duration.Duration.Inf)
       .select(col("column"), col("json_type").as("c_type"), col("format").as("c_fmt"),
         col("required").as("c_req"),
         col("min_num").as("c_min"), col("max_num").as("c_max"),
