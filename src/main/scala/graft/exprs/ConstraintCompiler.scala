@@ -503,6 +503,7 @@ object ConstraintCompiler {
     */
   private def formatCheck(name: String, c: Column, doc: SchemaDoc, dt: DataType): Either[String, Seq[Check]] = {
     def ok(pred: Column): Column = c.isNull || pred
+    def fm(col: Column, f: String): Column = graft.functions.FormatMatch(col, f)
     val actualStr = coalesce(c.cast("string"), lit("null"))
     doc.format match {
       case None => Right(Nil)
@@ -515,11 +516,17 @@ object ConstraintCompiler {
             // THROWS on a malformed string — a validator must classify bad
             // values, not crash on them
             else Some(try_to_timestamp(c).isNotNull)
-          case "email"    => Some(c.rlike("^[^@\\s]+@[^@\\s]+\\.[^@\\s]+$"))
-          case "hostname" => Some(c.rlike("^(?=.{1,253}$)[A-Za-z0-9]([A-Za-z0-9-]{0,61}[A-Za-z0-9])?(\\.[A-Za-z0-9]([A-Za-z0-9-]{0,61}[A-Za-z0-9])?)*$"))
-          case "ipv4"     => Some(c.rlike("^((25[0-5]|2[0-4][0-9]|[01]?[0-9][0-9]?)\\.){3}(25[0-5]|2[0-4][0-9]|[01]?[0-9][0-9]?)$"))
-          case "ipv6"     => Some(c.rlike("^[0-9A-Fa-f:.]+$") && c.contains(":"))
-          case "uri"      => Some(c.rlike("^[A-Za-z][A-Za-z0-9+.-]*:")) // absolute URI: scheme
+          // the string formats ride codegen byte loops PROVEN equivalent
+          // to the java-regex forms they replaced (each documented on
+          // its FormatMatchers method; FormatMatchersSpec property-
+          // fuzzes matcher == Pattern.find on adversarial inputs, and
+          // the DuckDB gate replays the regexes) — regex evaluation was
+          // the dominant per-row cost of the format family
+          case "email"    => Some(fm(c, "email"))       // ^[^@\s]+@[^@\s]+\.[^@\s]+$
+          case "hostname" => Some(fm(c, "hostname"))    // ^(?=.{1,253}$)[A-Za-z0-9]([A-Za-z0-9-]{0,61}[A-Za-z0-9])?(\.[A-Za-z0-9]([A-Za-z0-9-]{0,61}[A-Za-z0-9])?)*$
+          case "ipv4"     => Some(fm(c, "ipv4"))        // ^((25[0-5]|2[0-4][0-9]|[01]?[0-9][0-9]?)\.){3}(25[0-5]|2[0-4][0-9]|[01]?[0-9][0-9]?)$
+          case "ipv6"     => Some(fm(c, "ipv6charset") && c.contains(":")) // ^[0-9A-Fa-f:.]+$
+          case "uri"      => Some(fm(c, "uri"))         // ^[A-Za-z][A-Za-z0-9+.-]*:  (absolute URI: scheme)
           case "regex"    =>
             // per-value try-compile through a codegen expression with a
             // bounded per-thread pattern cache (graft.functions.RegexCompiles)

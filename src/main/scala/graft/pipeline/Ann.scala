@@ -213,8 +213,13 @@ object Ann {
     val bandVals = (0 until bands).map { b =>
       (0 until rpb).map(j => signs(b * rpb + j) * lit(1 << j)).reduce(_ + _)
     }
+    // same proxy materialization as minhashPairs' signature table: the
+    // (id, band, bandVal) rows (12 B each) feed the bucket-cap counts
+    // and both self-join sides with non-reusable exchanges — lazy, the
+    // 16 hyperplane dot products per vector ran ~3x per call
     val banded = Dedup.capBuckets(
-      base.select(col("id"), posexplode(array(bandVals: _*)).as(Seq("band", "bandVal"))),
+      base.select(col("id"), posexplode(array(bandVals: _*)).as(Seq("band", "bandVal")))
+        .localCheckpoint(),
       Seq("band", "bandVal"), maxBucket)
     val candidates = banded.select(col("band"), col("bandVal"), col("id").as("id_a"))
       .join(banded.select(col("band"), col("bandVal"), col("id").as("id_b")),

@@ -198,10 +198,15 @@ object Dedup {
                           maxBucket: Int = 4096, shingleN: Int = 3): (DataFrame, DataFrame) = {
     // ONE grouped pass yields both the representative rows and the group
     // index; the member map (doc -> representative) is a narrow hash join
-    // against it, and being a lazy DataFrame it costs nothing unless the
-    // caller actually expands pairs
+    // against it. Materialized once: the representatives feed the LSH
+    // pipeline AND both sides of the member expansion, so the lazy form
+    // re-ran the corpus md5-groupBy for every consumer (~5x per call).
+    // Materializing the deduplicated corpus is the standard first step
+    // of a production dedup pipeline (the guide's worked example writes
+    // its fingerprint pass for the same reason).
     val groups = df.groupBy(md5(col(textCol)).as("content_hash"))
       .agg(min(col(idCol)).as("keep_id"), first(col(textCol)).as(textCol))
+      .localCheckpoint()
     val reps = groups.select(col("keep_id").as(idCol), col(textCol))
     val members = df.select(col(idCol), md5(col(textCol)).as("content_hash"))
       .join(groups.select("content_hash", "keep_id"), "content_hash")
