@@ -219,7 +219,7 @@ object Ann {
     // 16 hyperplane dot products per vector ran ~3x per call
     val banded = Dedup.capBuckets(
       base.select(col("id"), posexplode(array(bandVals: _*)).as(Seq("band", "bandVal")))
-        .localCheckpoint(),
+        .localCheckpoint(eager = false), // capBuckets' count materializes it
       Seq("band", "bandVal"), maxBucket)
     val candidates = banded.select(col("band"), col("bandVal"), col("id").as("id_a"))
       .join(banded.select(col("band"), col("bandVal"), col("id").as("id_b")),

@@ -119,7 +119,8 @@ object Dedup {
     // dominant stage cost at sf0.1). Materialize it once; like the
     // connected-components result checkpoint, it stays persisted
     // because the returned pairs read it.
-    val sig = minhashSigTable(df, textCol, idCol, k, shingleN).localCheckpoint()
+    val sig = minhashSigTable(df, textCol, idCol, k, shingleN)
+      .localCheckpoint(eager = false) // first consumer materializes it
 
     // band bucket keys only — no payload travels through the pair join
     val bandHashes = (0 until bands).map { b =>
@@ -206,6 +207,11 @@ object Dedup {
     // its fingerprint pass for the same reason).
     val groups = df.groupBy(md5(col(textCol)).as("content_hash"))
       .agg(min(col(idCol)).as("keep_id"), first(col(textCol)).as(textCol))
+      // EAGER: the representatives' signature table is itself a lazy
+      // checkpoint reading this one — chaining two lazy checkpoints
+      // materializes this RDD inside another query stage's job and the
+      // DAGScheduler then reports its stale SQL-metric accumulators as
+      // ERROR spam ("non-existent accumulator") on every task
       .localCheckpoint()
     val reps = groups.select(col("keep_id").as(idCol), col(textCol))
     val members = df.select(col(idCol), md5(col(textCol)).as("content_hash"))
@@ -237,10 +243,15 @@ object Dedup {
     */
   def connectedComponents(pairs: DataFrame, aCol: String = "id_a", bCol: String = "id_b",
                           maxIters: Int = 50): DataFrame = {
+    // lazy checkpoints: the next action over each frame materializes it
+    // (labels init for edges, the convergence count for each round) —
+    // an eager checkpoint would pay one extra job per round just to
+    // persist; the unpersist of the PREVIOUS round already happens
+    // only after the count, so ordering stays safe
     val edges = pairs.select(col(aCol).as("u"), col(bCol).as("v"))
       .union(pairs.select(col(bCol).as("u"), col(aCol).as("v")))
       .distinct()
-      .localCheckpoint()
+      .localCheckpoint(eager = false)
     var labels = edges.select(col("u").as("id")).distinct()
       .select(col("id"), col("id").as("comp"))
       .localCheckpoint()
@@ -258,8 +269,8 @@ object Dedup {
         .groupBy("id")
         .agg(min(col("comp")).as("comp"),
           min(when(col("self"), col("comp"))).as("prev"))
-        .localCheckpoint()
-      changed = merged.filter(col("comp") < col("prev")).count()
+        .localCheckpoint(eager = false)
+      changed = merged.filter(col("comp") < col("prev")).count() // materializes
       // round N is materialized -> free round N-1's checkpoint blocks
       // (they otherwise accumulate in the block manager per iteration)
       org.apache.spark.sql.GraftSqlBridge.unpersistCheckpoint(labels)
@@ -315,7 +326,7 @@ object Dedup {
       .select(greatest(col(aCol), col(bCol)).as("hi"), least(col(aCol), col(bCol)).as("lo"))
       .filter(col("hi") =!= col("lo"))
       .distinct()
-      .localCheckpoint()
+      .localCheckpoint(eager = false) // the first fingerprint materializes it
     // every input node must appear in the output even if its edges
     // collapse away mid-iteration (a center keeps no outgoing edge).
     // Derived from the CHECKPOINTED canonical edge set, not from
@@ -329,7 +340,7 @@ object Dedup {
     // edge checkpoint, it stays persisted (the result reads it).
     val nodes = edges.select(col("hi").as("id")).union(edges.select(col("lo").as("id")))
       .distinct()
-      .localCheckpoint()
+      .localCheckpoint() // EAGER: must persist before the loop frees the initial edges
 
     def fingerprint(e: DataFrame): (Long, Long) = {
       // bit_xor: order-independent and cannot overflow (ANSI sum of
@@ -362,8 +373,8 @@ object Dedup {
         .filter(col("a") =!= col("b"))
         .select(greatest(col("a"), col("b")).as("hi"), least(col("a"), col("b")).as("lo"))
         .distinct()
-        .localCheckpoint()
-      val nfp = fingerprint(small)
+        .localCheckpoint(eager = false)
+      val nfp = fingerprint(small) // materializes the round checkpoint
       bridge.unpersistCheckpoint(edges)
       edges = small
       converged = nfp == fp
@@ -540,7 +551,7 @@ object Dedup {
     // same proxy-materialization as minhashPairs: (id, simhash) is 16
     // bytes/doc and three band subtrees consume it with non-reusable
     // exchanges — lazy, the per-token signature hash ran ~3x per call
-    val sig = withSim.localCheckpoint()
+    val sig = withSim.localCheckpoint(eager = false) // first consumer materializes
     val banded = capBuckets(sig.select(
       col("id"), col("simhash"),
       posexplode(array((0 until 4).map { b =>

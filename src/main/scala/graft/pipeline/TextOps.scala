@@ -495,7 +495,15 @@ object TextOps {
     // linearly in merges, and plan re-rendering (AQE explain, UI)
     // quadratically, making the driver the bottleneck long before the
     // data does (same idiom as Dedup.connectedComponents' rounds)
-    var census = words.select(bpeSeedSym(col("w")).as("sym"), col("n")).localCheckpoint()
+    // LAZY checkpoints: each round's pair-count collect both computes
+    // the argmax AND materializes that round's census in the same job
+    // (an eager checkpoint paid a separate persist job per round). The
+    // PREVIOUS round's blocks are freed only after the collect proves
+    // the current census is materialized — freeing earlier would drop
+    // the only copy the lazy plan still reads.
+    var census = words.select(bpeSeedSym(col("w")).as("sym"), col("n"))
+      .localCheckpoint(eager = false)
+    var toFree: DataFrame = null
     try {
       var step = 0
       var exhausted = false
@@ -508,20 +516,26 @@ object TextOps {
           .groupBy(col("pr.l").as("l"), col("pr.r").as("r"))
           .agg(sum(col("n")).as("cnt"))
           .orderBy(col("cnt").desc, col("l").asc, col("r").asc)
-          .limit(1).collect()
+          .limit(1).collect() // materializes this round's census
+        if (toFree != null) {
+          org.apache.spark.sql.GraftSqlBridge.unpersistCheckpoint(toFree)
+          toFree = null
+        }
         if (top.isEmpty) exhausted = true
         else {
           val (l, r, cnt) = (top(0).getString(0), top(0).getString(1), top(0).getLong(2))
           merges += ((step.toLong, l, r, cnt))
           val next = census.withColumn("sym", bpeMergeStep(col("sym"), l, r))
-            .localCheckpoint()
-          // round N materialized -> free round N-1's checkpoint blocks
-          org.apache.spark.sql.GraftSqlBridge.unpersistCheckpoint(census)
+            .localCheckpoint(eager = false)
+          toFree = census
           census = next
           step += 1
         }
       }
-    } finally org.apache.spark.sql.GraftSqlBridge.unpersistCheckpoint(census)
+    } finally {
+      if (toFree != null) org.apache.spark.sql.GraftSqlBridge.unpersistCheckpoint(toFree)
+      org.apache.spark.sql.GraftSqlBridge.unpersistCheckpoint(census)
+    }
     merges.toSeq.toDF("step", "left_sym", "right_sym", "pair_count")
   }
 
@@ -581,7 +595,11 @@ object TextOps {
     // leaf-plan census per round (see [[bpeMerges]]): at production
     // vocab sizes the round count is numMerges/batch — lineage
     // truncation is what keeps round cost O(census), not O(history)
-    var census = words.select(bpeSeedSym(col("w")).as("sym"), col("n")).localCheckpoint()
+    // lazy checkpoints with deferred frees — same job-fusion rule as
+    // [[bpeMerges]]: the round's ranked-collect materializes the census
+    var census = words.select(bpeSeedSym(col("w")).as("sym"), col("n"))
+      .localCheckpoint(eager = false)
+    var toFree: DataFrame = null
     var rounds = 0
     try {
       var exhausted = false
@@ -596,8 +614,12 @@ object TextOps {
           .groupBy(col("pr.l").as("l"), col("pr.r").as("r"))
           .agg(sum(col("n")).as("cnt"))
           .orderBy(col("cnt").desc, col("l").asc, col("r").asc)
-          .limit(scanWindow).collect()
+          .limit(scanWindow).collect() // materializes this round's census
           .map(r => (r.getString(0), r.getString(1), r.getLong(2)))
+        if (toFree != null) {
+          org.apache.spark.sql.GraftSqlBridge.unpersistCheckpoint(toFree)
+          toFree = null
+        }
         if (ranked.isEmpty) exhausted = true
         else {
           // greedy disjoint acceptance: skip conflicts, keep scanning
@@ -617,13 +639,16 @@ object TextOps {
           val newSym = accepted.foldLeft(col("sym")) { case (s, (l, r, _)) =>
             bpeMergeStep(s, l, r)
           }
-          val next = census.withColumn("sym", newSym).localCheckpoint()
-          org.apache.spark.sql.GraftSqlBridge.unpersistCheckpoint(census)
+          val next = census.withColumn("sym", newSym).localCheckpoint(eager = false)
+          toFree = census
           census = next
           rounds += 1
         }
       }
-    } finally org.apache.spark.sql.GraftSqlBridge.unpersistCheckpoint(census)
+    } finally {
+      if (toFree != null) org.apache.spark.sql.GraftSqlBridge.unpersistCheckpoint(toFree)
+      org.apache.spark.sql.GraftSqlBridge.unpersistCheckpoint(census)
+    }
     (merges.toSeq.toDF("step", "left_sym", "right_sym", "pair_count"), rounds)
   }
 

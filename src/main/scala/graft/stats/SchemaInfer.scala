@@ -480,7 +480,7 @@ object SchemaInfer {
           val dupHashes = sdf.select(keyHash(cs).as("__h"))
             .groupBy("__h").agg(count(lit(1)).as("__n"))
             .filter(col("__n") > 1L).select("__h")
-            .localCheckpoint() // tiny: duplicated hash groups only
+            .localCheckpoint(eager = false) // tiny; the count below materializes it
           try {
             val nDup = dupHashes.count()
             val isKey = nDup == 0L || {
