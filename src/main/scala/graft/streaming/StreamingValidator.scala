@@ -156,11 +156,18 @@ object StreamingValidator {
     val present = stream.columns.toSet
     val tracked = baseline.filter(r => present.contains(r.getString(0)))
     require(tracked.nonEmpty, "no baseline column present in the stream")
+    // positional safe frame (the SchemaInfer idiom): baseline column
+    // names interpolated into col()/aliases broke on dots or backticks
+    // (ADVICE r6) — all references below are index-keyed, original
+    // names appear only as output literals
+    val posOf = stream.columns.zipWithIndex.toMap
+    val sdf = stream.toDF(stream.columns.indices.map(i => s"__c$i"): _*)
+    val tsSafe = s"__c${posOf(tsCol)}"
     val aggs = tracked.flatMap { r =>
       val name = r.getString(0)
       val fmt = Option(r.getString(2))
       val required = r.getBoolean(3)
-      val c = col(name)
+      val c = col(s"__c${posOf(name)}")
       // the comparable value under the baseline's bound semantics
       val v: Column = (r.getString(1), fmt) match {
         case (_, Some("date-time")) => unix_micros(c.cast("timestamp")).cast("double")
@@ -171,7 +178,7 @@ object StreamingValidator {
         if (r.getString(1) == "string" && fmt.isEmpty) length(c).cast("long")
         else lit(null).cast("long")
       def cnt(cond: Column, suffix: String) =
-        sum(when(cond, 1L).otherwise(0L)).as(s"__${name}__$suffix")
+        sum(when(cond, 1L).otherwise(0L)).as(s"__${posOf(name)}__$suffix")
       val below =
         (if (r.isNullAt(4)) lit(false) else v < lit(r.getDouble(4))) ||
         (if (r.isNullAt(6)) lit(false) else len < lit(r.getLong(6)))
@@ -188,17 +195,18 @@ object StreamingValidator {
         cnt(if (required) c.isNull else lit(false), "nulls"),
         cnt(novel, "novel"))
     }
-    val windowed = stream
-      .withWatermark(tsCol, watermark)
-      .groupBy(window(col(tsCol), windowLength))
+    val windowed = sdf
+      .withWatermark(tsSafe, watermark)
+      .groupBy(window(col(tsSafe), windowLength))
       .agg(aggs.head, aggs.tail: _*)
     val reports = tracked.map { r =>
       val name = r.getString(0)
+      val i = posOf(name)
       struct(lit(name).as("column"),
-        col(s"__${name}__below").as("below_bounds"),
-        col(s"__${name}__above").as("above_bounds"),
-        col(s"__${name}__nulls").as("null_required"),
-        col(s"__${name}__novel").as("novel_enum"))
+        col(s"__${i}__below").as("below_bounds"),
+        col(s"__${i}__above").as("above_bounds"),
+        col(s"__${i}__nulls").as("null_required"),
+        col(s"__${i}__novel").as("novel_enum"))
     }
     windowed
       .select(col("window.start").as("window_start"), explode(array(reports: _*)).as("r"))
@@ -394,7 +402,15 @@ object StreamingValidator {
               (st.maxTsMillis +: batch.collect { case r if r.ts != null => r.ts.getTime }).max
             st = AsOfState(versions, maxTs)
             state.update(st)
-            state.setTimeoutTimestamp(maxTs + stateTimeoutMs)
+            // a key whose first micro-batch carries only null-ts events
+            // keeps maxTs at MinValue (dims filter null ts, events do
+            // not) — MinValue + timeout is negative and GroupStateImpl
+            // throws, killing the query on one poison key: clamp to
+            // just past the current watermark so the empty state
+            // expires promptly instead
+            state.setTimeoutTimestamp(
+              if (maxTs > Long.MinValue) maxTs + stateTimeoutMs
+              else math.max(state.getCurrentWatermarkMs() + 1L, 1L))
             out.iterator
           }
         })
@@ -423,7 +439,14 @@ object StreamingValidator {
           } else {
             var st = state.getOption.getOrElse(ConvState(Int.MinValue, Long.MinValue))
             val out = scala.collection.mutable.ArrayBuffer.empty[OrderViolation]
-            val sorted = rows.toSeq.sortBy(t => (t.ts.getTime, t.turn_idx))
+            // poison rows first: a null event time cannot participate in
+            // event-time ordering — emit a TYPED violation (the
+            // asofEnrich poison rule: typed output, never an NPE that
+            // kills the whole query on one bad row; the transcript
+            // schema allows null ts)
+            val (nullTs, timed) = rows.toSeq.partition(_.ts == null)
+            nullTs.foreach(t => out += OrderViolation(convId, t.turn_idx, "null_ts"))
+            val sorted = timed.sortBy(t => (t.ts.getTime, t.turn_idx))
             sorted.foreach { t =>
               if (t.turn_idx == st.maxTurnIdx)
                 out += OrderViolation(convId, t.turn_idx, "duplicate")
@@ -437,8 +460,14 @@ object StreamingValidator {
             // HIGH-WATERMARK (monotone): the first batches run with
             // watermark 0 (epoch), which would otherwise expire every
             // state immediately, and a late-but-admitted row must not
-            // regress an already-later timeout
-            state.setTimeoutTimestamp(st.maxTsMillis + stateTimeoutMs)
+            // regress an already-later timeout. A conversation whose
+            // rows were ALL null-ts keeps maxTs at MinValue —
+            // MinValue + timeout is negative and GroupStateImpl throws
+            // — clamp to just past the current watermark so the empty
+            // state expires promptly instead of crashing the query
+            state.setTimeoutTimestamp(
+              if (st.maxTsMillis > Long.MinValue) st.maxTsMillis + stateTimeoutMs
+              else math.max(state.getCurrentWatermarkMs() + 1L, 1L))
             out.iterator
           }
         })

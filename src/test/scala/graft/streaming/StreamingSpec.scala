@@ -6,7 +6,7 @@ import org.scalatest.matchers.should.Matchers
 import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
 import graft.SparkTestBase
 import graft.compile.TableSchemaCompiler
-import graft.streaming.StreamingValidator.{OrderViolation, Turn}
+import graft.streaming.StreamingValidator.{DimUpdate, OrderViolation, StreamEvent, Turn}
 
 /** Structured-Streaming validation: the compiled batch plan must run
   * unchanged on a stream, and the stateful per-conversation ordering
@@ -61,6 +61,69 @@ class StreamingSpec extends AnyFlatSpec with Matchers {
       rows shouldBe Set(
         ("2024-01-01 00:00:00.0", 2L, 1L),
         ("2024-01-01 00:01:00.0", 1L, 0L))
+    } finally q.stop()
+  }
+
+  it should "survive null-ts poison rows in orderingViolations, even on a fresh key" in {
+    // the round-6 verdict's top item: sortBy(t.ts.getTime) NPE'd on a
+    // null-ts row, and an all-null-ts FRESH key left maxTs at MinValue
+    // so setTimeoutTimestamp went negative (GroupStateImpl throws).
+    // Contract (the asofEnrich poison rule): never crash; if the row
+    // reaches the state function it surfaces as a TYPED `null_ts`
+    // violation. The watermark operator may drop null-ts rows outright
+    // in later batches — no-crash is the hard pin.
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val input = MemoryStream[Turn]
+    val q = StreamingValidator.orderingViolations(input.toDS())
+      .writeStream.format("memory").queryName("sorderpoison").outputMode("append").start()
+    try {
+      // first batch of a FRESH key is the poison row itself
+      input.addData(Turn("p1", 0, "system", "poison", null, null))
+      q.processAllAvailable()
+      // then mixed: another fresh all-null key plus normal traffic and a
+      // second null-ts row on a key with real state
+      input.addData(
+        Turn("p2", 3, "user", "poison2", null, null),
+        Turn("c8", 0, "system", "a", null, ts(0)),
+        Turn("c8", 1, "user", "b", null, ts(1)),
+        Turn("c8", 2, "user", "c", null, null))
+      q.processAllAvailable()
+      val got = spark.table("sorderpoison").as[OrderViolation].collect().toSet
+      // every emitted row for the poison turns is the typed kind
+      got.filter(v => v.conv_id == "p1" || v.conv_id == "p2" || v.turn_idx == 2)
+        .foreach(_.kind shouldBe "null_ts")
+      // the null-ts rows reached the state function in these batches
+      got should contain(OrderViolation("p1", 0, "null_ts"))
+      // and normal ordering state was undisturbed by the poison row
+      input.addData(Turn("c8", 1, "user", "dup", null, ts(2)))
+      q.processAllAvailable()
+      spark.table("sorderpoison").as[OrderViolation].collect().toSet should
+        contain(OrderViolation("c8", 1, "duplicate"))
+    } finally q.stop()
+  }
+
+  it should "survive an all-null-ts first batch for a fresh asofEnrich key" in {
+    // ADVICE r6 (medium): dims filter null ts but events do not, so a
+    // fresh key whose first micro-batch holds only null-ts events kept
+    // maxTs = MinValue and setTimeoutTimestamp(MinValue + timeout)
+    // threw IllegalArgumentException, killing the query
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val ee = MemoryStream[StreamEvent]
+    val de = MemoryStream[DimUpdate]
+    val q = StreamingValidator.asofEnrich(ee.toDS(), de.toDS())
+      .writeStream.format("memory").queryName("sasofpoison").outputMode("append").start()
+    try {
+      ee.addData(StreamEvent("fresh", 1L, null)) // poison-first key
+      q.processAllAvailable()
+      de.addData(DimUpdate("fresh", ts(1), 1L, "v1"))
+      ee.addData(StreamEvent("fresh", 2L, ts(2)))
+      q.processAllAvailable()
+      val rows = spark.sql("SELECT event_id, asof_payload FROM sasofpoison").collect()
+        .map(r => (r.getLong(0), r.getString(1))).toMap
+      rows.get(1L).foreach(_ shouldBe null) // if emitted: null payload
+      rows(2L) shouldBe "v1"                // the key keeps working after the poison
     } finally q.stop()
   }
 
@@ -224,6 +287,20 @@ class StreamingSpec extends AnyFlatSpec with Matchers {
         .map(_.getAs[Long]("candidate_pairs")).sum
       candidates shouldBe 66L // the storm is measurable, not silent
     } finally q.stop()
+  }
+
+  it should "resolve hostile baseline column names in boundsDriftByWindow (safe frame)" in {
+    // ADVICE r6: raw names interpolated into col()/aliases broke on
+    // dots (nested-field parse) — the positional safe frame must carry
+    // a 'value.x'-named column end to end, original name in the output
+    import spark.implicits._
+    val base = Seq.tabulate(20)(i => (i.toLong % 5, ts(1))).toDF("value.x", "ts")
+    val baseline = graft.stats.SchemaInfer.inferConstraints(base).collect().toSeq
+    val live = Seq((99L, ts(2)), (1L, ts(3))).toDF("value.x", "ts")
+    val out = StreamingValidator.boundsDriftByWindow(live, baseline,
+      windowLength = "10 minutes")
+    val rows = out.collect().map(r => (r.getString(1), r.getLong(3))).toSet
+    rows should contain(("value.x", 1L)) // the 99 escapes above_bounds, name intact
   }
 
   it should "flag constraint-envelope escapes per window with batch parity" in {
