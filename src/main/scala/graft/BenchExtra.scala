@@ -418,6 +418,66 @@ object BenchExtra {
         }
         spark.listenerManager.unregister(ql)
 
+      case "abpattern" :: _ =>
+        // A/B: pattern conditional sums as aggregate expressions (the
+        // noTerm conjunct re-evaluated per pattern) vs pattern bits
+        // hoisted into a projection below the agg (codegen subexpression
+        // elimination shares the 5-contains terminator check per column)
+        val t0 = graft.sources.TranscriptDerive.fromLineitem(spark, sfDir)
+        val sdf0 = t0.toDF(t0.columns.indices.map(i => s"__c$i"): _*)
+        val strIdx = t0.schema.fields.zipWithIndex.collect {
+          case (f, i) if f.dataType == org.apache.spark.sql.types.StringType => i
+        }.toSeq
+        val menu0 = graft.stats.SchemaInfer.patternMenu
+        val terms0 = Seq("\n", "\r", "", " ", " ")
+        def hit0(c: org.apache.spark.sql.Column, p: String) =
+          graft.functions.SimplePatternMatch.tryColumn(c, p).getOrElse(c.rlike(p)) &&
+            terms0.map(x => !c.contains(x)).reduce(_ && _)
+        def t3b(label: String)(f: => Unit): Unit = {
+          f
+          (1 to reps).foreach(_ => println(s"ABPATTERN $label " + fmt(time(f))))
+        }
+        // A: current form (agg-side conjuncts)
+        t3b("agg_side") {
+          val aggs = strIdx.flatMap { i =>
+            menu0.zipWithIndex.map { case (p, k) =>
+              val c = col(s"__c$i")
+              sum((c.isNotNull && !hit0(c, p)).cast("long")).as(s"__c${i}__pm_$k")
+            }
+          }
+          sdf0.agg(aggs.head, aggs.tail: _*).collect(); ()
+        }
+        // B: projection-hoisted bits
+        t3b("proj_hoisted") {
+          val bits = strIdx.flatMap { i =>
+            menu0.zipWithIndex.map { case (p, k) =>
+              val c = col(s"__c$i")
+              (c.isNotNull && !hit0(c, p)).as(s"__b${i}_$k")
+            }
+          }
+          val proj = sdf0.select(bits: _*)
+          val aggs = strIdx.flatMap { i =>
+            menu0.indices.map(k => sum(col(s"__b${i}_$k").cast("long")).as(s"__c${i}__pm_$k"))
+          }
+          proj.agg(aggs.head, aggs.tail: _*).collect(); ()
+        }
+        // C: projection-hoisted noTerm only (pattern matchers stay agg-side)
+        t3b("noterm_hoisted") {
+          val withNt = sdf0.select(col("*") +: strIdx.map { i =>
+            val c = col(s"__c$i")
+            terms0.map(x => !c.contains(x)).reduce(_ && _).as(s"__nt$i")
+          }: _*)
+          val aggs = strIdx.flatMap { i =>
+            menu0.zipWithIndex.map { case (p, k) =>
+              val c = col(s"__c$i")
+              val hp = graft.functions.SimplePatternMatch.tryColumn(c, p).getOrElse(c.rlike(p)) &&
+                col(s"__nt$i")
+              sum((c.isNotNull && !hp).cast("long")).as(s"__c${i}__pm_$k")
+            }
+          }
+          withNt.agg(aggs.head, aggs.tail: _*).collect(); ()
+        }
+
       case "abregex" :: _ =>
         // controlled test: same derive+regex work, scan-fused (1 task)
         // vs post-shuffle (32 tasks), fence vs no fence — report total
