@@ -418,6 +418,44 @@ object BenchExtra {
         }
         spark.listenerManager.unregister(ql)
 
+      case "abkeyhash" :: _ =>
+        // A/B on suggestKeys' pass-1 agg: flat xxhash64(cols...) per
+        // candidate (prefix columns re-hashed per candidate) vs nested
+        // prefix-sharing hashes (any 64-bit fingerprint is valid — the
+        // exact confirm stage makes hash choice correctness-neutral)
+        val tk = graft.sources.TranscriptDerive.fromLineitem(spark, sfDir)
+        val sdfk = tk.toDF(tk.columns.indices.map(i => s"__c$i"): _*)
+        val idxK = tk.columns.zipWithIndex.toMap
+        def ck(n: String) = col(s"__c${idxK(n)}")
+        val cands = Seq(
+          Seq("conv_id"), Seq("conv_id", "turn_idx"),
+          Seq("conv_id", "turn_idx", "role"), Seq("conv_id", "turn_idx", "text"))
+        def t3k(label: String)(f: => Unit): Unit = {
+          f
+          (1 to reps).foreach(_ => println(s"ABKEYHASH $label " + fmt(time(f))))
+        }
+        t3k("flat") {
+          val aggs = count(lit(1)).as("__total") +: cands.zipWithIndex.flatMap { case (cs, i) =>
+            val sc = cs.map(ck)
+            Seq(sum(sc.map(_.isNull).reduce(_ || _).cast("long")).as(s"__nulls_$i"),
+              approx_count_distinct(xxhash64(sc: _*)).as(s"__hll_$i"))
+          }
+          sdfk.agg(aggs.head, aggs.tail: _*).collect(); ()
+        }
+        t3k("nested") {
+          val h1 = xxhash64(ck("conv_id"))
+          val h2 = xxhash64(h1, ck("turn_idx"))
+          val h3 = xxhash64(h2, ck("role"))
+          val h4 = xxhash64(h2, ck("text"))
+          val hs = Seq(h1, h2, h3, h4)
+          val aggs = count(lit(1)).as("__total") +: cands.zipWithIndex.flatMap { case (cs, i) =>
+            val sc = cs.map(ck)
+            Seq(sum(sc.map(_.isNull).reduce(_ || _).cast("long")).as(s"__nulls_$i"),
+              approx_count_distinct(hs(i)).as(s"__hll_$i"))
+          }
+          sdfk.agg(aggs.head, aggs.tail: _*).collect(); ()
+        }
+
       case "abpattern" :: _ =>
         // A/B: pattern conditional sums as aggregate expressions (the
         // noTerm conjunct re-evaluated per pattern) vs pattern bits

@@ -146,10 +146,16 @@ object Dedup {
     // measured ~2s of minhash_pairs' 3.2s at sf0.1). After the join the
     // arrays are plain attributes, so the per-pair work is one
     // array_intersect plus two size() reads.
-    val docsA = df.select(col(idCol).as("id_a"),
-      array_distinct(shingles(col(textCol), shingleN)).as("sh_a"))
-    val docsB = df.select(col(idCol).as("id_b"),
-      array_distinct(shingles(col(textCol), shingleN)).as("sh_b"))
+    // ONE shingle table feeds BOTH join sides (lazy checkpoint — the
+    // verify join's first side materializes it inline, the second side
+    // reads the cached blocks): the interpreted tokenize+shingle pass
+    // drops from 2x to 1x here (3x to 2x per call incl. the signature
+    // build). Independent of the sig checkpoint — no lazy-on-lazy chain.
+    val shing = df.select(col(idCol).as("id"),
+      array_distinct(shingles(col(textCol), shingleN)).as("sh"))
+      .localCheckpoint(eager = false)
+    val docsA = shing.select(col("id").as("id_a"), col("sh").as("sh_a"))
+    val docsB = shing.select(col("id").as("id_b"), col("sh").as("sh_b"))
     candidates.join(docsA, "id_a").join(docsB, "id_b")
       .withColumn("jaccard", jaccardDistinct(col("sh_a"), col("sh_b")))
       .filter(col("jaccard") >= threshold)
